@@ -1,0 +1,348 @@
+"""GPTBigCode (StarCoder v1) decoder — TPU-native JAX implementation.
+
+Architecture parity with the reference's vendored decoder (reference:
+starvector/model/gpt_bigcode/modeling_gpt_bigcode.py):
+  * learned absolute position embeddings `wpe` (:899)
+  * Multi-Query Attention: fused c_attn -> [Q(E) | K(D) | V(D)], 1 KV head
+    (:106-138, configuration_gpt_bigcode.py:119)
+  * pre-LN blocks: ln_1 -> attn -> +res; ln_2 -> mlp(gelu_tanh) -> +res
+    (:670-755)
+  * fp32 softmax with 1/sqrt(head_dim) scaling (:61-84, :151-226)
+  * position ids from attention-mask cumsum, masked positions pinned to 1
+    (:980-988)
+  * final ln_f; lm_head tied to wte (:1144-1153)
+
+TPU-first design choices (NOT in the reference):
+  * layers are stacked on a leading axis and executed with `lax.scan`
+    (one compiled block, O(1) compile time in depth; remat-able per layer)
+  * KV cache is a preallocated (L, B, T_max, Hkv, D) array updated with
+    dynamic_update_slice — no per-step concat, no dynamic shapes
+  * weights are (in, out) so the hot matmuls hit the MXU without transposes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from starvector_tpu.ops.layers import (
+    DTypePolicy,
+    dense,
+    gelu_tanh,
+    layer_norm,
+    make_dense_params,
+    make_layer_norm_params,
+    normal_init,
+)
+from starvector_tpu.ops.attention import make_attention_bias, multihead_attention
+from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain
+from jax.sharding import PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTBigCodeConfig:
+    vocab_size: int = 49152
+    n_positions: int = 8192
+    hidden_size: int = 2048
+    n_layer: int = 24
+    n_head: int = 16
+    n_inner: int | None = None  # default 4 * hidden
+    multi_query: bool = True
+    layer_norm_epsilon: float = 1e-5
+    initializer_range: float = 0.02
+    resid_pdrop: float = 0.1
+    embd_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.n_head
+
+    @property
+    def kv_heads(self) -> int:
+        return 1 if self.multi_query else self.n_head
+
+    @property
+    def inner_dim(self) -> int:
+        return self.n_inner or 4 * self.hidden_size
+
+
+def tiny_config(**kw) -> GPTBigCodeConfig:
+    """Small config for tests/goldens."""
+    base = dict(
+        vocab_size=512, n_positions=128, hidden_size=64, n_layer=2, n_head=4
+    )
+    base.update(kw)
+    return GPTBigCodeConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: GPTBigCodeConfig, rng: jax.Array, dtype=jnp.float32) -> dict:
+    E, L = cfg.hidden_size, cfg.n_layer
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    keys = jax.random.split(rng, 8)
+    std = cfg.initializer_range
+    # GPT-2 depth-scaled init for residual-path projections (reference
+    # modeling_gpt_bigcode.py _init_weights)
+    resid_std = std / (2 * L) ** 0.5
+
+    def stack(fn):
+        outs = [fn(k) for k in jax.random.split(keys[7], L)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+    def layer_params(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "ln_1": make_layer_norm_params(E, dtype),
+            "attn": {
+                "c_attn": make_dense_params(k1, E, E + 2 * kv_dim, std=std, dtype=dtype),
+                "c_proj": make_dense_params(k2, E, E, std=resid_std, dtype=dtype),
+            },
+            "ln_2": make_layer_norm_params(E, dtype),
+            "mlp": {
+                "c_fc": make_dense_params(k3, E, cfg.inner_dim, std=std, dtype=dtype),
+                "c_proj": make_dense_params(k4, cfg.inner_dim, E, std=resid_std, dtype=dtype),
+            },
+        }
+
+    return {
+        "wte": normal_init(keys[0], (cfg.vocab_size, E), std, dtype),
+        "wpe": normal_init(keys[1], (cfg.n_positions, E), std, dtype),
+        "layers": stack(layer_params),
+        "ln_f": make_layer_norm_params(E, dtype),
+    }
+
+
+def partition_rules() -> list[tuple[str, P]]:
+    """Path-regex → PartitionSpec (leading layer axis on stacked params is
+    never sharded). TP convention: c_attn/c_fc column-parallel (out dim on
+    "tensor"), c_proj row-parallel (in dim on "tensor")."""
+    return [
+        # Embedding tables shard over ONE axis only: a (fsdp, tensor)
+        # double-sharded table is a trigger for an XLA SPMD partitioner
+        # miscompilation when gathered/contracted against fsdp-sharded batch
+        # (reproduced on the CPU backend, mesh (2,2,2)).
+        (r"wte$|wpe$", P("fsdp", None)),
+        (r"layers/.*c_attn/kernel", P(None, "fsdp", "tensor")),
+        (r"layers/.*c_attn/bias", P(None, "tensor")),
+        (r"layers/.*attn/c_proj/kernel", P(None, "tensor", "fsdp")),
+        (r"layers/.*attn/c_proj/bias", P(None, None)),
+        (r"layers/.*c_fc/kernel", P(None, "fsdp", "tensor")),
+        (r"layers/.*c_fc/bias", P(None, "tensor")),
+        (r"layers/.*mlp/c_proj/kernel", P(None, "tensor", "fsdp")),
+        (r"layers/.*mlp/c_proj/bias", P(None, None)),
+        (r"layers/.*ln_[12]/", P(None, None)),
+        (r"ln_f/", P(None)),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def init_cache(
+    cfg: GPTBigCodeConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> dict:
+    shape = (cfg.n_layer, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        # number of tokens already written (same for all sequences; ragged
+        # prefixes are handled by left-padding + kv_mask)
+        "index": jnp.zeros((), jnp.int32),
+        # (B, max_len) 1 where a real token occupies the slot
+        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
+    }
+
+
+def cache_partition_rules() -> list[tuple[str, P]]:
+    from starvector_tpu.parallel.mesh import BATCH_AXES
+
+    return [(r"k$|v$", P(None, BATCH_AXES, None, None, None)),
+            (r"kv_mask$", P(BATCH_AXES, None)),
+            (r"index$", P())]
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _attention_block(
+    p: dict,
+    cfg: GPTBigCodeConfig,
+    x: jax.Array,                   # (B, S, E) post-ln_1
+    bias: jax.Array,                # additive fp32
+    layer_cache: dict | None,       # {'k': (B,T,Hkv,D), 'v': ...} or None
+    cache_index,                    # scalar int32
+    policy: DTypePolicy,
+):
+    B, S, E = x.shape
+    H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
+    qkv = dense(p["c_attn"], x, policy)            # (B, S, E + 2*Hkv*D)
+    q = qkv[..., :E].reshape(B, S, H, D)
+    k = qkv[..., E : E + Hkv * D].reshape(B, S, Hkv, D)
+    v = qkv[..., E + Hkv * D :].reshape(B, S, Hkv, D)
+
+    new_cache = None
+    if layer_cache is not None:
+        ck = jax.lax.dynamic_update_slice(
+            layer_cache["k"], k.astype(layer_cache["k"].dtype), (0, cache_index, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            layer_cache["v"], v.astype(layer_cache["v"].dtype), (0, cache_index, 0, 0)
+        )
+        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        new_cache = {"k": ck, "v": cv}
+
+    out = multihead_attention(q, k, v, bias)
+    out = out.reshape(B, S, E)
+    return dense(p["c_proj"], out, policy), new_cache
+
+
+def _block(p, cfg, x, bias, layer_cache, cache_index, policy):
+    attn_out, new_cache = _attention_block(
+        p["attn"], cfg, layer_norm(p["ln_1"], x, cfg.layer_norm_epsilon),
+        bias, layer_cache, cache_index, policy,
+    )
+    x = x + attn_out
+    h = layer_norm(p["ln_2"], x, cfg.layer_norm_epsilon)
+    h = dense(p["mlp"]["c_fc"], h, policy)
+    h = gelu_tanh(h)
+    h = dense(p["mlp"]["c_proj"], h, policy)
+    return x + h, new_cache
+
+
+def compute_position_ids(attention_mask: jax.Array) -> jax.Array:
+    """cumsum(mask)-1, masked positions pinned to 1 (reference :980-988)."""
+    pos = jnp.cumsum(attention_mask, axis=-1) - 1
+    return jnp.where(attention_mask == 0, 1, pos).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "policy", "remat", "return_hidden"),
+)
+def forward(
+    params: dict,
+    cfg: GPTBigCodeConfig,
+    inputs_embeds: jax.Array,              # (B, S, E)
+    attention_mask: jax.Array | None = None,  # (B, S) over the new tokens
+    position_ids: jax.Array | None = None,    # (B, S) absolute positions
+    cache: dict | None = None,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    remat: bool = False,
+    return_hidden: bool = False,
+) -> tuple[jax.Array, dict | None]:
+    """Run the decoder. Without `cache`: full-sequence (training) forward.
+    With `cache`: writes the S new tokens at cache.index and attends over the
+    whole preallocated window (prefill and decode share this path).
+
+    Returns (logits (B, S, V) fp32 — or final hidden if return_hidden — ,
+    updated cache or None).
+    """
+    B, S, E = inputs_embeds.shape
+    x = policy.cast(inputs_embeds)
+
+    if cache is None:
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        if position_ids is None:
+            position_ids = compute_position_ids(attention_mask)
+        bias = make_attention_bias(attention_mask, S, S, causal=True)
+        new_index = None
+        kv_mask = None
+    else:
+        idx = cache["index"]
+        T = cache["k"].shape[2]
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        # absolute positions continue from the number of *real* tokens each
+        # sequence has seen (left-padded prefixes ⇒ per-sequence offsets)
+        if position_ids is None:
+            prev = jnp.sum(cache["kv_mask"], axis=-1, dtype=jnp.int32)  # (B,)
+            position_ids = prev[:, None] + compute_position_ids(attention_mask)
+            position_ids = jnp.where(attention_mask == 0, 1, position_ids)
+        kv_mask = jax.lax.dynamic_update_slice(
+            cache["kv_mask"], attention_mask.astype(jnp.int32), (0, idx)
+        )
+        # causal within the window: key slot t attends iff t < idx + s + 1
+        slot = jnp.arange(T)[None, None, :]                    # (1, 1, T)
+        qslot = idx + jnp.arange(S)[None, :, None]             # (1, S, 1)
+        causal_ok = slot <= qslot
+        from starvector_tpu.ops.attention import NEG_INF
+
+        allowed = causal_ok & (kv_mask[:, None, :] > 0)
+        bias = jnp.where(allowed, 0.0, NEG_INF)[:, None].astype(jnp.float32)
+        new_index = idx + S
+
+    position_ids = jnp.clip(position_ids, 0, cfg.n_positions - 1)
+    # All-gather the (small) position table before indexing: a gather from an
+    # fsdp-sharded table feeding the layer scan miscompiles in the SPMD
+    # partitioner (observed on CPU at mesh (2,2,2)); replicate-then-gather is
+    # the collective XLA would insert anyway, minus the bug.
+    wpe_full = maybe_constrain(params["wpe"], P(None, None))
+    pe = wpe_full[position_ids]
+    x = x + policy.cast(pe)
+    x = maybe_constrain(x, batch_spec(extra_dims=2))
+
+    if cache is None:
+        def body(h, layer_p):
+            h, _ = _block(layer_p, cfg, h, bias, None, 0, policy)
+            return h, None
+
+        body_fn = jax.checkpoint(body) if remat else body
+        x, _ = jax.lax.scan(body_fn, x, params["layers"])
+        new_cache = None
+    else:
+        def body(h, xs):
+            layer_p, lk, lv = xs
+            h, upd = _block(
+                layer_p, cfg, h, bias, {"k": lk, "v": lv}, cache["index"], policy
+            )
+            return h, (upd["k"], upd["v"])
+
+        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+        new_cache = {"k": ks, "v": vs, "index": new_index, "kv_mask": kv_mask}
+
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    if return_hidden:
+        return x, new_cache
+    logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(x), policy.cast(params["wte"]),
+        preferred_element_type=jnp.float32,
+    )
+    logits = maybe_constrain(logits, batch_spec(extra_dims=2))
+    return logits, new_cache
+
+
+def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
+    """Token embedding lookup (the task model concatenates visual prefixes
+    before calling forward with inputs_embeds, reference
+    starvector_base.py:150-172)."""
+    wte_full = maybe_constrain(params["wte"], P(None, None))
+    return maybe_constrain(wte_full[input_ids], batch_spec(extra_dims=2))
+
+
+def causal_lm_loss(
+    logits: jax.Array,   # (B, S, V) fp32
+    labels: jax.Array,   # (B, S) int32, -100 = ignored
+) -> jax.Array:
+    """Shift-by-one CE matching the reference loss (reference
+    modeling_gpt_bigcode.py:1260-1267)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -token_ll, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count

@@ -1,0 +1,106 @@
+"""Primitive layers with an explicit TPU dtype policy.
+
+Policy (mirrors the reference's mixed-precision posture — bf16 everywhere,
+fp32 attention softmax and fp16-safe LayerNorm; reference:
+starvector/model/gpt_bigcode/modeling_gpt_bigcode.py:61-84 and
+starvector/model/image_encoder/clip_model.py:117-124):
+  * parameters stored in `param_dtype` (fp32 for training, bf16 for serving)
+  * matmuls run in `compute_dtype` (bf16 → MXU) with fp32 accumulation via
+    `preferred_element_type`
+  * LayerNorm statistics and softmax always accumulate in fp32
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DTypePolicy:
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def cast(self, x: jax.Array) -> jax.Array:
+        return x.astype(self.compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# initializers (match torch defaults used by the reference)
+# ---------------------------------------------------------------------------
+
+def normal_init(rng, shape, std=0.02, dtype=jnp.float32):
+    return (jax.random.normal(rng, shape, jnp.float32) * std).astype(dtype)
+
+
+def torch_linear_init(rng, fan_in, shape, dtype=jnp.float32):
+    """torch.nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound).astype(dtype)
+
+
+def glorot_init(rng, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[-1]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, jnp.float32, -limit, limit).astype(dtype)
+
+
+def make_dense_params(rng, d_in, d_out, *, std=None, dtype=jnp.float32, bias=True):
+    """Weights stored as (d_in, d_out) — x @ w, the XLA-friendly layout.
+
+    (HF torch stores Linear weight as (out, in); the checkpoint converter
+    transposes — see models/convert.py.)
+    """
+    k_w, k_b = jax.random.split(rng)
+    if std is None:
+        w = torch_linear_init(k_w, d_in, (d_in, d_out), dtype)
+    else:
+        w = normal_init(k_w, (d_in, d_out), std, dtype)
+    params = {"kernel": w}
+    if bias:
+        params["bias"] = jnp.zeros((d_out,), dtype)
+    return params
+
+
+def dense(params, x, policy: DTypePolicy | None = None):
+    w = params["kernel"]
+    if policy is not None:
+        x = x.astype(policy.compute_dtype)
+        w = w.astype(policy.compute_dtype)
+    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def make_layer_norm_params(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params, x, eps=1e-5):
+    """LayerNorm with fp32 statistics regardless of input dtype."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def gelu_tanh(x):
+    """gelu_pytorch_tanh — GPTBigCode/StarCoder2 activation."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def quick_gelu(x):
+    """x * sigmoid(1.702 x) — CLIP ViT activation (reference clip_model.py)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def swish(x):
+    """x * sigmoid(x) — the Adapter activation (reference adapter.py:5-10)."""
+    return x * jax.nn.sigmoid(x)
