@@ -1,0 +1,281 @@
+"""StarCoder2 (v2/8B) decoder — TPU-native JAX implementation.
+
+The reference's 8B model wraps HF `Starcoder2ForCausalLM`
+(reference: starvector/model/llm/starcoder2.py:13-53, and the HF
+transformers Starcoder2 implementation it delegates to). Architecture:
+  * separate q/k/v/o projections with bias (use_bias=True)
+  * Grouped-Query Attention (7B: 36 q heads / 4 kv heads)
+  * rotary position embeddings (GPT-NeoX rotate-half, theta 1e6 for 7B)
+  * LayerNorm (with bias), not RMSNorm; pre-LN residual blocks
+  * MLP c_fc -> gelu_pytorch_tanh -> c_proj
+  * optional sliding-window attention (7B: 4096)
+  * tied lm_head
+
+Same TPU-first design as gpt_bigcode.py: stacked layers + lax.scan,
+preallocated KV cache, fp32 softmax, (in, out) weight layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from starvector_tpu.ops.attention import NEG_INF, make_attention_bias, multihead_attention
+from starvector_tpu.ops.layers import (
+    DTypePolicy,
+    dense,
+    gelu_tanh,
+    layer_norm,
+    make_dense_params,
+    make_layer_norm_params,
+    normal_init,
+)
+from starvector_tpu.ops.rotary import apply_rope, rope_frequencies
+from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain
+
+
+@dataclasses.dataclass(frozen=True)
+class StarCoder2Config:
+    vocab_size: int = 49152
+    hidden_size: int = 4608
+    intermediate_size: int = 18432
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 36
+    num_key_value_heads: int = 4
+    max_position_embeddings: int = 16384
+    norm_epsilon: float = 1e-5
+    rope_theta: float = 1e6
+    sliding_window: int | None = 4096
+    use_bias: bool = True
+    tie_word_embeddings: bool = True
+    initializer_range: float = 0.018042
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads
+
+
+def starcoder2_7b_config(**kw) -> StarCoder2Config:
+    """bigcode/starcoder2-7b geometry (the reference 8B decoder)."""
+    return StarCoder2Config(**kw)
+
+
+def tiny_config(**kw) -> StarCoder2Config:
+    base = dict(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        sliding_window=None,
+    )
+    base.update(kw)
+    return StarCoder2Config(**base)
+
+
+def init_params(cfg: StarCoder2Config, rng: jax.Array, dtype=jnp.float32) -> dict:
+    E = cfg.hidden_size
+    D, H, Hkv = cfg.head_dim, cfg.num_attention_heads, cfg.kv_heads
+    std = cfg.initializer_range
+    keys = jax.random.split(rng, 3)
+
+    def layer_params(k):
+        ks = jax.random.split(k, 6)
+        b = cfg.use_bias
+        return {
+            "input_layernorm": make_layer_norm_params(E, dtype),
+            "attn": {
+                "q_proj": make_dense_params(ks[0], E, H * D, std=std, dtype=dtype, bias=b),
+                "k_proj": make_dense_params(ks[1], E, Hkv * D, std=std, dtype=dtype, bias=b),
+                "v_proj": make_dense_params(ks[2], E, Hkv * D, std=std, dtype=dtype, bias=b),
+                "o_proj": make_dense_params(ks[3], H * D, E, std=std, dtype=dtype, bias=b),
+            },
+            "post_attention_layernorm": make_layer_norm_params(E, dtype),
+            "mlp": {
+                "c_fc": make_dense_params(ks[4], E, cfg.intermediate_size, std=std, dtype=dtype, bias=b),
+                "c_proj": make_dense_params(ks[5], cfg.intermediate_size, E, std=std, dtype=dtype, bias=b),
+            },
+        }
+
+    layer_keys = jax.random.split(keys[1], cfg.num_hidden_layers)
+    outs = [layer_params(k) for k in layer_keys]
+    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+    params = {
+        "embed_tokens": normal_init(keys[0], (cfg.vocab_size, E), std, dtype),
+        "layers": layers,
+        "norm": make_layer_norm_params(E, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = normal_init(keys[2], (cfg.vocab_size, E), std, dtype)
+    return params
+
+
+def partition_rules() -> list[tuple[str, P]]:
+    return [
+        # single-axis sharding for tables (see gpt_bigcode.partition_rules)
+        (r"embed_tokens$|lm_head$", P("fsdp", None)),
+        (r"layers/.*(q_proj|k_proj|v_proj)/kernel", P(None, "fsdp", "tensor")),
+        (r"layers/.*(q_proj|k_proj|v_proj)/bias", P(None, "tensor")),
+        (r"layers/.*o_proj/kernel", P(None, "tensor", "fsdp")),
+        (r"layers/.*o_proj/bias", P(None, None)),
+        (r"layers/.*c_fc/kernel", P(None, "fsdp", "tensor")),
+        (r"layers/.*c_fc/bias", P(None, "tensor")),
+        (r"layers/.*mlp/c_proj/kernel", P(None, "tensor", "fsdp")),
+        (r"layers/.*mlp/c_proj/bias", P(None, None)),
+        (r"layers/.*layernorm/", P(None, None)),
+        (r"norm/", P(None)),
+    ]
+
+
+def init_cache(cfg: StarCoder2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
+    }
+
+
+def compute_position_ids(attention_mask: jax.Array) -> jax.Array:
+    pos = jnp.cumsum(attention_mask, axis=-1) - 1
+    return jnp.where(attention_mask == 0, 1, pos).astype(jnp.int32)
+
+
+def _attention(p, cfg: StarCoder2Config, x, bias, positions, layer_cache, cache_index, policy):
+    B, S, E = x.shape
+    H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
+    inv_freq = rope_frequencies(D, cfg.rope_theta)
+    q = dense(p["q_proj"], x, policy).reshape(B, S, H, D)
+    k = dense(p["k_proj"], x, policy).reshape(B, S, Hkv, D)
+    v = dense(p["v_proj"], x, policy).reshape(B, S, Hkv, D)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+
+    new_cache = None
+    if layer_cache is not None:
+        ck = jax.lax.dynamic_update_slice(
+            layer_cache["k"], k.astype(layer_cache["k"].dtype), (0, cache_index, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            layer_cache["v"], v.astype(layer_cache["v"].dtype), (0, cache_index, 0, 0)
+        )
+        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        new_cache = {"k": ck, "v": cv}
+
+    out = multihead_attention(q, k, v, bias).reshape(B, S, H * D)
+    return dense(p["o_proj"], out, policy), new_cache
+
+
+def _block(p, cfg, x, bias, positions, layer_cache, cache_index, policy):
+    attn_out, new_cache = _attention(
+        p["attn"], cfg, layer_norm(p["input_layernorm"], x, cfg.norm_epsilon),
+        bias, positions, layer_cache, cache_index, policy,
+    )
+    x = x + attn_out
+    h = layer_norm(p["post_attention_layernorm"], x, cfg.norm_epsilon)
+    h = dense(p["mlp"]["c_fc"], h, policy)
+    h = gelu_tanh(h)
+    h = dense(p["mlp"]["c_proj"], h, policy)
+    return x + h, new_cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "policy", "remat", "return_hidden")
+)
+def forward(
+    params: dict,
+    cfg: StarCoder2Config,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array | None = None,
+    position_ids: jax.Array | None = None,
+    cache: dict | None = None,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    remat: bool = False,
+    return_hidden: bool = False,
+):
+    """Same contract as gpt_bigcode.forward. Sliding-window mask applied when
+    cfg.sliding_window is set (HF semantics: key within [q-window+1, q])."""
+    B, S, E = inputs_embeds.shape
+    x = policy.cast(inputs_embeds)
+    x = maybe_constrain(x, batch_spec(extra_dims=2))
+
+    if cache is None:
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        if position_ids is None:
+            position_ids = compute_position_ids(attention_mask)
+        bias = make_attention_bias(
+            attention_mask, S, S, causal=True, window=cfg.sliding_window
+        )
+        new_index = None
+        kv_mask = None
+    else:
+        idx = cache["index"]
+        T = cache["k"].shape[2]
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        if position_ids is None:
+            prev = jnp.sum(cache["kv_mask"], axis=-1, dtype=jnp.int32)
+            position_ids = prev[:, None] + compute_position_ids(attention_mask)
+            position_ids = jnp.where(attention_mask == 0, 1, position_ids)
+        kv_mask = jax.lax.dynamic_update_slice(
+            cache["kv_mask"], attention_mask.astype(jnp.int32), (0, idx)
+        )
+        slot = jnp.arange(T)[None, None, :]
+        qslot = idx + jnp.arange(S)[None, :, None]
+        allowed = (slot <= qslot) & (kv_mask[:, None, :] > 0)
+        if cfg.sliding_window is not None:
+            allowed &= slot > qslot - cfg.sliding_window
+        bias = jnp.where(allowed, 0.0, NEG_INF)[:, None].astype(jnp.float32)
+        new_index = idx + S
+
+    positions = jnp.clip(position_ids, 0, cfg.max_position_embeddings - 1)
+
+    if cache is None:
+        def body(h, layer_p):
+            h, _ = _block(layer_p, cfg, h, bias, positions, None, 0, policy)
+            return h, None
+
+        body_fn = jax.checkpoint(body) if remat else body
+        x, _ = jax.lax.scan(body_fn, x, params["layers"])
+        new_cache = None
+    else:
+        def body(h, xs):
+            layer_p, lk, lv = xs
+            h, upd = _block(
+                layer_p, cfg, h, bias, positions,
+                {"k": lk, "v": lv}, cache["index"], policy,
+            )
+            return h, (upd["k"], upd["v"])
+
+        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+        new_cache = {"k": ks, "v": vs, "index": new_index, "kv_mask": kv_mask}
+
+    x = layer_norm(params["norm"], x, cfg.norm_epsilon)
+    if return_hidden:
+        return x, new_cache
+    head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(x), policy.cast(head),
+        preferred_element_type=jnp.float32,
+    )
+    logits = maybe_constrain(logits, batch_spec(extra_dims=2))
+    return logits, new_cache
+
+
+def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
+    table = maybe_constrain(params["embed_tokens"], P(None, None))
+    return maybe_constrain(table[input_ids], batch_spec(extra_dims=2))
