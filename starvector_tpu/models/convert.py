@@ -40,7 +40,7 @@ def _strip_prefix(sd: Mapping[str, np.ndarray], prefixes=("transformer.", "model
     under `model.svg_transformer.transformer...`)."""
     out = {}
     for k, v in sd.items():
-        out[k] = np.asarray(v)
+        out[k] = np.array(v)  # copy: source may alias torch buffers
     return out
 
 
@@ -153,5 +153,5 @@ def torch_state_dict_to_numpy(sd) -> dict:
             if str(v.dtype) == "torch.bfloat16":
                 v = v.float()
             v = v.cpu().numpy()
-        out[k] = np.asarray(v)
+        out[k] = np.array(v)  # copy: source may alias torch buffers
     return out

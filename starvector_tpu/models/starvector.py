@@ -1,0 +1,332 @@
+"""StarVector task model: vision tower + adapter + code-LLM decoder — JAX.
+
+Rebuilds the task logic of `StarVectorBase` / `StarVectorForCausalLM`
+(reference: starvector/model/models/starvector_base.py:22-339,
+starvector/model/starvector_arch.py:96-194):
+  * v1 ("gpt_bigcode" decoder, CLIP tower, 257 visual tokens) vs
+    v2 ("starcoder2" decoder, SigLIP tower, 576 visual tokens) dispatched on
+    the starcoder model name (starvector_arch.py:140-145)
+  * im2svg: inputs_embeds = [visual_prefix ‖ embed(svg_ids)], attention mask
+    ones over the prefix, targets −100 over the prefix and at pads
+    (starvector_base.py:150-172)
+  * text2svg: no vision tower; caption + svg token stream
+    (starvector_base.py:131-148)
+  * loss: shifted CE inside the decoder semantics (starvector_base.py:174-194)
+
+Tokenization stays host-side (outside jit); this module works on ids/images.
+Generation entry points live in starvector_tpu/generation/engine.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from starvector_tpu.models import adapter as adapter_mod
+from starvector_tpu.models import gpt_bigcode, image_encoder, starcoder2
+from starvector_tpu.ops.layers import DTypePolicy
+
+
+@dataclasses.dataclass(frozen=True)
+class StarVectorConfig:
+    """Mirrors the reference StarVectorConfig defaults
+    (starvector_arch.py:96-131) with the decoder dispatched explicitly."""
+
+    decoder: str = "gpt_bigcode"  # "gpt_bigcode" (v1) | "starcoder2" (v2)
+    image_encoder_type: str = "clip"
+    adapter_norm: str = "layer_norm"
+    image_size: int = 224
+    max_length_train: int = 8192
+    task: str = "im2svg"  # "im2svg" | "text2svg"
+    use_cache: bool = True
+    # decoder geometry; None → family defaults (1B / 7B)
+    llm: Any = None
+
+    def __post_init__(self):
+        if self.llm is None:
+            if self.decoder == "gpt_bigcode":
+                object.__setattr__(self, "llm", gpt_bigcode.GPTBigCodeConfig())
+            elif self.decoder == "starcoder2":
+                object.__setattr__(self, "llm", starcoder2.StarCoder2Config())
+            else:
+                raise ValueError(f"unknown decoder {self.decoder!r}")
+
+    @property
+    def use_image_encoder(self) -> bool:
+        return self.task == "im2svg"  # reference starvector_base.py:70-72
+
+    @property
+    def hidden_size(self) -> int:
+        return self.llm.hidden_size
+
+    @property
+    def vision_geometry(self) -> tuple[int, int]:
+        return image_encoder.ImageEncoderConfig(
+            self.image_encoder_type, self.image_size
+        ).geometry
+
+    @property
+    def query_length(self) -> int:
+        return self.vision_geometry[1] if self.use_image_encoder else 0
+
+    @property
+    def encoder_config(self) -> image_encoder.ImageEncoderConfig:
+        return image_encoder.ImageEncoderConfig(
+            self.image_encoder_type, self.image_size
+        )
+
+    @property
+    def adapter_config(self) -> adapter_mod.AdapterConfig:
+        hidden, qlen = self.vision_geometry
+        return adapter_mod.AdapterConfig(
+            input_size=hidden,
+            output_size=self.hidden_size,
+            query_length=qlen,
+            adapter_norm=self.adapter_norm,
+        )
+
+    @property
+    def max_svg_length(self) -> int:
+        # reference starvector_base.py:40: minus prefix and special tokens
+        return self.max_length_train - self.query_length - 4
+
+    @property
+    def decoder_module(self):
+        return gpt_bigcode if self.decoder == "gpt_bigcode" else starcoder2
+
+
+def starvector_1b_config(**kw) -> StarVectorConfig:
+    base = dict(
+        decoder="gpt_bigcode",
+        image_encoder_type="clip",
+        adapter_norm="batch_norm",  # configs/models/starvector-1b/im2svg-stack.yaml:13
+        max_length_train=8192,
+    )
+    base.update(kw)
+    return StarVectorConfig(**base)
+
+
+def starvector_8b_config(**kw) -> StarVectorConfig:
+    base = dict(
+        decoder="starcoder2",
+        image_encoder_type="siglip_384",
+        adapter_norm="layer_norm",
+        image_size=384,
+        max_length_train=16000,  # configs/models/starvector-8b/im2svg-stack.yaml:7
+    )
+    base.update(kw)
+    return StarVectorConfig(**base)
+
+
+def tiny_config(task: str = "im2svg", decoder: str = "gpt_bigcode", **kw) -> StarVectorConfig:
+    from starvector_tpu.models.vision import clip_vit  # noqa: F401
+
+    llm = (
+        gpt_bigcode.tiny_config()
+        if decoder == "gpt_bigcode"
+        else starcoder2.tiny_config()
+    )
+    base = dict(
+        decoder=decoder,
+        image_encoder_type="clip",
+        image_size=28,
+        max_length_train=128,
+        task=task,
+        llm=llm,
+    )
+    base.update(kw)
+    return StarVectorConfig(**base)
+
+
+# The tiny config needs a tiny vision tower; dispatch on image_size.
+def _encoder_cfg(cfg: StarVectorConfig):
+    enc = cfg.encoder_config
+    if cfg.image_encoder_type == "clip" and cfg.image_size != 224:
+        # small-image test towers keep the 'clip' wiring with scaled geometry
+        from starvector_tpu.models.vision.clip_vit import CLIPViTConfig
+
+        return dataclasses.replace(enc), CLIPViTConfig(
+            image_size=cfg.image_size, patch_size=7, width=32, layers=2, heads=4
+        )
+    return enc, enc.tower_config
+
+
+def init_params(cfg: StarVectorConfig, rng: jax.Array, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(rng, 3)
+    params: dict = {}
+    dec = cfg.decoder_module
+    params["svg_transformer"] = dec.init_params(cfg.llm, keys[0], dtype)
+    if cfg.use_image_encoder:
+        enc, tower_cfg = _encoder_cfg(cfg)
+        if cfg.image_encoder_type == "clip":
+            from starvector_tpu.models.vision import clip_vit
+            from starvector_tpu.ops.layers import make_layer_norm_params
+
+            params["image_encoder"] = {
+                "visual_encoder": clip_vit.init_params(tower_cfg, keys[1], dtype),
+                "ln_vision": make_layer_norm_params(tower_cfg.width, dtype),
+            }
+            vision_hidden = tower_cfg.width
+            qlen = tower_cfg.num_tokens
+        else:
+            params["image_encoder"] = image_encoder.init_params(enc, keys[1], dtype)
+            vision_hidden, qlen = enc.geometry
+        ad_cfg = dataclasses.replace(
+            cfg.adapter_config, input_size=vision_hidden, query_length=qlen
+        )
+        params["image_projection"] = adapter_mod.init_params(ad_cfg, keys[2], dtype)
+    return params
+
+
+def partition_rules() -> list[tuple[str, P]]:
+    rules: list[tuple[str, P]] = []
+    for pat, spec in gpt_bigcode.partition_rules():
+        rules.append((r"svg_transformer/" + pat.lstrip("^"), spec))
+    for pat, spec in starcoder2.partition_rules():
+        rules.append((r"svg_transformer/" + pat.lstrip("^"), spec))
+    for pat, spec in image_encoder.partition_rules():
+        rules.append((r"image_encoder/" + pat.lstrip("^"), spec))
+    for pat, spec in adapter_mod.partition_rules():
+        rules.append((r"image_projection/" + pat.lstrip("^"), spec))
+    return rules
+
+
+def _adapter_cfg_for(cfg: StarVectorConfig, params: dict) -> adapter_mod.AdapterConfig:
+    # derive geometry from the actual params (supports tiny test towers)
+    qlen, out = (
+        params["image_projection"]["norm"]["scale"].shape
+        if cfg.adapter_norm == "layer_norm"
+        else (params["image_projection"]["norm"]["scale"].shape[0], cfg.hidden_size)
+    )
+    d_in = params["image_projection"]["c_fc"]["kernel"].shape[0]
+    return adapter_mod.AdapterConfig(
+        input_size=d_in,
+        output_size=cfg.hidden_size,
+        query_length=qlen,
+        adapter_norm=cfg.adapter_norm,
+    )
+
+
+def encode_image(
+    params: dict,
+    cfg: StarVectorConfig,
+    images: jax.Array,  # (B, H, W, 3) normalized
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Vision tower + adapter → (B, query_length, llm_hidden) conditioning
+    embeds (reference get_image_embeddings, starvector_base.py:150-156)."""
+    enc, tower_cfg = _encoder_cfg(cfg)
+    if cfg.image_encoder_type == "clip":
+        from starvector_tpu.models.vision import clip_vit
+        from starvector_tpu.ops.layers import layer_norm
+
+        embeds = clip_vit.forward(
+            params["image_encoder"]["visual_encoder"], tower_cfg, images,
+            policy=policy, remat=remat,
+        )
+        embeds = layer_norm(params["image_encoder"]["ln_vision"], embeds)
+    else:
+        embeds = image_encoder.forward(
+            params["image_encoder"], enc, images, policy=policy, remat=remat
+        )
+    ad_cfg = _adapter_cfg_for(cfg, params)
+    return adapter_mod.forward(
+        params["image_projection"], ad_cfg, embeds,
+        policy=policy, train=train, dropout_rng=dropout_rng,
+    )
+
+
+def im2svg_inputs(
+    params: dict,
+    cfg: StarVectorConfig,
+    images: jax.Array,
+    svg_ids: jax.Array,        # (B, S) tokenized svg text (+eos etc.)
+    svg_mask: jax.Array,       # (B, S) 1 = real token
+    pad_token_id: int,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+    remat: bool = False,
+):
+    """Build (inputs_embeds, attention_mask, targets) for the im2svg loss
+    (reference embed_im_to_svg, starvector_base.py:150-172)."""
+    dec = cfg.decoder_module
+    cond = encode_image(
+        params, cfg, images, policy=policy, train=train,
+        dropout_rng=dropout_rng, remat=remat,
+    )
+    B, Q, _ = cond.shape
+    tok_embeds = dec.embed_tokens(params["svg_transformer"], svg_ids)
+    inputs_embeds = jnp.concatenate([cond, policy.cast(tok_embeds)], axis=1)
+    attention_mask = jnp.concatenate(
+        [jnp.ones((B, Q), jnp.int32), svg_mask.astype(jnp.int32)], axis=1
+    )
+    svg_targets = jnp.where(svg_ids == pad_token_id, -100, svg_ids)
+    targets = jnp.concatenate(
+        [jnp.full((B, Q), -100, jnp.int32), svg_targets.astype(jnp.int32)], axis=1
+    )
+    return inputs_embeds, attention_mask, targets
+
+
+def text2svg_inputs(
+    params: dict,
+    cfg: StarVectorConfig,
+    input_ids: jax.Array,   # (B, S) caption + svg_start + svg + eos
+    input_mask: jax.Array,
+    pad_token_id: int,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """reference embed_text_to_svg (starvector_base.py:131-148)."""
+    dec = cfg.decoder_module
+    tok_embeds = dec.embed_tokens(params["svg_transformer"], input_ids)
+    targets = jnp.where(input_ids == pad_token_id, -100, input_ids).astype(jnp.int32)
+    return policy.cast(tok_embeds), input_mask.astype(jnp.int32), targets
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "pad_token_id", "policy", "train", "remat")
+)
+def loss_fn(
+    params: dict,
+    cfg: StarVectorConfig,
+    batch: dict,
+    pad_token_id: int,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Training loss (reference StarVectorBase.forward,
+    starvector_base.py:174-194). batch keys:
+      im2svg:  image (B,H,W,3), svg_ids, svg_mask
+      text2svg: input_ids, input_mask
+    """
+    dec = cfg.decoder_module
+    if cfg.task == "im2svg":
+        inputs_embeds, attention_mask, targets = im2svg_inputs(
+            params, cfg, batch["image"], batch["svg_ids"], batch["svg_mask"],
+            pad_token_id, policy=policy, train=train,
+            dropout_rng=dropout_rng, remat=remat,
+        )
+    else:
+        inputs_embeds, attention_mask, targets = text2svg_inputs(
+            params, cfg, batch["input_ids"], batch["input_mask"], pad_token_id,
+            policy=policy,
+        )
+    logits, _ = dec.forward(
+        params["svg_transformer"], cfg.llm, inputs_embeds,
+        attention_mask=attention_mask, policy=policy, remat=remat,
+    )
+    return gpt_bigcode.causal_lm_loss(logits, targets)
