@@ -1,0 +1,267 @@
+"""Autoregressive generation engine — jitted prefill + lax.while_loop decode.
+
+TPU-native replacement for HF `generate` as the reference uses it
+(reference: starvector_base.py:203-339): preallocated KV cache, one compiled
+step function, per-sequence early stopping on `</svg>` token sequences
+(reference StoppingCriteriaSub, starvector_base.py:9-20 — upgraded from the
+reference's batch-global check to per-sequence), eos handling, min-length eos
+suppression, repetition penalty, temperature/top-p/top-k nucleus sampling
+(reference defaults top_p .9, temperature 1, starvector_base.py:228-241).
+
+Scalar sampling knobs are traced (a temperature sweep does not recompile);
+structure (max_new_tokens, stop sequences, batch) is static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from starvector_tpu.models import starvector as sv
+from starvector_tpu.ops.layers import DTypePolicy
+from starvector_tpu.ops.sampling import NEG_INF, sample_token
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 256
+    min_new_tokens: int = 1
+    do_sample: bool = True
+    temperature: float = 1.0
+    top_p: float = 0.9
+    top_k: int = 0
+    repetition_penalty: float = 1.0
+    num_return_sequences: int = 1
+    stop_sequences: tuple[tuple[int, ...], ...] = ()
+    eos_token_id: int | None = None
+    pad_token_id: int = 0
+    max_top_k: int = 64
+
+    @property
+    def static_key(self):
+        return (
+            self.max_new_tokens,
+            self.min_new_tokens,
+            self.stop_sequences,
+            self.eos_token_id,
+            self.pad_token_id,
+            self.max_top_k,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dec_name", "llm_cfg", "max_new_tokens", "min_new_tokens",
+        "stop_sequences", "eos_token_id", "pad_token_id", "max_top_k",
+        "policy",
+    ),
+)
+def _generate_jit(
+    params: dict,
+    inputs_embeds: jax.Array,      # (B, P, E)
+    attention_mask: jax.Array,     # (B, P)
+    prompt_presence: jax.Array,    # (B, V) tokens present in the prompt
+    knobs: dict,                   # traced scalars
+    rng: jax.Array,
+    *,
+    dec_name: str,
+    llm_cfg: Any,
+    max_new_tokens: int,
+    min_new_tokens: int,
+    stop_sequences: tuple[tuple[int, ...], ...],
+    eos_token_id: int | None,
+    pad_token_id: int,
+    max_top_k: int,
+    policy: DTypePolicy,
+):
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B, P, E = inputs_embeds.shape
+    V = prompt_presence.shape[-1]
+    total = P + max_new_tokens
+
+    cache = dec.init_cache(llm_cfg, B, total, dtype=policy.compute_dtype)
+    logits, cache = dec.forward(
+        params, llm_cfg, inputs_embeds,
+        attention_mask=attention_mask, cache=cache, policy=policy,
+    )
+    last_logits = logits[:, -1]  # (B, V) — prompts are left-padded
+
+    tokens = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    done = jnp.zeros((B,), bool)
+    lengths = jnp.full((B,), max_new_tokens, jnp.int32)
+
+    def check_stops(tokens, t, new_tok):
+        """done if any stop sequence is a suffix of [tokens[:t], new_tok]."""
+        hit = jnp.zeros((B,), bool)
+        for stop in stop_sequences:
+            L = len(stop)
+            if L == 0:
+                continue
+            s = jnp.asarray(stop, jnp.int32)
+            if L == 1:
+                hit |= new_tok == s[0]
+            else:
+                # last L-1 already-emitted tokens + the new one
+                start = jnp.maximum(t - (L - 1), 0)
+                window = jax.lax.dynamic_slice(
+                    tokens, (0, start), (B, L - 1)
+                )  # (B, L-1)
+                match = jnp.all(window == s[None, : L - 1], axis=-1)
+                match &= new_tok == s[L - 1]
+                match &= t >= (L - 1)
+                hit |= match
+        if eos_token_id is not None:
+            hit |= new_tok == eos_token_id
+        return hit
+
+    def cond(state):
+        t, _, _, done, _, _, _, _ = state
+        return jnp.logical_and(t < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        t, cache, last_logits, done, tokens, lengths, presence, rng = state
+        rng, step_rng = jax.random.split(rng)
+        lg = last_logits
+        if eos_token_id is not None and min_new_tokens > 0:
+            suppress = jnp.logical_and(t < min_new_tokens, True)
+            lg = jnp.where(
+                jnp.logical_and(
+                    suppress, jnp.arange(V)[None, :] == eos_token_id
+                ),
+                NEG_INF,
+                lg,
+            )
+        nxt = sample_token(
+            step_rng, lg,
+            do_sample=knobs["do_sample"],
+            temperature=knobs["temperature"],
+            top_p=knobs["top_p"],
+            top_k=knobs["top_k"],
+            presence=presence,
+            repetition_penalty=knobs["repetition_penalty"],
+            max_top_k=max_top_k,
+        )
+        nxt = jnp.where(done, pad_token_id, nxt)
+        newly_done = check_stops(tokens, t, nxt) & ~done
+        lengths = jnp.where(newly_done, t + 1, lengths)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
+        presence = presence.at[jnp.arange(B), nxt].set(1)
+        done = done | newly_done
+
+        embeds = dec.embed_tokens(params, nxt[:, None]).astype(
+            policy.compute_dtype
+        )
+        step_logits, cache = dec.forward(
+            params, llm_cfg, embeds,
+            attention_mask=jnp.ones((B, 1), jnp.int32),
+            cache=cache, policy=policy,
+        )
+        return (t + 1, cache, step_logits[:, -1], done, tokens, lengths, presence, rng)
+
+    state = (
+        jnp.zeros((), jnp.int32), cache, last_logits, done, tokens, lengths,
+        prompt_presence, rng,
+    )
+    _, _, _, done, tokens, lengths, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, lengths
+
+
+def generate(
+    params: dict,
+    llm_cfg: Any,
+    dec_name: str,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    gen: GenerationConfig,
+    rng: jax.Array,
+    *,
+    prompt_ids: jax.Array | None = None,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """Returns (tokens (B*, max_new_tokens), lengths (B*,)). Sequences are
+    pad-filled after their stop; lengths include the stop tokens."""
+    B = inputs_embeds.shape[0]
+    V = llm_cfg.vocab_size
+    if gen.num_return_sequences > 1:
+        n = gen.num_return_sequences
+        inputs_embeds = jnp.repeat(inputs_embeds, n, axis=0)
+        attention_mask = jnp.repeat(attention_mask, n, axis=0)
+        if prompt_ids is not None:
+            prompt_ids = jnp.repeat(prompt_ids, n, axis=0)
+        B = B * n
+    presence = jnp.zeros((B, V), jnp.int32)
+    if prompt_ids is not None and gen.repetition_penalty != 1.0:
+        presence = presence.at[
+            jnp.arange(B)[:, None], jnp.asarray(prompt_ids)
+        ].set(1)
+    knobs = {
+        "do_sample": jnp.asarray(gen.do_sample),
+        "temperature": jnp.asarray(gen.temperature, jnp.float32),
+        "top_p": jnp.asarray(gen.top_p, jnp.float32),
+        "top_k": jnp.asarray(gen.top_k, jnp.int32),
+        "repetition_penalty": jnp.asarray(gen.repetition_penalty, jnp.float32),
+    }
+    return _generate_jit(
+        params, inputs_embeds, attention_mask, presence, knobs, rng,
+        dec_name=dec_name, llm_cfg=llm_cfg,
+        max_new_tokens=gen.max_new_tokens,
+        min_new_tokens=gen.min_new_tokens,
+        stop_sequences=gen.stop_sequences,
+        eos_token_id=gen.eos_token_id,
+        pad_token_id=gen.pad_token_id,
+        max_top_k=gen.max_top_k,
+        policy=policy,
+    )
+
+
+def generate_im2svg(
+    params: dict,
+    cfg: "sv.StarVectorConfig",
+    images: jax.Array,            # (B, H, W, 3) processed
+    prompt_ids: jax.Array,        # (B, Sp) tokenized generation prompt '<svg'
+    gen: GenerationConfig,
+    rng: jax.Array,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """reference generate_im2svg (starvector_base.py:243-259): prefix =
+    [visual tokens ‖ prompt embeds]; returns (tokens, lengths) of the NEW
+    tokens — callers prepend prompt_ids before decoding, mirroring
+    `torch.cat([prompt_tokens.input_ids, outputs])`."""
+    dec = cfg.decoder_module
+    cond = sv.encode_image(params, cfg, images, policy=policy)
+    B, Q, _ = cond.shape
+    prompt_embeds = dec.embed_tokens(params["svg_transformer"], prompt_ids)
+    inputs_embeds = jnp.concatenate([cond, policy.cast(prompt_embeds)], axis=1)
+    attention_mask = jnp.ones((B, Q + prompt_ids.shape[1]), jnp.int32)
+    return generate(
+        params["svg_transformer"], cfg.llm, cfg.decoder, inputs_embeds,
+        attention_mask, gen, rng, prompt_ids=prompt_ids, policy=policy,
+    )
+
+
+def generate_text2svg(
+    params: dict,
+    cfg: "sv.StarVectorConfig",
+    input_ids: jax.Array,        # (B, S) caption + svg_start trigger
+    attention_mask: jax.Array,
+    gen: GenerationConfig,
+    rng: jax.Array,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """reference generate_text2svg (starvector_base.py:297-330)."""
+    dec = cfg.decoder_module
+    embeds = dec.embed_tokens(params["svg_transformer"], input_ids)
+    return generate(
+        params["svg_transformer"], cfg.llm, cfg.decoder,
+        policy.cast(embeds), attention_mask, gen, rng,
+        prompt_ids=input_ids, policy=policy,
+    )

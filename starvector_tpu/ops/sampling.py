@@ -1,0 +1,90 @@
+"""On-device token sampling: greedy, temperature, top-k, top-p, repetition
+penalty — the HF sampling semantics the reference relies on
+(reference: starvector_base.py:223-241 passes do_sample/top_p/temperature/
+repetition_penalty to HF `generate`).
+
+All ops are jit-safe with static shapes; masking uses -inf logits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e10
+
+
+def apply_temperature(logits: jax.Array, temperature: jax.Array) -> jax.Array:
+    """Divide by temperature; temperature 0 is handled by the greedy branch
+    upstream (HF maps temp==0 → greedy, validate temp sweep does too)."""
+    t = jnp.maximum(temperature, 1e-6)
+    return logits / t
+
+
+def apply_top_k(logits: jax.Array, k: jax.Array, max_k: int) -> jax.Array:
+    """Keep the top-k logits per row (k traced, bounded by static max_k)."""
+    max_k = min(max_k, logits.shape[-1])
+    vals, _ = jax.lax.top_k(logits, max_k)  # (..., max_k) sorted desc
+    idx = jnp.clip(k - 1, 0, max_k - 1)
+    threshold = jnp.take_along_axis(
+        vals, jnp.broadcast_to(idx, (*vals.shape[:-1], 1)), axis=-1
+    )
+    keep = logits >= threshold
+    # k <= 0 means disabled (HF convention top_k=0)
+    keep = jnp.where(k <= 0, jnp.ones_like(keep), keep)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def apply_top_p(logits: jax.Array, p: jax.Array) -> jax.Array:
+    """Nucleus filtering (HF semantics: keep the smallest set of tokens with
+    cumulative prob > p, always keeping the most probable token)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # token i is removed if the cumulative prob *before* it already > p
+    keep_sorted = (cum - probs) < p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
+    # threshold = smallest kept logit
+    kept_logits = jnp.where(keep_sorted, sorted_logits, jnp.inf)
+    threshold = jnp.min(kept_logits, axis=-1, keepdims=True)
+    mask = logits >= threshold
+    mask = jnp.where(p >= 1.0, jnp.ones_like(mask), mask)
+    return jnp.where(mask, logits, NEG_INF)
+
+
+def apply_repetition_penalty(
+    logits: jax.Array,        # (B, V)
+    presence: jax.Array,      # (B, V) 1 where token has appeared
+    penalty: jax.Array,
+) -> jax.Array:
+    """HF CFG: seen & logit>0 → logit/penalty; seen & logit<0 → logit*penalty."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    out = jnp.where(presence > 0, penalized, logits)
+    return jnp.where(penalty == 1.0, logits, out)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jax.Array,        # (B, V) fp32
+    *,
+    do_sample: jax.Array,     # bool scalar (traced ok)
+    temperature: jax.Array,
+    top_p: jax.Array,
+    top_k: jax.Array,
+    presence: jax.Array | None = None,
+    repetition_penalty: jax.Array | None = None,
+    max_top_k: int = 64,
+) -> jax.Array:
+    """Returns (B,) int32 next tokens. Greedy when do_sample is False or
+    temperature == 0."""
+    if presence is not None and repetition_penalty is not None:
+        logits = apply_repetition_penalty(logits, presence, repetition_penalty)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    filtered = apply_temperature(logits, temperature)
+    filtered = apply_top_k(filtered, top_k, max_top_k)
+    filtered = apply_top_p(filtered, top_p)
+    sampled = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+    use_greedy = jnp.logical_or(
+        jnp.logical_not(do_sample), temperature <= 0.0
+    )
+    return jnp.where(use_greedy, greedy, sampled)

@@ -1,0 +1,179 @@
+"""Generation engine tests: greedy parity with a naive loop, stop sequences,
+eos, sampling filters, num_return_sequences (SURVEY.md §4 tier 1/3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starvector_tpu.generation.engine import GenerationConfig, generate
+from starvector_tpu.models import gpt_bigcode as gbc
+from starvector_tpu.ops import sampling
+from starvector_tpu.ops.layers import DTypePolicy
+
+F32 = DTypePolicy(compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def naive_greedy(params, cfg, embeds, steps):
+    """Reference loop: full forward each step, argmax."""
+    ids = []
+    cur = embeds
+    for _ in range(steps):
+        logits, _ = gbc.forward(params, cfg, cur, policy=F32)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        ids.append(nxt)
+        cur = jnp.concatenate(
+            [cur, gbc.embed_tokens(params, jnp.array([[nxt]]))], axis=1
+        )
+    return ids
+
+
+def test_greedy_matches_naive(model):
+    cfg, params = model
+    prompt = jnp.array([[5, 9, 2]])
+    embeds = gbc.embed_tokens(params, prompt)
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False, pad_token_id=0)
+    toks, lengths = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(1), policy=F32,
+    )
+    assert list(np.asarray(toks[0])) == naive_greedy(params, cfg, embeds, 6)
+    assert int(lengths[0]) == 6
+
+
+def test_stop_sequence_halts(model):
+    cfg, params = model
+    prompt = jnp.array([[5, 9, 2]])
+    embeds = gbc.embed_tokens(params, prompt)
+    ref = naive_greedy(params, cfg, embeds, 8)
+    # use the 3rd/4th greedy tokens as a 2-token stop sequence
+    stop = (int(ref[2]), int(ref[3]))
+    gen = GenerationConfig(
+        max_new_tokens=8, do_sample=False, stop_sequences=(stop,), pad_token_id=0
+    )
+    toks, lengths = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(1), policy=F32,
+    )
+    expected_len = next(
+        j + 1 for j in range(1, 8) if (ref[j - 1], ref[j]) == stop
+    )
+    assert int(lengths[0]) == expected_len
+    assert list(np.asarray(toks[0, :expected_len])) == ref[:expected_len]
+    assert all(t == 0 for t in np.asarray(toks[0, expected_len:]))  # pad after
+
+
+def test_eos_halts(model):
+    cfg, params = model
+    prompt = jnp.array([[5, 9, 2]])
+    embeds = gbc.embed_tokens(params, prompt)
+    ref = naive_greedy(params, cfg, embeds, 8)
+    eos = int(ref[1])
+    gen = GenerationConfig(
+        max_new_tokens=8, do_sample=False, eos_token_id=eos, pad_token_id=0,
+        min_new_tokens=0,
+    )
+    toks, lengths = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(1), policy=F32,
+    )
+    expected_len = ref.index(eos) + 1
+    assert int(lengths[0]) == expected_len
+
+
+def test_per_sequence_stopping(model):
+    """Different sequences stop at different steps; finished ones emit pad."""
+    cfg, params = model
+    prompts = jnp.array([[5, 9, 2], [1, 1, 1]])
+    embeds = gbc.embed_tokens(params, prompts)
+    ref0 = naive_greedy(params, cfg, embeds[:1], 8)
+    eos = int(ref0[1])
+    gen = GenerationConfig(
+        max_new_tokens=8, do_sample=False, eos_token_id=eos, pad_token_id=0,
+        min_new_tokens=0,
+    )
+    toks, lengths = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((2, 3), jnp.int32),
+        gen, jax.random.PRNGKey(1), policy=F32,
+    )
+    assert int(lengths[0]) == ref0.index(eos) + 1
+    # sequence 1 continues independently (may or may not hit the same eos)
+    assert int(lengths[1]) >= 1
+
+
+def test_num_return_sequences(model):
+    cfg, params = model
+    prompt = jnp.array([[5, 9, 2]])
+    embeds = gbc.embed_tokens(params, prompt)
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=True, temperature=1.0,
+        num_return_sequences=3, pad_token_id=0,
+    )
+    toks, lengths = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(7), policy=F32,
+    )
+    assert toks.shape == (3, 4)
+
+
+def test_left_padded_batched_generation(model):
+    """Left-padded prompt generates the same continuation as unpadded."""
+    cfg, params = model
+    prompt = jnp.array([[5, 9, 2]])
+    embeds = gbc.embed_tokens(params, prompt)
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False, pad_token_id=0)
+    toks_ref, _ = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(1), policy=F32,
+    )
+    padded = jnp.concatenate([jnp.zeros_like(embeds[:, :2]), embeds], axis=1)
+    mask = jnp.array([[0, 0, 1, 1, 1]], jnp.int32)
+    toks_pad, _ = generate(
+        params, cfg, "gpt_bigcode", padded, mask, gen,
+        jax.random.PRNGKey(1), policy=F32,
+    )
+    assert list(np.asarray(toks_pad[0])) == list(np.asarray(toks_ref[0]))
+
+
+# --- sampling op unit tests -------------------------------------------------
+
+def test_top_k_filter():
+    logits = jnp.array([[1.0, 5.0, 3.0, 2.0]])
+    out = sampling.apply_top_k(logits, jnp.asarray(2), max_k=4)
+    assert np.isneginf(np.asarray(out)[0, 0]) or np.asarray(out)[0, 0] < -1e9
+    assert np.asarray(out)[0, 1] == 5.0 and np.asarray(out)[0, 2] == 3.0
+
+
+def test_top_p_filter_keeps_top_token():
+    logits = jnp.array([[0.0, 10.0, -1.0]])
+    out = sampling.apply_top_p(logits, jnp.asarray(0.1))
+    kept = np.asarray(out)[0] > -1e9
+    assert kept.tolist() == [False, True, False]
+
+
+def test_repetition_penalty():
+    logits = jnp.array([[2.0, -2.0, 1.0]])
+    presence = jnp.array([[1, 1, 0]])
+    out = sampling.apply_repetition_penalty(logits, presence, jnp.asarray(2.0))
+    np.testing.assert_allclose(np.asarray(out)[0], [1.0, -4.0, 1.0])
+
+
+def test_sampling_respects_distribution():
+    logits = jnp.log(jnp.array([[0.7, 0.2, 0.1]]))
+    draws = []
+    for i in range(200):
+        t = sampling.sample_token(
+            jax.random.PRNGKey(i), logits,
+            do_sample=jnp.asarray(True), temperature=jnp.asarray(1.0),
+            top_p=jnp.asarray(1.0), top_k=jnp.asarray(0),
+        )
+        draws.append(int(t[0]))
+    counts = np.bincount(draws, minlength=3) / len(draws)
+    assert counts[0] > 0.5 and counts[2] < 0.25
