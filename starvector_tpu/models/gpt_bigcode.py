@@ -57,6 +57,9 @@ class GPTBigCodeConfig:
     resid_pdrop: float = 0.1
     embd_pdrop: float = 0.1
     attn_pdrop: float = 0.1
+    # "xla" (reference path) | "flash" (Pallas kernels: flash prefill +
+    # MQA decode; avoids materialising the (B,1,S,T) bias entirely)
+    attn_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -178,7 +181,7 @@ def _attention_block(
     p: dict,
     cfg: GPTBigCodeConfig,
     x: jax.Array,                   # (B, S, E) post-ln_1
-    bias: jax.Array,                # additive fp32
+    ctx: dict,                      # {"bias"?, "kv_mask", "q_offset"}
     layer_cache: dict | None,       # {'k': (B,T,Hkv,D), 'v': ...} or None
     cache_index,                    # scalar int32
     policy: DTypePolicy,
@@ -201,15 +204,27 @@ def _attention_block(
         k, v = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = {"k": ck, "v": cv}
 
-    out = multihead_attention(q, k, v, bias)
+    if cfg.attn_impl == "flash":
+        from starvector_tpu.ops.flash_attention import flash_prefill, gqa_decode
+
+        if S == 1 and layer_cache is not None:
+            out = gqa_decode(
+                q[:, 0], k, v, ctx["kv_mask"], ctx["q_offset"] + 1
+            )[:, None]
+        else:
+            out = flash_prefill(
+                q, k, v, ctx["kv_mask"], q_offset=ctx["q_offset"]
+            )
+    else:
+        out = multihead_attention(q, k, v, ctx["bias"])
     out = out.reshape(B, S, E)
     return dense(p["c_proj"], out, policy), new_cache
 
 
-def _block(p, cfg, x, bias, layer_cache, cache_index, policy):
+def _block(p, cfg, x, ctx, layer_cache, cache_index, policy):
     attn_out, new_cache = _attention_block(
         p["attn"], cfg, layer_norm(p["ln_1"], x, cfg.layer_norm_epsilon),
-        bias, layer_cache, cache_index, policy,
+        ctx, layer_cache, cache_index, policy,
     )
     x = x + attn_out
     h = layer_norm(p["ln_2"], x, cfg.layer_norm_epsilon)
@@ -251,12 +266,15 @@ def forward(
     B, S, E = inputs_embeds.shape
     x = policy.cast(inputs_embeds)
 
+    use_flash = cfg.attn_impl == "flash"
     if cache is None:
         if attention_mask is None:
             attention_mask = jnp.ones((B, S), jnp.int32)
         if position_ids is None:
             position_ids = compute_position_ids(attention_mask)
-        bias = make_attention_bias(attention_mask, S, S, causal=True)
+        ctx = {"kv_mask": attention_mask.astype(jnp.int32), "q_offset": 0}
+        if not use_flash:
+            ctx["bias"] = make_attention_bias(attention_mask, S, S, causal=True)
         new_index = None
         kv_mask = None
     else:
@@ -273,14 +291,18 @@ def forward(
         kv_mask = jax.lax.dynamic_update_slice(
             cache["kv_mask"], attention_mask.astype(jnp.int32), (0, idx)
         )
-        # causal within the window: key slot t attends iff t < idx + s + 1
-        slot = jnp.arange(T)[None, None, :]                    # (1, 1, T)
-        qslot = idx + jnp.arange(S)[None, :, None]             # (1, S, 1)
-        causal_ok = slot <= qslot
-        from starvector_tpu.ops.attention import NEG_INF
+        ctx = {"kv_mask": kv_mask, "q_offset": idx}
+        if not use_flash:
+            # causal within the window: key slot t attends iff t < idx + s + 1
+            slot = jnp.arange(T)[None, None, :]                # (1, 1, T)
+            qslot = idx + jnp.arange(S)[None, :, None]         # (1, S, 1)
+            causal_ok = slot <= qslot
+            from starvector_tpu.ops.attention import NEG_INF
 
-        allowed = causal_ok & (kv_mask[:, None, :] > 0)
-        bias = jnp.where(allowed, 0.0, NEG_INF)[:, None].astype(jnp.float32)
+            allowed = causal_ok & (kv_mask[:, None, :] > 0)
+            ctx["bias"] = jnp.where(allowed, 0.0, NEG_INF)[:, None].astype(
+                jnp.float32
+            )
         new_index = idx + S
 
     position_ids = jnp.clip(position_ids, 0, cfg.n_positions - 1)
@@ -295,7 +317,7 @@ def forward(
 
     if cache is None:
         def body(h, layer_p):
-            h, _ = _block(layer_p, cfg, h, bias, None, 0, policy)
+            h, _ = _block(layer_p, cfg, h, ctx, None, 0, policy)
             return h, None
 
         body_fn = jax.checkpoint(body) if remat else body
@@ -305,7 +327,7 @@ def forward(
         def body(h, xs):
             layer_p, lk, lv = xs
             h, upd = _block(
-                layer_p, cfg, h, bias, {"k": lk, "v": lv}, cache["index"], policy
+                layer_p, cfg, h, ctx, {"k": lk, "v": lv}, cache["index"], policy
             )
             return h, (upd["k"], upd["v"])
 

@@ -51,6 +51,7 @@ class StarCoder2Config:
     rope_theta: float = 1e6
     sliding_window: int | None = 4096
     use_bias: bool = True
+    attn_impl: str = "xla"  # "xla" | "flash" (Pallas kernels)
     tie_word_embeddings: bool = True
     initializer_range: float = 0.018042
 
@@ -153,7 +154,7 @@ def compute_position_ids(attention_mask: jax.Array) -> jax.Array:
     return jnp.where(attention_mask == 0, 1, pos).astype(jnp.int32)
 
 
-def _attention(p, cfg: StarCoder2Config, x, bias, positions, layer_cache, cache_index, policy):
+def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_index, policy):
     B, S, E = x.shape
     H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
     inv_freq = rope_frequencies(D, cfg.rope_theta)
@@ -174,14 +175,34 @@ def _attention(p, cfg: StarCoder2Config, x, bias, positions, layer_cache, cache_
         k, v = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = {"k": ck, "v": cv}
 
-    out = multihead_attention(q, k, v, bias).reshape(B, S, H * D)
+    if cfg.attn_impl == "flash":
+        from starvector_tpu.ops.flash_attention import flash_prefill, gqa_decode
+
+        if S == 1 and layer_cache is not None:
+            cache_len = ctx["q_offset"] + 1
+            win_start = (
+                jnp.maximum(cache_len - cfg.sliding_window, 0)
+                if cfg.sliding_window is not None
+                else 0
+            )
+            out = gqa_decode(
+                q[:, 0], k, v, ctx["kv_mask"], cache_len, win_start
+            )[:, None]
+        else:
+            out = flash_prefill(
+                q, k, v, ctx["kv_mask"], q_offset=ctx["q_offset"],
+                window=cfg.sliding_window,
+            )
+    else:
+        out = multihead_attention(q, k, v, ctx["bias"])
+    out = out.reshape(B, S, H * D)
     return dense(p["o_proj"], out, policy), new_cache
 
 
-def _block(p, cfg, x, bias, positions, layer_cache, cache_index, policy):
+def _block(p, cfg, x, ctx, positions, layer_cache, cache_index, policy):
     attn_out, new_cache = _attention(
         p["attn"], cfg, layer_norm(p["input_layernorm"], x, cfg.norm_epsilon),
-        bias, positions, layer_cache, cache_index, policy,
+        ctx, positions, layer_cache, cache_index, policy,
     )
     x = x + attn_out
     h = layer_norm(p["post_attention_layernorm"], x, cfg.norm_epsilon)
@@ -212,14 +233,17 @@ def forward(
     x = policy.cast(inputs_embeds)
     x = maybe_constrain(x, batch_spec(extra_dims=2))
 
+    use_flash = cfg.attn_impl == "flash"
     if cache is None:
         if attention_mask is None:
             attention_mask = jnp.ones((B, S), jnp.int32)
         if position_ids is None:
             position_ids = compute_position_ids(attention_mask)
-        bias = make_attention_bias(
-            attention_mask, S, S, causal=True, window=cfg.sliding_window
-        )
+        ctx = {"kv_mask": attention_mask.astype(jnp.int32), "q_offset": 0}
+        if not use_flash:
+            ctx["bias"] = make_attention_bias(
+                attention_mask, S, S, causal=True, window=cfg.sliding_window
+            )
         new_index = None
         kv_mask = None
     else:
@@ -234,19 +258,23 @@ def forward(
         kv_mask = jax.lax.dynamic_update_slice(
             cache["kv_mask"], attention_mask.astype(jnp.int32), (0, idx)
         )
-        slot = jnp.arange(T)[None, None, :]
-        qslot = idx + jnp.arange(S)[None, :, None]
-        allowed = (slot <= qslot) & (kv_mask[:, None, :] > 0)
-        if cfg.sliding_window is not None:
-            allowed &= slot > qslot - cfg.sliding_window
-        bias = jnp.where(allowed, 0.0, NEG_INF)[:, None].astype(jnp.float32)
+        ctx = {"kv_mask": kv_mask, "q_offset": idx}
+        if not use_flash:
+            slot = jnp.arange(T)[None, None, :]
+            qslot = idx + jnp.arange(S)[None, :, None]
+            allowed = (slot <= qslot) & (kv_mask[:, None, :] > 0)
+            if cfg.sliding_window is not None:
+                allowed &= slot > qslot - cfg.sliding_window
+            ctx["bias"] = jnp.where(allowed, 0.0, NEG_INF)[:, None].astype(
+                jnp.float32
+            )
         new_index = idx + S
 
     positions = jnp.clip(position_ids, 0, cfg.max_position_embeddings - 1)
 
     if cache is None:
         def body(h, layer_p):
-            h, _ = _block(layer_p, cfg, h, bias, positions, None, 0, policy)
+            h, _ = _block(layer_p, cfg, h, ctx, positions, None, 0, policy)
             return h, None
 
         body_fn = jax.checkpoint(body) if remat else body
@@ -256,7 +284,7 @@ def forward(
         def body(h, xs):
             layer_p, lk, lv = xs
             h, upd = _block(
-                layer_p, cfg, h, bias, positions,
+                layer_p, cfg, h, ctx, positions,
                 {"k": lk, "v": lv}, cache["index"], policy,
             )
             return h, (upd["k"], upd["v"])

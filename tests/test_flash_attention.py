@@ -1,0 +1,151 @@
+"""Pallas kernel parity vs the XLA reference attention (SURVEY.md §4 tier 2),
+run in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starvector_tpu.ops.attention import make_attention_bias, multihead_attention
+from starvector_tpu.ops.flash_attention import flash_prefill, mqa_decode
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("H,Hkv", [(4, 1), (4, 2), (4, 4)])
+def test_flash_prefill_causal_parity(H, Hkv):
+    B, S, D = 2, 48, 128
+    q = rand(0, (B, S, H, D))
+    k = rand(1, (B, S, Hkv, D))
+    v = rand(2, (B, S, Hkv, D))
+    mask = jnp.ones((B, S), jnp.int32)
+    bias = make_attention_bias(mask, S, S, causal=True)
+    ref = multihead_attention(q, k, v, bias)
+    out = flash_prefill(q, k, v, mask, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_prefill_padded_keys():
+    B, S, H, D = 2, 32, 4, 128
+    q = rand(3, (B, S, H, D))
+    k = rand(4, (B, S, 1, D))
+    v = rand(5, (B, S, 1, D))
+    mask = jnp.asarray(
+        np.concatenate([np.zeros((B, 5)), np.ones((B, S - 5))], 1), jnp.int32
+    )  # left padding
+    bias = make_attention_bias(mask, S, S, causal=True)
+    ref = multihead_attention(q, k, v, bias)
+    out = flash_prefill(q, k, v, mask, block_q=16, block_k=16, interpret=True)
+    # positions with no visible keys (the pad rows) are unspecified; compare
+    # only rows that can attend to something
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 5:], np.asarray(ref)[:, 5:], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_prefill_q_offset():
+    """Chunked prefill: rows at offset P attend causally within a longer
+    window, matching the bias-based reference."""
+    B, H, D, P, S, T = 1, 4, 128, 16, 16, 32
+    q = rand(6, (B, S, H, D))
+    k = rand(7, (B, T, 1, D))
+    v = rand(8, (B, T, 1, D))
+    mask = jnp.ones((B, T), jnp.int32)
+    bias = make_attention_bias(mask, S, T, q_offset=P, causal=True)
+    ref = multihead_attention(q, k, v, bias)
+    out = flash_prefill(
+        q, k, v, mask, q_offset=P, block_q=16, block_k=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_prefill_non_divisible_lengths():
+    B, S, H, D = 1, 37, 4, 128
+    q = rand(9, (B, S, H, D))
+    k = rand(10, (B, S, 1, D))
+    v = rand(11, (B, S, 1, D))
+    mask = jnp.ones((B, S), jnp.int32)
+    bias = make_attention_bias(mask, S, S, causal=True)
+    ref = multihead_attention(q, k, v, bias)
+    out = flash_prefill(q, k, v, mask, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_mqa_decode_parity():
+    B, H, D, T = 2, 8, 128, 160
+    filled = 100
+    q1 = rand(12, (B, 1, H, D))
+    k = rand(13, (B, T, 1, D))
+    v = rand(14, (B, T, 1, D))
+    kv_mask = jnp.asarray(
+        (np.arange(T)[None, :] < filled).astype(np.int32).repeat(B, 0)
+    )
+    bias = make_attention_bias(kv_mask, 1, T, q_offset=filled - 1, causal=True)
+    ref = multihead_attention(q1, k, v, bias)[:, 0]  # (B, H, D)
+    out = mqa_decode(
+        q1[:, 0], k[:, :, 0], v[:, :, 0], kv_mask,
+        jnp.asarray(filled), block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_mqa_decode_left_padded():
+    B, H, D, T = 1, 4, 128, 64
+    k = rand(15, (B, T, 1, D))
+    v = rand(16, (B, T, 1, D))
+    q1 = rand(17, (B, 1, H, D))
+    kv_mask = np.zeros((B, T), np.int32)
+    kv_mask[:, 3:40] = 1  # left-padded prefix written up to slot 40
+    kv_mask = jnp.asarray(kv_mask)
+    bias = make_attention_bias(kv_mask, 1, T, q_offset=39, causal=True)
+    ref = multihead_attention(q1, k, v, bias)[:, 0]
+    out = mqa_decode(
+        q1[:, 0], k[:, :, 0], v[:, :, 0], kv_mask,
+        jnp.asarray(40), block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("module", ["gpt_bigcode", "starcoder2"])
+def test_decoder_flash_path_matches_xla(module):
+    """Full decoder forward + cached decode with attn_impl='flash' must match
+    the xla path (interpret-mode kernels on CPU)."""
+    import dataclasses
+
+    if module == "gpt_bigcode":
+        from starvector_tpu.models import gpt_bigcode as dec
+        cfg_x = dec.tiny_config(hidden_size=256, n_head=2)
+    else:
+        from starvector_tpu.models import starcoder2 as dec
+        cfg_x = dec.tiny_config(
+            hidden_size=256, num_attention_heads=2, num_key_value_heads=2,
+            intermediate_size=512,
+        )
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    f32 = DTypePolicy(compute_dtype=jnp.float32)
+    cfg_f = dataclasses.replace(cfg_x, attn_impl="flash")
+    params = dec.init_params(cfg_x, jax.random.PRNGKey(0))
+    B, S = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg_x.vocab_size)
+    embeds = dec.embed_tokens(params, ids)
+
+    lx, _ = dec.forward(params, cfg_x, embeds, policy=f32)
+    lf, _ = dec.forward(params, cfg_f, embeds, policy=f32)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), rtol=5e-4, atol=5e-4)
+
+    # cached prefill + single-token decode
+    cache = dec.init_cache(cfg_f, B, max_len=S + 4, dtype=jnp.float32)
+    pf, cache = dec.forward(params, cfg_f, embeds, cache=cache, policy=f32)
+    np.testing.assert_allclose(
+        np.asarray(pf[:, -1]), np.asarray(lx[:, -1]), rtol=5e-4, atol=5e-4
+    )
+    nxt = dec.embed_tokens(params, jnp.full((B, 1), 3))
+    df, cache = dec.forward(params, cfg_f, nxt, cache=cache, policy=f32)
+
+    cache_x = dec.init_cache(cfg_x, B, max_len=S + 4, dtype=jnp.float32)
+    _, cache_x = dec.forward(params, cfg_x, embeds, cache=cache_x, policy=f32)
+    dx, _ = dec.forward(params, cfg_x, nxt, cache=cache_x, policy=f32)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(dx), rtol=5e-4, atol=5e-4)
