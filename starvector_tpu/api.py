@@ -1,0 +1,170 @@
+"""High-level drop-in API mirroring the reference quickstart surface.
+
+Reference usage (reference: scripts/quickstart.py:9-20):
+    model = StarVectorForCausalLM.from_pretrained(path)
+    batch = {"image": model.process_images([pil_image])}
+    raw_svg = model.generate_im2svg(batch, max_length=4000)[0]
+
+This wrapper binds the functional core (params pytree + configs) into one
+object with the reference method names: process_images, generate_im2svg,
+generate_text2svg, forward-as-loss. Decoded text includes the prompt prefix
+('<svg' ...) exactly like the reference's
+`torch.cat([prompt_tokens.input_ids, outputs])` (starvector_base.py:256-258).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from starvector_tpu.data.processor import processor_for_encoder
+from starvector_tpu.generation.engine import (
+    GenerationConfig, generate_im2svg, generate_text2svg,
+)
+from starvector_tpu.models import starvector as sv
+from starvector_tpu.models.tokenizer import SVGTokenizer, build_test_tokenizer
+from starvector_tpu.ops.layers import DTypePolicy
+
+
+class StarVectorForCausalLM:
+    def __init__(
+        self,
+        params: dict,
+        cfg: sv.StarVectorConfig,
+        tokenizer: SVGTokenizer,
+        *,
+        policy: DTypePolicy | None = None,
+        rng: jax.Array | None = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.policy = policy or DTypePolicy()
+        self.processor = processor_for_encoder(cfg.image_encoder_type, cfg.image_size)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16) -> "StarVectorForCausalLM":
+        from starvector_tpu.models.builder import load_hf_starvector_checkpoint
+
+        params, cfg, tokenizer = load_hf_starvector_checkpoint(path, dtype)
+        return cls(params, cfg, tokenizer,
+                   policy=DTypePolicy(param_dtype=dtype, compute_dtype=jnp.bfloat16))
+
+    @classmethod
+    def from_config(
+        cls, cfg: sv.StarVectorConfig, rng: jax.Array | None = None,
+        tokenizer: SVGTokenizer | None = None, dtype=jnp.float32,
+    ) -> "StarVectorForCausalLM":
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params = sv.init_params(cfg, rng, dtype=dtype)
+        tok = tokenizer or build_test_tokenizer(
+            "v2" if cfg.decoder == "starcoder2" else "v1"
+        )
+        compute = jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
+        return cls(params, cfg, tok,
+                   policy=DTypePolicy(param_dtype=dtype, compute_dtype=compute))
+
+    def _next_rng(self) -> jax.Array:
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    # -- reference surface ----------------------------------------------------
+    def process_images(self, images: Sequence[Any]) -> jax.Array:
+        """PIL images → (B, H, W, 3) normalized channels-last (reference
+        starvector_arch.py:192-193 → image_encoder.py:112-119)."""
+        return jnp.asarray(np.stack([self.processor(im) for im in images]))
+
+    def forward(self, batch: dict) -> jax.Array:
+        return sv.loss_fn(
+            self.params, self.cfg, batch, self.tokenizer.pad_token_id,
+            policy=self.policy,
+        )
+
+    def _gen_config(self, kwargs: dict, *, text2svg: bool = False) -> GenerationConfig:
+        """Map reference generation kwargs (starvector_base.py:223-241) onto
+        the engine config."""
+        max_length = kwargs.get("max_length", 30)
+        stop = (self.tokenizer.stop_sequence_ids("</svg>"),)
+        return GenerationConfig(
+            max_new_tokens=int(kwargs.get("max_new_tokens", max_length)),
+            min_new_tokens=int(kwargs.get("min_length", 1)),
+            do_sample=bool(kwargs.get("use_nucleus_sampling", True)),
+            temperature=float(kwargs.get("temperature", 1.0)),
+            top_p=float(kwargs.get("top_p", 0.9)),
+            top_k=int(kwargs.get("top_k", 0)),
+            repetition_penalty=float(kwargs.get("repetition_penalty", 1.0)),
+            num_return_sequences=int(kwargs.get("num_return_sequences", 1)),
+            stop_sequences=stop,
+            eos_token_id=self.tokenizer.eos_token_id if text2svg else None,
+            pad_token_id=self.tokenizer.pad_token_id,
+        )
+
+    def generate_im2svg(self, batch: dict, **kwargs) -> list[str]:
+        """reference generate_im2svg (starvector_base.py:243-259)."""
+        images = jnp.asarray(batch["image"])
+        prompt = kwargs.get("prompt") or self.tokenizer.prompt
+        B = images.shape[0]
+        enc = self.tokenizer([prompt] * B, add_special_tokens=False)
+        prompt_ids = jnp.asarray(enc["input_ids"])
+        gen = self._gen_config(kwargs)
+        tokens, lengths = generate_im2svg(
+            self.params, self.cfg, images, prompt_ids, gen,
+            self._next_rng(), policy=self.policy,
+        )
+        n = gen.num_return_sequences
+        full_prompt = jnp.repeat(prompt_ids, n, axis=0) if n > 1 else prompt_ids
+        outs = jnp.concatenate([full_prompt, tokens], axis=1)
+        texts = []
+        for row, L in zip(np.asarray(outs), np.asarray(lengths)):
+            texts.append(
+                self.tokenizer.decode(row[: full_prompt.shape[1] + int(L)])
+            )
+        return texts
+
+    def generate_im2svg_grpo(self, batch: dict, **kwargs) -> dict:
+        """reference generate_im2svg_grpo (starvector_base.py:261-286)."""
+        raw = self.generate_im2svg(batch, **kwargs)
+        return {"raw_svg": raw}
+
+    def generate_text2svg(self, batch: dict, **kwargs) -> list[str]:
+        """reference generate_text2svg (starvector_base.py:297-330):
+        caption + <svg-start> trigger, eos stopping."""
+        captions = batch["caption"]
+        enc = self.tokenizer(
+            [c + self.tokenizer.svg_start_token for c in captions],
+            max_length=kwargs.get("max_length", 30),
+            add_special_tokens=False,
+        )
+        ids = jnp.asarray(enc["input_ids"])
+        mask = jnp.asarray(enc["attention_mask"])
+        gen = self._gen_config(kwargs, text2svg=True)
+        tokens, lengths = generate_text2svg(
+            self.params, self.cfg, ids, mask, gen, self._next_rng(),
+            policy=self.policy,
+        )
+        return [
+            self.tokenizer.decode(row[: int(L)])
+            for row, L in zip(np.asarray(tokens), np.asarray(lengths))
+        ]
+
+
+@dataclasses.dataclass
+class StarVectorPipeline:
+    """image → svg → raster convenience (quickstart tail: reference
+    scripts/quickstart.py:18-20 process_and_rasterize_svg)."""
+
+    model: StarVectorForCausalLM
+
+    def __call__(self, pil_image, **kwargs):
+        from starvector_tpu.data.rasterize import process_and_rasterize_svg
+
+        images = self.model.process_images([pil_image])
+        raw = self.model.generate_im2svg({"image": images}, **kwargs)[0]
+        svg, raster = process_and_rasterize_svg(raw)
+        return {"raw_svg": raw, "svg": svg, "raster": raster}

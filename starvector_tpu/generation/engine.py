@@ -102,8 +102,8 @@ def _generate_jit(
         hit = jnp.zeros((B,), bool)
         for stop in stop_sequences:
             L = len(stop)
-            if L == 0:
-                continue
+            if L == 0 or L > max_new_tokens:
+                continue  # cannot match within the generation window
             s = jnp.asarray(stop, jnp.int32)
             if L == 1:
                 hit |= new_tok == s[0]
