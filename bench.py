@@ -36,8 +36,8 @@ def main():
         llm = gbc.GPTBigCodeConfig()  # real 1B geometry
         # realistic serving point: SVG-Stack sequences average ~1.8k tokens
         # (BASELINE.md), so measure decode against a ~2k-deep KV cache
-        B, PREFIX, NEW = 16, 2048, 256
-        reps = 3
+        B, PREFIX, NEW = 16, 1024, 128
+        reps = 2
     else:
         llm = gbc.tiny_config()
         B, PREFIX, NEW = 2, 20, 16
@@ -98,7 +98,7 @@ def main():
     toks_per_sec = results[main_impl]
     vs = toks_per_sec / results["xla"] if "xla" in results and results["xla"] else 1.0
     print(json.dumps({
-        "metric": "SVG tokens/sec/chip (1B im2svg batched decode @2k ctx, bf16)",
+        "metric": "SVG tokens/sec/chip (1B im2svg batched decode @1k ctx, bf16)",
         "value": round(toks_per_sec, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(vs, 3),

@@ -294,6 +294,69 @@ def text2svg_inputs(
     return policy.cast(tok_embeds), input_mask.astype(jnp.int32), targets
 
 
+def loss_fn_with_bn_stats(
+    params: dict,
+    cfg: StarVectorConfig,
+    batch: dict,
+    pad_token_id: int,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    dropout_rng: jax.Array | None = None,
+    remat: bool = False,
+):
+    """Training loss + updated BatchNorm running stats for the 1B adapter
+    (aux = {} for layer_norm adapters). Differentiate w.r.t. params with
+    has_aux=True."""
+    if cfg.task != "im2svg" or cfg.adapter_norm != "batch_norm":
+        loss = loss_fn(
+            params, cfg, batch, pad_token_id, policy=policy, train=True,
+            dropout_rng=dropout_rng, remat=remat,
+        )
+        return loss, {}
+
+    from starvector_tpu.models import adapter as adapter_mod
+
+    enc, tower_cfg = _encoder_cfg(cfg)
+    if cfg.image_encoder_type == "clip":
+        from starvector_tpu.models.vision import clip_vit
+        from starvector_tpu.ops.layers import layer_norm
+
+        embeds = clip_vit.forward(
+            params["image_encoder"]["visual_encoder"], tower_cfg,
+            batch["image"], policy=policy, remat=remat,
+        )
+        embeds = layer_norm(params["image_encoder"]["ln_vision"], embeds)
+    else:
+        embeds = image_encoder.forward(
+            params["image_encoder"], enc, batch["image"], policy=policy,
+            remat=remat,
+        )
+    ad_cfg = _adapter_cfg_for(cfg, params)
+    cond, bn_stats = adapter_mod.forward_with_stats(
+        params["image_projection"], ad_cfg, embeds, policy=policy,
+        dropout_rng=dropout_rng,
+    )
+    dec = cfg.decoder_module
+    svg_ids, svg_mask = batch["svg_ids"], batch["svg_mask"]
+    B, Q, _ = cond.shape
+    tok_embeds = dec.embed_tokens(params["svg_transformer"], svg_ids)
+    inputs_embeds = jnp.concatenate([cond, policy.cast(tok_embeds)], axis=1)
+    attention_mask = jnp.concatenate(
+        [jnp.ones((B, Q), jnp.int32), svg_mask.astype(jnp.int32)], axis=1
+    )
+    svg_targets = jnp.where(svg_ids == pad_token_id, -100, svg_ids)
+    targets = jnp.concatenate(
+        [jnp.full((B, Q), -100, jnp.int32), svg_targets.astype(jnp.int32)],
+        axis=1,
+    )
+    logits, _ = dec.forward(
+        params["svg_transformer"], cfg.llm, inputs_embeds,
+        attention_mask=attention_mask, policy=policy, remat=remat,
+    )
+    loss = gpt_bigcode.causal_lm_loss(logits, targets)
+    return loss, {"bn_stats": jax.lax.stop_gradient(bn_stats)}
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "pad_token_id", "policy", "train", "remat")
 )

@@ -1,0 +1,119 @@
+"""Host-side batching: rasterize+tokenize in worker threads, prefetch ahead
+of the device (the reference leans on torch DataLoader workers; here the
+C rasterizer releases the GIL through ctypes so threads scale)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class DataLoader:
+    """Batches {'image', 'svg', 'caption', 'id'} samples into device-ready
+    arrays: image (B,H,W,3) fp32, svg_ids/svg_mask int32 (right-padded,
+    truncated to max_svg_length; eos appended per v1 semantics,
+    reference starvector_v1.py:19-22)."""
+
+    def __init__(
+        self,
+        dataset,
+        tokenizer,
+        batch_size: int,
+        *,
+        max_length: int = 512,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+        svg_end_suffix: str | None = None,
+    ):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+        # v1: svg + eos; v2: svg + <svg-end> + eos (starvector_v2.py:54-58)
+        if svg_end_suffix is None:
+            svg_end_suffix = (
+                (tokenizer.svg_end_token or "") + tokenizer.eos_token
+            )
+        self.svg_end_suffix = svg_end_suffix
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _collate(self, samples: list[dict]) -> dict:
+        texts = [s["svg"] + self.svg_end_suffix for s in samples]
+        enc = self.tokenizer(texts, max_length=self.max_length)
+        return {
+            "image": np.stack([np.asarray(s["image"], np.float32) for s in samples]),
+            "svg_ids": enc["input_ids"],
+            "svg_mask": enc["attention_mask"],
+            "caption": [s["caption"] for s in samples],
+            "id": [s["id"] for s in samples],
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        idx_q: queue.Queue = queue.Queue()
+        for bi, b in enumerate(batches):
+            idx_q.put((bi, b))
+        results: dict[int, dict] = {}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    bi, idxs = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = self._collate([self.dataset[int(i)] for i in idxs])
+                except Exception as e:  # noqa: BLE001
+                    batch = e
+                out_q.put((bi, batch))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(max(1, self.num_workers))
+        ]
+        for t in threads:
+            t.start()
+        try:
+            next_bi = 0
+            received = 0
+            while received < len(batches):
+                bi, batch = out_q.get()
+                received += 1
+                with lock:
+                    results[bi] = batch
+                while next_bi in results:
+                    item = results.pop(next_bi)
+                    next_bi += 1
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+        finally:
+            stop.set()

@@ -97,9 +97,11 @@ def build_optimizer(
         train_connector=train_connector,
     )
     if not all(jax.tree_util.tree_leaves(mask)):
-        tx = optax.chain(
-            optax.masked(tx, mask),
-            # ensure frozen params receive exactly zero updates
+        labels = jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)

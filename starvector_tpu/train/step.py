@@ -1,0 +1,78 @@
+"""The pjit train step: loss → grads → clip → update, fully sharded.
+
+TPU-native replacement for the reference's Accelerate/DeepSpeed/FSDP step
+(reference: starvector/train/train.py:234-269): one jitted function over the
+global mesh; parameter sharding (fsdp), batch sharding (replica/data/fsdp)
+and tensor parallelism are all expressed by in/out shardings — XLA inserts
+the all-gathers/reduce-scatters that DeepSpeed/FSDP implement by hand.
+Gradient accumulation and clipping live in the optax chain (train/optim.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from starvector_tpu.models import starvector as sv
+from starvector_tpu.ops.layers import DTypePolicy
+
+
+def make_train_step(
+    cfg: sv.StarVectorConfig,
+    tx: optax.GradientTransformation,
+    pad_token_id: int,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    remat: bool = True,
+):
+    """Returns train_step(params, opt_state, batch, rng) →
+    (params, opt_state, metrics). BatchNorm running stats (1B adapter) are
+    merged back into params each step."""
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        def loss_wrapped(p):
+            return sv.loss_fn_with_bn_stats(
+                p, cfg, batch, pad_token_id, policy=policy,
+                dropout_rng=rng, remat=remat,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if "bn_stats" in aux and aux["bn_stats"]:
+            norm = dict(new_params["image_projection"]["norm"])
+            norm.update(aux["bn_stats"])
+            new_params = dict(new_params)
+            new_params["image_projection"] = dict(new_params["image_projection"])
+            new_params["image_projection"]["norm"] = norm
+        gnorm = optax.global_norm(grads)
+        return new_params, new_opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def make_eval_step(cfg, pad_token_id, *, policy=DTypePolicy()):
+    @jax.jit
+    def eval_step(params, batch):
+        return sv.loss_fn(params, cfg, batch, pad_token_id, policy=policy)
+
+    return eval_step
+
+
+def shard_train_state(params: Any, tx, mesh):
+    """Place params + fresh optimizer state on the mesh per partition rules
+    (optimizer moments inherit the parameter sharding — ZeRO for free)."""
+    from starvector_tpu.parallel import make_param_shardings
+
+    shardings = make_param_shardings(params, sv.partition_rules(), mesh)
+    params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    opt_state = jax.jit(
+        tx.init,
+        out_shardings=None,  # let XLA propagate from sharded params
+    )(params)
+    return params, opt_state

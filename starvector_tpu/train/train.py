@@ -1,0 +1,209 @@
+"""Training entry point.
+
+Rebuilds the reference train loop (reference: starvector/train/
+train.py:66-271) TPU-first:
+  config (yaml ⊕ dotlist) → datasets → model → mesh/shardings → optax →
+  auto-resume → epoch loop {sharded train_step, grad clip+accum inside the
+  optax chain, periodic validate + rotating checkpoints, jsonl metrics}.
+
+Usage:
+    python -m starvector_tpu.train.train config=configs/models/starvector-1b/im2svg.yaml \
+        training.steps=1000 data.batch_size=8
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from starvector_tpu.config import ConfigNode, get_config, instantiate_from_config
+from starvector_tpu.models.builder import model_builder
+from starvector_tpu.models.tokenizer import build_test_tokenizer, load_tokenizer
+from starvector_tpu.ops.layers import DTypePolicy
+from starvector_tpu.parallel import MeshConfig, create_mesh
+from starvector_tpu.parallel.mesh import batch_sharding, local_mesh_summary
+from starvector_tpu.train import checkpoint as ckpt
+from starvector_tpu.train.loader import DataLoader
+from starvector_tpu.train.optim import build_optimizer
+from starvector_tpu.train.step import make_eval_step, make_train_step, shard_train_state
+
+
+def _metrics_logger(out_dir: str):
+    os.makedirs(out_dir, exist_ok=True)
+    f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+
+    def log(record: dict):
+        record = {
+            k: (float(v) if hasattr(v, "item") or isinstance(v, (np.floating,)) else v)
+            for k, v in record.items()
+        }
+        f.write(json.dumps(record) + "\n")
+        f.flush()
+        print(
+            " ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in record.items()
+            )
+        )
+
+    return log
+
+
+def validate(eval_step, params, val_loader, mesh, max_batches: int = 16):
+    """reference train/train.py:43-64: average loss over the val loader."""
+    losses = []
+    for i, batch in enumerate(val_loader):
+        if i >= max_batches:
+            break
+        device_batch = _to_device(batch, mesh)
+        losses.append(float(eval_step(params, device_batch)))
+    return float(np.mean(losses)) if losses else float("nan")
+
+
+def _to_device(batch: dict, mesh) -> dict:
+    from jax.sharding import NamedSharding
+    from starvector_tpu.parallel.mesh import batch_spec, sanitize_for_mesh
+
+    out = {}
+    for key, dims in (("image", 3), ("svg_ids", 1), ("svg_mask", 1)):
+        arr = jnp.asarray(batch[key])
+        spec = sanitize_for_mesh(batch_spec(extra_dims=dims), arr.shape, mesh)
+        out[key] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return out
+
+
+def main(config: ConfigNode):
+    project = config.get_path("project.name", "starvector-tpu")
+    out_dir = config.get_path("project.out_dir", f"runs/{project}")
+    log = _metrics_logger(out_dir)
+
+    mesh = create_mesh(
+        MeshConfig(
+            replica=config.get_path("mesh.replica", 1),
+            data=config.get_path("mesh.data", 1),
+            fsdp=config.get_path("mesh.fsdp", -1),
+            tensor=config.get_path("mesh.tensor", 1),
+        )
+    )
+    print(local_mesh_summary(mesh))
+
+    params, cfg = model_builder(config)
+    tok_path = config.get_path("model.tokenizer_path")
+    if tok_path:
+        tokenizer = load_tokenizer(
+            tok_path, version="v2" if cfg.decoder == "starcoder2" else "v1"
+        )
+    else:
+        tokenizer = build_test_tokenizer(
+            "v2" if cfg.decoder == "starcoder2" else "v1"
+        )
+
+    train_ds = instantiate_from_config(config.get_path("data.train"))
+    val_cfg = config.get_path("data.val")
+    val_ds = instantiate_from_config(val_cfg) if val_cfg else None
+
+    batch_size = int(config.get_path("data.batch_size", 2))
+    max_length = min(
+        int(config.get_path("data.max_length", 512)), cfg.max_svg_length
+    )
+    loader_kw = dict(
+        max_length=max_length,
+        num_workers=int(config.get_path("data.num_workers", 4)),
+    )
+    train_loader = DataLoader(train_ds, tokenizer, batch_size, **loader_kw)
+    val_loader = (
+        DataLoader(val_ds, tokenizer, batch_size, shuffle=False, **loader_kw)
+        if val_ds
+        else None
+    )
+
+    total_steps = int(config.get_path("training.steps", 10_000))
+    tx = build_optimizer(
+        params,
+        optimizer=config.get_path("training.optimizer", "adamw"),
+        lr=float(config.get_path("training.lr", 1e-4)),
+        weight_decay=float(config.get_path("training.weight_decay", 0.01)),
+        warmup_steps=int(config.get_path("training.warmup_steps", 0)),
+        total_steps=total_steps,
+        grad_clip=float(config.get_path("training.grad_clip", 1.0)),
+        grad_accum_steps=int(config.get_path("training.grad_accum_steps", 1)),
+        train_image_encoder=bool(config.get_path("training.train_image_encoder", True)),
+        train_LLM=bool(config.get_path("training.train_LLM", True)),
+        train_connector=bool(config.get_path("training.train_connector", True)),
+    )
+
+    policy = DTypePolicy(
+        param_dtype=jnp.float32,
+        compute_dtype=jnp.bfloat16
+        if config.get_path("training.bf16", True)
+        else jnp.float32,
+    )
+
+    with jax.set_mesh(mesh):
+        params, opt_state = shard_train_state(params, tx, mesh)
+
+        step = 0
+        last = ckpt.get_last_checkpoint(out_dir)
+        if last and config.get_path("training.resume", True):
+            state = ckpt.restore_checkpoint(
+                last, {"params": params, "opt_state": opt_state}
+            )
+            params, opt_state = state["params"], state["opt_state"]
+            step = ckpt.step_from_path(last)
+            print(f"resumed from {last} at step {step}")
+
+        train_step = make_train_step(
+            cfg, tx, tokenizer.pad_token_id, policy=policy,
+            remat=bool(config.get_path("training.gradient_checkpointing", True)),
+        )
+        eval_step = make_eval_step(cfg, tokenizer.pad_token_id, policy=policy)
+
+        ckpt_every = int(config.get_path("training.checkpointing_steps", 1000))
+        total_limit = config.get_path("training.checkpoints_total_limit", 3)
+        rng = jax.random.PRNGKey(int(config.get_path("training.seed", 0)))
+
+        epochs = int(config.get_path("training.epochs", 1))
+        t_step = time.time()
+        done = False
+        for epoch in range(epochs):
+            if done:
+                break
+            for batch in train_loader:
+                device_batch = _to_device(batch, mesh)
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, metrics = train_step(
+                    params, opt_state, device_batch, step_rng
+                )
+                step += 1
+                now = time.time()
+                log({
+                    "step": step,
+                    "epoch": epoch,
+                    "loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "step_time": now - t_step,
+                })
+                t_step = now
+
+                if step % ckpt_every == 0 or step >= total_steps:
+                    if val_loader is not None:
+                        vloss = validate(eval_step, params, val_loader, mesh)
+                        log({"step": step, "val_loss": vloss})
+                    ckpt.save_checkpoint(
+                        out_dir, step,
+                        {"params": params, "opt_state": opt_state},
+                        total_limit=total_limit,
+                    )
+                if step >= total_steps:
+                    done = True
+                    break
+    return params
+
+
+if __name__ == "__main__":
+    main(get_config(default_path="configs/models/default.yaml"))

@@ -1,0 +1,128 @@
+"""Training integration: sharded train steps reduce the loss on a tiny
+overfit task; checkpoint save/rotate/resume round-trips (SURVEY.md §4
+tier 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from starvector_tpu.models import starvector as sv
+from starvector_tpu.models.tokenizer import build_test_tokenizer
+from starvector_tpu.ops.layers import DTypePolicy
+from starvector_tpu.parallel import MeshConfig, create_mesh
+from starvector_tpu.parallel.mesh import batch_sharding
+from starvector_tpu.train import checkpoint as ckpt
+from starvector_tpu.train.optim import build_optimizer, cosine_schedule_with_warmup, freeze_mask
+from starvector_tpu.train.step import make_train_step, shard_train_state
+
+F32 = DTypePolicy(compute_dtype=jnp.float32)
+
+
+def make_setup(adapter_norm="layer_norm"):
+    cfg = sv.tiny_config(adapter_norm=adapter_norm)
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    tok = build_test_tokenizer()
+    B, S = 4, 12
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(B, cfg.image_size, cfg.image_size, 3), jnp.float32),
+        "svg_ids": jnp.asarray(rng.randint(1, cfg.llm.vocab_size, (B, S)), jnp.int32),
+        "svg_mask": jnp.ones((B, S), jnp.int32),
+    }
+    return cfg, params, tok, batch
+
+
+def test_loss_decreases_sharded():
+    cfg, params, tok, batch = make_setup()
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    tx = build_optimizer(params, lr=3e-3, warmup_steps=0, total_steps=100)
+    with jax.set_mesh(mesh):
+        params, opt_state = shard_train_state(params, tx, mesh)
+        db = {
+            "image": jax.device_put(batch["image"], batch_sharding(mesh, 3)),
+            "svg_ids": jax.device_put(batch["svg_ids"], batch_sharding(mesh, 1)),
+            "svg_mask": jax.device_put(batch["svg_mask"], batch_sharding(mesh, 1)),
+        }
+        step = make_train_step(cfg, tx, tok.pad_token_id, policy=F32, remat=True)
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(8):
+            rng, r = jax.random.split(rng)
+            params, opt_state, m = step(params, opt_state, db, r)
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_batchnorm_stats_update_during_training():
+    cfg, params, tok, batch = make_setup(adapter_norm="batch_norm")
+    tx = build_optimizer(params, lr=1e-3, total_steps=10)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, tok.pad_token_id, policy=F32, remat=False)
+    before = np.asarray(params["image_projection"]["norm"]["running_mean"]).copy()
+    params, opt_state, _ = step(params, opt_state, batch, jax.random.PRNGKey(0))
+    after = np.asarray(params["image_projection"]["norm"]["running_mean"])
+    assert not np.allclose(before, after)
+
+
+def test_freeze_mask_blocks_updates():
+    cfg, params, tok, batch = make_setup()
+    tx = build_optimizer(
+        params, lr=1e-2, total_steps=10,
+        train_image_encoder=False, train_LLM=True, train_connector=True,
+    )
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, tok.pad_token_id, policy=F32, remat=False)
+    before = jax.tree_util.tree_map(np.asarray, params["image_encoder"])
+    params2, _, _ = step(params, opt_state, batch, jax.random.PRNGKey(0))
+    after = params2["image_encoder"]
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        before, after,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    # but the LLM did move
+    moved = float(
+        np.abs(
+            np.asarray(params2["svg_transformer"]["wte"])
+            - np.asarray(params["svg_transformer"]["wte"])
+        ).max()
+    )
+    assert moved > 0
+
+
+def test_cosine_schedule():
+    sched = cosine_schedule_with_warmup(1.0, warmup_steps=10, total_steps=110)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert float(sched(5)) == pytest.approx(0.5)
+    assert float(sched(110)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, params, tok, batch = make_setup()
+    tx = build_optimizer(params, lr=1e-3, total_steps=10)
+    opt_state = tx.init(params)
+    base = str(tmp_path / "ckpts")
+    ckpt.save_checkpoint(base, 5, {"params": params, "opt_state": opt_state})
+    ckpt.save_checkpoint(base, 10, {"params": params, "opt_state": opt_state},
+                         total_limit=1)
+    cps = ckpt.list_checkpoints(base)
+    assert [s for s, _ in cps] == [10]  # rotation kept only the last
+    last = ckpt.get_last_checkpoint(base)
+    state = ckpt.restore_checkpoint(last, {"params": params, "opt_state": opt_state})
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["svg_transformer"]["wte"]),
+        np.asarray(params["svg_transformer"]["wte"]),
+    )
+    assert ckpt.step_from_path(last) == 10
+
+
+def test_freeze_mask_structure():
+    cfg, params, _, _ = make_setup()
+    mask = freeze_mask(
+        params, train_image_encoder=False, train_LLM=True, train_connector=True
+    )
+    assert not any(jax.tree_util.tree_leaves(mask["image_encoder"]))
+    assert all(jax.tree_util.tree_leaves(mask["svg_transformer"]))
