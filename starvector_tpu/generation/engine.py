@@ -58,7 +58,7 @@ class GenerationConfig:
     static_argnames=(
         "dec_name", "llm_cfg", "max_new_tokens", "min_new_tokens",
         "stop_sequences", "eos_token_id", "pad_token_id", "max_top_k",
-        "policy",
+        "policy", "do_sample", "use_rep_penalty",
     ),
 )
 def _generate_jit(
@@ -78,12 +78,14 @@ def _generate_jit(
     pad_token_id: int,
     max_top_k: int,
     policy: DTypePolicy,
+    do_sample: bool,
+    use_rep_penalty: bool = True,
 ):
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
     B, P, E = inputs_embeds.shape
-    V = prompt_presence.shape[-1]
+    V = llm_cfg.vocab_size  # (presence may be a (B,1) dummy when unused)
     total = P + max_new_tokens
 
     cache = dec.init_cache(llm_cfg, B, total, dtype=policy.compute_dtype)
@@ -140,19 +142,21 @@ def _generate_jit(
             )
         nxt = sample_token(
             step_rng, lg,
-            do_sample=knobs["do_sample"],
+            do_sample=do_sample,
             temperature=knobs["temperature"],
             top_p=knobs["top_p"],
             top_k=knobs["top_k"],
-            presence=presence,
-            repetition_penalty=knobs["repetition_penalty"],
+            presence=presence if use_rep_penalty else None,
+            repetition_penalty=knobs["repetition_penalty"]
+            if use_rep_penalty else None,
             max_top_k=max_top_k,
         )
         nxt = jnp.where(done, pad_token_id, nxt)
         newly_done = check_stops(tokens, t, nxt) & ~done
         lengths = jnp.where(newly_done, t + 1, lengths)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
-        presence = presence.at[jnp.arange(B), nxt].set(1)
+        if use_rep_penalty:
+            presence = presence.at[jnp.arange(B), nxt].set(1)
         done = done | newly_done
 
         embeds = dec.embed_tokens(params, nxt[:, None]).astype(
@@ -196,13 +200,14 @@ def generate(
         if prompt_ids is not None:
             prompt_ids = jnp.repeat(prompt_ids, n, axis=0)
         B = B * n
-    presence = jnp.zeros((B, V), jnp.int32)
+    presence = jnp.zeros(
+        (B, V) if gen.repetition_penalty != 1.0 else (B, 1), jnp.int32
+    )
     if prompt_ids is not None and gen.repetition_penalty != 1.0:
         presence = presence.at[
             jnp.arange(B)[:, None], jnp.asarray(prompt_ids)
         ].set(1)
     knobs = {
-        "do_sample": jnp.asarray(gen.do_sample),
         "temperature": jnp.asarray(gen.temperature, jnp.float32),
         "top_p": jnp.asarray(gen.top_p, jnp.float32),
         "top_k": jnp.asarray(gen.top_k, jnp.int32),
@@ -218,6 +223,8 @@ def generate(
         pad_token_id=gen.pad_token_id,
         max_top_k=gen.max_top_k,
         policy=policy,
+        do_sample=gen.do_sample,
+        use_rep_penalty=gen.repetition_penalty != 1.0,
     )
 
 

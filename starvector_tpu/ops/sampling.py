@@ -67,7 +67,8 @@ def sample_token(
     rng: jax.Array,
     logits: jax.Array,        # (B, V) fp32
     *,
-    do_sample: jax.Array,     # bool scalar (traced ok)
+    do_sample,                # STATIC python bool: False compiles a pure
+                              # argmax step (no vocab sort in the hot loop)
     temperature: jax.Array,
     top_p: jax.Array,
     top_k: jax.Array,
@@ -75,16 +76,15 @@ def sample_token(
     repetition_penalty: jax.Array | None = None,
     max_top_k: int = 64,
 ) -> jax.Array:
-    """Returns (B,) int32 next tokens. Greedy when do_sample is False or
-    temperature == 0."""
+    """Returns (B,) int32 next tokens. Greedy when do_sample is False
+    (statically) or temperature == 0 (runtime)."""
     if presence is not None and repetition_penalty is not None:
         logits = apply_repetition_penalty(logits, presence, repetition_penalty)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if not do_sample:
+        return greedy
     filtered = apply_temperature(logits, temperature)
     filtered = apply_top_k(filtered, top_k, max_top_k)
     filtered = apply_top_p(filtered, top_p)
     sampled = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
-    use_greedy = jnp.logical_or(
-        jnp.logical_not(do_sample), temperature <= 0.0
-    )
-    return jnp.where(use_greedy, greedy, sampled)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
