@@ -345,6 +345,133 @@ def forward(
     return logits, new_cache
 
 
+def init_ragged_cache(
+    cfg: GPTBigCodeConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> dict:
+    """Cache with PER-SLOT lengths for continuous batching (serving): each
+    batch row advances independently."""
+    shape = (cfg.n_layer, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "lengths": jnp.zeros((batch,), jnp.int32),
+        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def forward_ragged_decode(
+    params: dict,
+    cfg: GPTBigCodeConfig,
+    token_ids: jax.Array,     # (B,) next token per slot
+    cache: dict,              # ragged cache (init_ragged_cache)
+    active: jax.Array,        # (B,) 1 = slot holds a live sequence
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """One decode step where every slot sits at its own cache position
+    (the continuous-batching hot path). Inactive slots still compute but
+    don't advance their cache. Returns (logits (B, V), new_cache)."""
+    B = token_ids.shape[0]
+    T = cache["k"].shape[2]
+    x = policy.cast(embed_tokens(params, token_ids[:, None]))  # (B, 1, E)
+    positions = cache["lengths"][:, None]                      # (B, 1)
+    pe = maybe_constrain(params["wpe"], P(None, None))[
+        jnp.clip(positions, 0, cfg.n_positions - 1)
+    ]
+    x = x + policy.cast(pe)
+
+    rows = jnp.arange(B)
+    write_pos = jnp.clip(cache["lengths"], 0, T - 1)
+    kv_mask = cache["kv_mask"].at[rows, write_pos].max(active.astype(jnp.int32))
+    # visibility = all previously written slots + own new slot
+    from starvector_tpu.ops.attention import NEG_INF
+
+    bias = jnp.where(kv_mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(
+        jnp.float32
+    )
+    ctx = {"bias": bias, "kv_mask": kv_mask, "q_offset": 0}
+
+    E = cfg.hidden_size
+    H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
+
+    def body(h, xs):
+        layer_p, lk, lv = xs
+        hh = layer_norm(layer_p["ln_1"], h, cfg.layer_norm_epsilon)
+        qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
+        q = qkv[..., :E].reshape(B, 1, H, D)
+        k = qkv[..., E : E + Hkv * D].reshape(B, Hkv, D)
+        v = qkv[..., E + Hkv * D :].reshape(B, Hkv, D)
+        lk = lk.at[rows, write_pos].set(k.astype(lk.dtype))
+        lv = lv.at[rows, write_pos].set(v.astype(lv.dtype))
+        if cfg.attn_impl == "flash":
+            from starvector_tpu.ops.flash_attention import gqa_decode
+
+            out = gqa_decode(
+                q[:, 0], lk.astype(h.dtype), lv.astype(h.dtype), kv_mask, T
+            )[:, None]
+        else:
+            out = multihead_attention(
+                q, lk.astype(h.dtype), lv.astype(h.dtype), bias
+            )
+        h = h + dense(layer_p["attn"]["c_proj"], out.reshape(B, 1, E), policy)
+        hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        return h, (lk, lv)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(x), policy.cast(params["wte"]),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    new_cache = {
+        "k": ks,
+        "v": vs,
+        "lengths": cache["lengths"] + active.astype(jnp.int32),
+        "kv_mask": kv_mask,
+    }
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def insert_prefill(
+    cfg: GPTBigCodeConfig,
+    ragged_cache: dict,
+    small_cache: dict,   # a B=1 cache from a normal cached prefill
+    slot: jax.Array,     # scalar slot index
+    length: jax.Array,   # number of valid tokens in the small cache
+):
+    """Admit a prefilled request into slot `slot` of the serving cache."""
+    T = ragged_cache["k"].shape[2]
+    Ts = small_cache["k"].shape[2]
+    pad = T - Ts
+    k = small_cache["k"]
+    v = small_cache["v"]
+    mask = small_cache["kv_mask"]
+    if pad > 0:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    else:
+        k, v, mask = k[:, :, :T], v[:, :, :T], mask[:, :T]
+    new_k = jax.lax.dynamic_update_slice(
+        ragged_cache["k"], k.astype(ragged_cache["k"].dtype), (0, slot, 0, 0, 0)
+    )
+    new_v = jax.lax.dynamic_update_slice(
+        ragged_cache["v"], v.astype(ragged_cache["v"].dtype), (0, slot, 0, 0, 0)
+    )
+    new_mask = jax.lax.dynamic_update_slice(
+        ragged_cache["kv_mask"], mask.astype(jnp.int32), (slot, 0)
+    )
+    lengths = jax.lax.dynamic_update_slice(
+        ragged_cache["lengths"], length[None].astype(jnp.int32), (slot,)
+    )
+    return {"k": new_k, "v": new_v, "lengths": lengths, "kv_mask": new_mask}
+
+
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     """Token embedding lookup (the task model concatenates visual prefixes
     before calling forward with inputs_embeds, reference

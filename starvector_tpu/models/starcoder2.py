@@ -307,3 +307,123 @@ def forward(
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     table = maybe_constrain(params["embed_tokens"], P(None, None))
     return maybe_constrain(table[input_ids], batch_spec(extra_dims=2))
+
+
+def init_ragged_cache(
+    cfg: StarCoder2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> dict:
+    """Per-slot-length cache for continuous batching (see gpt_bigcode)."""
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "lengths": jnp.zeros((batch,), jnp.int32),
+        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def forward_ragged_decode(
+    params: dict,
+    cfg: StarCoder2Config,
+    token_ids: jax.Array,     # (B,)
+    cache: dict,
+    active: jax.Array,        # (B,)
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """Continuous-batching decode step (per-slot positions + RoPE)."""
+    from starvector_tpu.ops.attention import NEG_INF
+
+    B = token_ids.shape[0]
+    T = cache["k"].shape[2]
+    H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
+    inv_freq = rope_frequencies(D, cfg.rope_theta)
+    x = policy.cast(embed_tokens(params, token_ids[:, None]))  # (B, 1, E)
+    positions = cache["lengths"][:, None]
+
+    rows = jnp.arange(B)
+    write_pos = jnp.clip(cache["lengths"], 0, T - 1)
+    kv_mask = cache["kv_mask"].at[rows, write_pos].max(active.astype(jnp.int32))
+    allowed = kv_mask[:, None, None, :] > 0
+    if cfg.sliding_window is not None:
+        slot = jnp.arange(T)[None, None, None, :]
+        win_lo = (cache["lengths"] - cfg.sliding_window)[:, None, None, None]
+        allowed = allowed & (slot > win_lo)
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+
+    def body(h, xs):
+        layer_p, lk, lv = xs
+        hh = layer_norm(layer_p["input_layernorm"], h, cfg.norm_epsilon)
+        q = dense(layer_p["attn"]["q_proj"], hh, policy).reshape(B, 1, H, D)
+        k = dense(layer_p["attn"]["k_proj"], hh, policy).reshape(B, 1, Hkv, D)
+        v = dense(layer_p["attn"]["v_proj"], hh, policy).reshape(B, 1, Hkv, D)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        lk = lk.at[rows, write_pos].set(k[:, 0].astype(lk.dtype))
+        lv = lv.at[rows, write_pos].set(v[:, 0].astype(lv.dtype))
+        if cfg.attn_impl == "flash":
+            from starvector_tpu.ops.flash_attention import gqa_decode
+
+            out = gqa_decode(
+                q[:, 0], lk.astype(h.dtype), lv.astype(h.dtype), kv_mask, T
+            )[:, None]
+        else:
+            out = multihead_attention(
+                q, lk.astype(h.dtype), lv.astype(h.dtype), bias
+            )
+        h = h + dense(layer_p["attn"]["o_proj"], out.reshape(B, 1, H * D), policy)
+        hh = layer_norm(layer_p["post_attention_layernorm"], h, cfg.norm_epsilon)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        return h, (lk, lv)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x = layer_norm(params["norm"], x, cfg.norm_epsilon)
+    head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(x), policy.cast(head),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    new_cache = {
+        "k": ks,
+        "v": vs,
+        "lengths": cache["lengths"] + active.astype(jnp.int32),
+        "kv_mask": kv_mask,
+    }
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def insert_prefill(
+    cfg: StarCoder2Config,
+    ragged_cache: dict,
+    small_cache: dict,
+    slot: jax.Array,
+    length: jax.Array,
+):
+    """Admit a prefilled B=1 cache into slot `slot` (see gpt_bigcode)."""
+    T = ragged_cache["k"].shape[2]
+    Ts = small_cache["k"].shape[2]
+    pad = T - Ts
+    k, v, mask = small_cache["k"], small_cache["v"], small_cache["kv_mask"]
+    if pad > 0:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    else:
+        k, v, mask = k[:, :, :T], v[:, :, :T], mask[:, :T]
+    new_k = jax.lax.dynamic_update_slice(
+        ragged_cache["k"], k.astype(ragged_cache["k"].dtype), (0, slot, 0, 0, 0)
+    )
+    new_v = jax.lax.dynamic_update_slice(
+        ragged_cache["v"], v.astype(ragged_cache["v"].dtype), (0, slot, 0, 0, 0)
+    )
+    new_mask = jax.lax.dynamic_update_slice(
+        ragged_cache["kv_mask"], mask.astype(jnp.int32), (slot, 0)
+    )
+    lengths = jax.lax.dynamic_update_slice(
+        ragged_cache["lengths"], length[None].astype(jnp.int32), (slot,)
+    )
+    return {"k": new_k, "v": new_v, "lengths": lengths, "kv_mask": new_mask}

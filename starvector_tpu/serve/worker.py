@@ -1,0 +1,225 @@
+"""Model worker: loads the model, serves streaming generation, heartbeats.
+
+Rebuilds the reference worker (reference: starvector/serve/model_worker.py)
+on aiohttp + the continuous-batching ServeEngine (instead of the reference's
+one-request-per-thread HF streamer):
+  REST: /worker_generate_stream (b'{json}\\0' chunk framing, :174-181),
+        /worker_get_status
+  Registers with the controller and heartbeats every
+  WORKER_HEART_BEAT_INTERVAL s (:31-34,85-104); re-registers if forgotten.
+  im2svg: base64 image → processor → visual prefix + '<svg' prompt
+  (:120-181); text2svg: caption + <svg-start>.
+
+Run: python -m starvector_tpu.serve.worker --model-path /ckpt --port 21002 \
+        --controller http://localhost:21001
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import io
+import json
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+from aiohttp import ClientSession, web
+
+from starvector_tpu.serve.constants import WORKER_HEART_BEAT_INTERVAL
+from starvector_tpu.serve.engine import Request, ServeEngine
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        model,                      # api.StarVectorForCausalLM
+        *,
+        worker_addr: str,
+        controller_addr: str | None = None,
+        model_names: list[str] | None = None,
+        limit_model_concurrency: int = 5,
+        max_batch: int = 8,
+        max_len: int = 8192,
+    ):
+        self.model = model
+        self.worker_addr = worker_addr
+        self.controller_addr = controller_addr
+        self.model_names = model_names or ["starvector"]
+        self.limit = limit_model_concurrency
+        self.engine = ServeEngine(
+            model.params["svg_transformer"], model.cfg.llm, model.cfg.decoder,
+            max_batch=max_batch, max_len=max_len, policy=model.policy,
+        )
+        self.engine.start()
+        self._hb_thread: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    # -- request prep ---------------------------------------------------------
+    def _prefix_for(self, payload: dict):
+        tok = self.model.tokenizer
+        if payload.get("task", "im2svg") == "im2svg":
+            img_b64 = payload["image"]
+            from PIL import Image
+
+            pil = Image.open(io.BytesIO(base64.b64decode(img_b64)))
+            images = self.model.process_images([pil])
+            from starvector_tpu.models import starvector as sv
+
+            cond = sv.encode_image(
+                self.model.params, self.model.cfg, jnp.asarray(images),
+                policy=self.model.policy,
+            )
+            prompt = payload.get("prompt") or tok.prompt
+            ids = jnp.asarray(tok([prompt], add_special_tokens=False)["input_ids"])
+            dec = self.model.cfg.decoder_module
+            pe = dec.embed_tokens(self.model.params["svg_transformer"], ids)
+            prefix = jnp.concatenate(
+                [cond, self.model.policy.cast(pe)], axis=1
+            )
+            return prefix, prompt
+        caption = payload.get("prompt", "")
+        text = caption + tok.svg_start_token
+        ids = jnp.asarray(tok([text], add_special_tokens=False)["input_ids"])
+        dec = self.model.cfg.decoder_module
+        prefix = self.model.policy.cast(
+            dec.embed_tokens(self.model.params["svg_transformer"], ids)
+        )
+        return prefix, ""
+
+    def make_request(self, payload: dict) -> tuple[Request, str]:
+        prefix, prompt_text = self._prefix_for(payload)
+        tok = self.model.tokenizer
+        req = Request(
+            prefix_embeds=prefix,
+            max_new_tokens=int(payload.get("max_new_tokens", 512)),
+            temperature=float(payload.get("temperature", 0.8)),
+            top_p=float(payload.get("top_p", 0.9)),
+            do_sample=float(payload.get("temperature", 0.8)) > 0,
+            stop_sequences=(tok.stop_sequence_ids("</svg>"),),
+            eos_token_id=tok.eos_token_id,
+        )
+        return req, prompt_text
+
+    # -- heartbeat ------------------------------------------------------------
+    def get_status(self) -> dict:
+        return {
+            "model_names": self.model_names,
+            "speed": 1.0,
+            "queue_length": self.engine.queue_length,
+        }
+
+    def start_heartbeat(self):
+        if not self.controller_addr or self._hb_thread:
+            return
+
+        def loop():
+            import requests
+
+            while not self._stop.is_set():
+                try:
+                    r = requests.post(
+                        self.controller_addr + "/receive_heart_beat",
+                        json={
+                            "worker_name": self.worker_addr,
+                            "queue_length": self.engine.queue_length,
+                        },
+                        timeout=5,
+                    )
+                    if not r.json().get("exist", False):
+                        self.register()
+                except Exception as e:  # noqa: BLE001
+                    print(f"heartbeat error: {e}")
+                time.sleep(WORKER_HEART_BEAT_INTERVAL)
+
+        self._hb_thread = threading.Thread(target=loop, daemon=True)
+        self._hb_thread.start()
+
+    def register(self):
+        if not self.controller_addr:
+            return
+        import requests
+
+        requests.post(
+            self.controller_addr + "/register_worker",
+            json={
+                "worker_name": self.worker_addr,
+                "check_heart_beat": True,
+                "worker_status": self.get_status(),
+            },
+            timeout=10,
+        )
+
+    def shutdown(self):
+        self._stop.set()
+        self.engine.stop()
+
+
+def build_app(worker: ModelWorker) -> web.Application:
+    routes = web.RouteTableDef()
+    semaphore = asyncio.Semaphore(worker.limit)
+
+    @routes.post("/worker_get_status")
+    async def worker_get_status(request: web.Request):
+        return web.json_response(worker.get_status())
+
+    @routes.post("/worker_generate_stream")
+    async def worker_generate_stream(request: web.Request):
+        payload = await request.json()
+        async with semaphore:
+            resp = web.StreamResponse()
+            await resp.prepare(request)
+            loop = asyncio.get_running_loop()
+            req, prompt_text = await loop.run_in_executor(
+                None, worker.make_request, payload
+            )
+            worker.engine.submit(req)
+            tok = worker.model.tokenizer
+            generated: list[int] = []
+            while True:
+                kind, data = await loop.run_in_executor(None, req.out_queue.get)
+                if kind == "token":
+                    generated.append(data)
+                    text = prompt_text + tok.decode(np.asarray(generated))
+                    chunk = json.dumps({"text": text, "error_code": 0})
+                    await resp.write(chunk.encode() + b"\0")
+                else:
+                    break
+            await resp.write_eof()
+            return resp
+
+    app = web.Application()
+    app.add_routes(routes)
+    return app
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--controller", default=None)
+    parser.add_argument("--worker-address", default=None)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--max-batch", type=int, default=8)
+    args = parser.parse_args()
+
+    from starvector_tpu.api import StarVectorForCausalLM
+
+    model = StarVectorForCausalLM.from_pretrained(args.model_path)
+    worker = ModelWorker(
+        model,
+        worker_addr=args.worker_address or f"http://localhost:{args.port}",
+        controller_addr=args.controller,
+        limit_model_concurrency=args.limit_model_concurrency,
+        max_batch=args.max_batch,
+    )
+    worker.register()
+    worker.start_heartbeat()
+    web.run_app(build_app(worker), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Continuous-batching engine: concurrent requests, streaming, stop/eos,
+parity with the offline generate path."""
+
+import queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starvector_tpu.generation.engine import GenerationConfig, generate
+from starvector_tpu.models import gpt_bigcode as gbc
+from starvector_tpu.ops.layers import DTypePolicy
+from starvector_tpu.serve.engine import Request, ServeEngine
+
+F32 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def make_engine(cfg, params, max_batch=3):
+    return ServeEngine(
+        params, cfg, "gpt_bigcode", max_batch=max_batch, max_len=64, policy=F32
+    )
+
+
+def offline_greedy(params, cfg, prefix, n):
+    gen = GenerationConfig(max_new_tokens=n, do_sample=False, pad_token_id=0,
+                           min_new_tokens=n)
+    toks, _ = generate(
+        params, cfg, "gpt_bigcode", prefix,
+        jnp.ones(prefix.shape[:2], jnp.int32), gen,
+        jax.random.PRNGKey(0), policy=F32,
+    )
+    return list(np.asarray(toks[0]))
+
+
+def test_single_request_matches_offline(setup):
+    cfg, params = setup
+    engine = make_engine(cfg, params)
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    ref = offline_greedy(params, cfg, prefix, 6)
+    req = Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=False)
+    out = engine.generate_sync(req, timeout=120)
+    engine.stop()
+    assert out == ref
+
+
+def test_concurrent_requests(setup):
+    """More requests than slots: all finish, each matches its own offline
+    run (continuous batching correctness under slot reuse)."""
+    cfg, params = setup
+    engine = make_engine(cfg, params, max_batch=2)
+    engine.start()
+    reqs = []
+    refs = []
+    for seed in range(5):
+        ids = jax.random.randint(jax.random.PRNGKey(seed), (1, 3), 0, cfg.vocab_size)
+        prefix = gbc.embed_tokens(params, ids)
+        refs.append(offline_greedy(params, cfg, prefix, 5))
+        req = Request(prefix_embeds=prefix, max_new_tokens=5, do_sample=False)
+        engine.submit(req)
+        reqs.append(req)
+    outs = []
+    for req in reqs:
+        tokens = None
+        while tokens is None:
+            kind, payload = req.out_queue.get(timeout=120)
+            if kind == "done":
+                tokens = payload
+        outs.append(tokens)
+    engine.stop()
+    assert outs == refs
+
+
+def test_stop_sequence_in_engine(setup):
+    cfg, params = setup
+    engine = make_engine(cfg, params)
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    ref = offline_greedy(params, cfg, prefix, 8)
+    stop = (ref[1], ref[2])
+    req = Request(
+        prefix_embeds=prefix, max_new_tokens=8, do_sample=False,
+        stop_sequences=(stop,),
+    )
+    out = engine.generate_sync(req, timeout=120)
+    engine.stop()
+    expected_len = next(
+        j + 1 for j in range(1, 8) if (ref[j - 1], ref[j]) == stop
+    )
+    assert len(out) == expected_len
+
+
+def test_streaming_tokens_arrive_incrementally(setup):
+    cfg, params = setup
+    engine = make_engine(cfg, params)
+    ids = jnp.array([[7, 7]])
+    prefix = gbc.embed_tokens(params, ids)
+    req = Request(prefix_embeds=prefix, max_new_tokens=4, do_sample=False)
+    engine.submit(req)
+    engine.start()
+    seen = 0
+    while True:
+        kind, payload = req.out_queue.get(timeout=120)
+        if kind == "token":
+            seen += 1
+        else:
+            break
+    engine.stop()
+    assert seen == 4

@@ -1,0 +1,149 @@
+"""Serving REST stack end-to-end: controller registry/dispatch + worker
+streaming over real sockets (asyncio driven manually — no pytest-asyncio in
+the image)."""
+
+import asyncio
+import base64
+import io
+import json
+
+import numpy as np
+import pytest
+
+from starvector_tpu.api import StarVectorForCausalLM
+from starvector_tpu.models import starvector as sv
+from starvector_tpu.serve.controller import Controller, build_app as build_controller
+from starvector_tpu.serve.worker import ModelWorker, build_app as build_worker
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return StarVectorForCausalLM.from_config(sv.tiny_config())
+
+
+def test_controller_dispatch_logic():
+    c = Controller("shortest_queue")
+    assert c.get_worker_address("m") == ""
+    c.register_worker("http://w1", True, {"model_names": ["m"], "speed": 1.0,
+                                          "queue_length": 5})
+    c.register_worker("http://w2", True, {"model_names": ["m"], "speed": 1.0,
+                                          "queue_length": 0})
+    assert c.get_worker_address("m") == "http://w2"
+    # w2's queue was bumped by dispatch; equal queues → first-lowest wins
+    assert c.list_models() == ["m"]
+    # stale expiry
+    c.worker_info["http://w1"].last_heart_beat = 0
+    c.remove_stale_workers()
+    assert "http://w1" not in c.worker_info
+
+
+def test_controller_lottery_respects_models():
+    c = Controller("lottery")
+    c.register_worker("http://a", True, {"model_names": ["x"], "speed": 1.0,
+                                         "queue_length": 0})
+    for _ in range(10):
+        assert c.get_worker_address("x") == "http://a"
+    assert c.get_worker_address("y") == ""
+
+
+def test_worker_stream_end_to_end(model):
+    """POST /worker_generate_stream on a real socket; chunks are
+    \\0-delimited JSON with growing text (reference framing)."""
+    from aiohttp import ClientSession
+    from aiohttp.test_utils import TestServer
+
+    from PIL import Image
+
+    worker = ModelWorker(
+        model, worker_addr="http://t", max_batch=2, max_len=64
+    )
+
+    async def scenario():
+        server = TestServer(build_worker(worker))
+        await server.start_server()
+        try:
+            buf = io.BytesIO()
+            Image.new("RGB", (28, 28), (250, 30, 30)).save(buf, format="PNG")
+            payload = {
+                "task": "im2svg",
+                "image": base64.b64encode(buf.getvalue()).decode(),
+                "max_new_tokens": 5,
+                "temperature": 0.0,
+            }
+            async with ClientSession() as session:
+                url = server.make_url("/worker_generate_stream")
+                async with session.post(url, json=payload) as resp:
+                    raw = await resp.read()
+            chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+            return chunks
+        finally:
+            await server.close()
+
+    chunks = run(scenario())
+    worker.shutdown()
+    assert len(chunks) == 5
+    assert all(c["error_code"] == 0 for c in chunks)
+    # text grows monotonically and starts with the '<svg' prompt
+    lens = [len(c["text"]) for c in chunks]
+    assert lens == sorted(lens)
+    assert chunks[0]["text"].startswith("<svg")
+
+
+def test_controller_worker_integration(model):
+    """Register a live worker with a live controller and stream through the
+    controller's passthrough endpoint."""
+    from aiohttp import ClientSession
+    from aiohttp.test_utils import TestServer
+    from PIL import Image
+
+    controller = Controller("shortest_queue")
+    worker = ModelWorker(model, worker_addr="placeholder", max_batch=2, max_len=64)
+
+    async def scenario():
+        csrv = TestServer(build_controller(controller))
+        wsrv = TestServer(build_worker(worker))
+        await csrv.start_server()
+        await wsrv.start_server()
+        try:
+            worker_url = str(wsrv.make_url("")).rstrip("/")
+            async with ClientSession() as session:
+                # register
+                async with session.post(
+                    csrv.make_url("/register_worker"),
+                    json={
+                        "worker_name": worker_url,
+                        "check_heart_beat": True,
+                        "worker_status": worker.get_status(),
+                    },
+                ) as r:
+                    assert (await r.json())["exist"]
+                async with session.post(
+                    csrv.make_url("/list_models"), json={}
+                ) as r:
+                    assert (await r.json())["models"] == ["starvector"]
+                # stream through controller
+                buf = io.BytesIO()
+                Image.new("RGB", (28, 28), (10, 200, 10)).save(buf, format="PNG")
+                payload = {
+                    "model": "starvector",
+                    "task": "im2svg",
+                    "image": base64.b64encode(buf.getvalue()).decode(),
+                    "max_new_tokens": 3,
+                    "temperature": 0.0,
+                }
+                async with session.post(
+                    csrv.make_url("/worker_generate_stream"), json=payload
+                ) as resp:
+                    raw = await resp.read()
+            return [json.loads(c) for c in raw.split(b"\0") if c]
+        finally:
+            await csrv.close()
+            await wsrv.close()
+
+    chunks = run(scenario())
+    worker.shutdown()
+    assert len(chunks) == 3 and chunks[-1]["text"].startswith("<svg")
