@@ -49,10 +49,20 @@ class StarVectorForCausalLM:
 
     # -- constructors -------------------------------------------------------
     @classmethod
-    def from_pretrained(cls, path: str, dtype=jnp.bfloat16) -> "StarVectorForCausalLM":
+    def from_pretrained(
+        cls, path: str, dtype=jnp.bfloat16, *, quantize: bool = False
+    ) -> "StarVectorForCausalLM":
+        """`quantize=True` converts the decoder's big matmul weights to
+        per-channel int8 (halves decode HBM traffic; vision tower and
+        embeddings stay bf16)."""
         from starvector_tpu.models.builder import load_hf_starvector_checkpoint
 
         params, cfg, tokenizer = load_hf_starvector_checkpoint(path, dtype)
+        if quantize:
+            from starvector_tpu.ops.quantization import quantize_tree
+
+            params = dict(params)
+            params["svg_transformer"] = quantize_tree(params["svg_transformer"])
         return cls(params, cfg, tokenizer,
                    policy=DTypePolicy(param_dtype=dtype, compute_dtype=jnp.bfloat16))
 

@@ -66,6 +66,11 @@ def make_dense_params(rng, d_in, d_out, *, std=None, dtype=jnp.float32, bias=Tru
 
 
 def dense(params, x, policy: DTypePolicy | None = None):
+    if "kernel_q" in params:
+        from starvector_tpu.ops.quantization import dense_quantized
+
+        compute = policy.compute_dtype if policy is not None else x.dtype
+        return dense_quantized(params, x, compute_dtype=compute)
     w = params["kernel"]
     if policy is not None:
         x = x.astype(policy.compute_dtype)

@@ -1,0 +1,160 @@
+"""Weight-only int8 quantization for the decode hot path.
+
+Decode throughput on a single chip is bounded by streaming the weights from
+HBM every step (SURVEY.md §6 north star: tokens/sec/chip). Symmetric
+per-output-channel int8 halves that traffic vs bf16. Activations stay bf16;
+dequantization happens in VMEM inside a fused Pallas matmul so the bf16
+weights never touch HBM.
+
+  * `quantize_dense(p)` — {"kernel": (K,N)} → {"kernel_q": int8,
+    "scale": (N,) f32 [, "bias"]}
+  * `quantize_tree(params)` — quantize every dense leaf above a size
+    threshold (embeddings included); LayerNorms/biases untouched
+  * `ops.layers.dense` dispatches on "kernel_q" so all model code works
+    unchanged with a quantized tree
+  * `quant_matmul` — Pallas kernel (int8 weights → VMEM → dequant → MXU);
+    XLA dequant-einsum fallback on CPU/interpret
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_dense(p: dict) -> dict:
+    """Per-output-channel symmetric int8 of p['kernel'] (K, N)."""
+    w = np.asarray(p["kernel"], np.float32)
+    scale = np.abs(w).max(axis=0) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    out = {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale, jnp.float32)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def quantize_tree(params, min_elems: int = 1 << 16):
+    """Quantize every {'kernel': ...} dict with enough elements; leaves the
+    rest (LN, small projections) untouched. Works on stacked (L, K, N)
+    layer weights too (per-layer, per-channel scales)."""
+
+    def rec(node):
+        if isinstance(node, dict):
+            if "kernel" in node and hasattr(node["kernel"], "shape"):
+                w = np.asarray(node["kernel"])
+                if w.size >= min_elems and w.ndim in (2, 3):
+                    if w.ndim == 2:
+                        return quantize_dense(node)
+                    scale = np.abs(w).max(axis=1, keepdims=False) / 127.0  # (L, N)
+                    scale = np.maximum(scale, 1e-12)
+                    q = np.clip(
+                        np.round(w / scale[:, None, :]), -127, 127
+                    ).astype(np.int8)
+                    out = {
+                        "kernel_q": jnp.asarray(q),
+                        "scale": jnp.asarray(scale, jnp.float32),
+                    }
+                    if "bias" in node:
+                        out["bias"] = node["bias"]
+                    return out
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(params)
+
+
+# ---------------------------------------------------------------------------
+# fused dequant matmul kernel
+# ---------------------------------------------------------------------------
+
+def _qmm_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_scr, *, block_n, block_k):
+    j = pl.program_id(1)   # K blocks (innermost: accumulate)
+    nk = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[:]                       # (M, bk) bf16
+    w = wq_ref[:].astype(jnp.bfloat16)  # (bk, bn) dequant in VMEM
+    acc_scr[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[:] = (acc_scr[:] * scale_ref[0, :][None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_k", "interpret", "out_dtype")
+)
+def quant_matmul(
+    x: jax.Array,        # (M, K) bf16/f32
+    w_q: jax.Array,      # (K, N) int8
+    scale: jax.Array,    # (N,) f32
+    *,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool | None = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, K = x.shape
+    N = w_q.shape[1]
+    block_k = min(block_k, K)
+    block_n = min(block_n, N)
+    k_pad = (-K) % block_k
+    n_pad = (-N) % block_n
+    m_pad = (-M) % 8
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    if k_pad:
+        x = jnp.pad(x, ((0, 0), (0, k_pad)))
+        w_q = jnp.pad(w_q, ((0, k_pad), (0, 0)))
+    if n_pad:
+        w_q = jnp.pad(w_q, ((0, 0), (0, n_pad)))
+        scale = jnp.pad(scale, ((0, n_pad),))
+    Mp, Kp, Np = x.shape[0], K + k_pad, N + n_pad
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, block_n=block_n, block_k=block_k),
+        grid=(Np // block_n, Kp // block_k),
+        in_specs=[
+            pl.BlockSpec((Mp, block_k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, block_n), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Mp, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        interpret=interpret,
+    )(x, w_q, scale[None, :])
+    return out[:M, :N]
+
+
+def dense_quantized(p: dict, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Drop-in quantized dense: (..., K) @ int8(K, N) * scale + bias."""
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    x2 = x.reshape(-1, K).astype(compute_dtype)
+    use_kernel = jax.default_backend() not in ("cpu",)
+    if use_kernel:
+        y = quant_matmul(x2, p["kernel_q"], p["scale"], out_dtype=jnp.float32)
+    else:
+        w = p["kernel_q"].astype(compute_dtype) * p["scale"].astype(compute_dtype)
+        y = jnp.einsum("mk,kn->mn", x2, w, preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype).reshape(*orig_shape[:-1], -1)

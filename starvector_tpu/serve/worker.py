@@ -204,11 +204,15 @@ def main():
     parser.add_argument("--worker-address", default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 weight-only decoder (halves HBM traffic)")
     args = parser.parse_args()
 
     from starvector_tpu.api import StarVectorForCausalLM
 
-    model = StarVectorForCausalLM.from_pretrained(args.model_path)
+    model = StarVectorForCausalLM.from_pretrained(
+        args.model_path, quantize=args.quantize
+    )
     worker = ModelWorker(
         model,
         worker_addr=args.worker_address or f"http://localhost:{args.port}",
