@@ -294,6 +294,49 @@ def text2svg_inputs(
     return policy.cast(tok_embeds), input_mask.astype(jnp.int32), targets
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "policy", "num_generations")
+)
+def grpo_forward(
+    params: dict,
+    cfg: StarVectorConfig,
+    vision_embeds: jax.Array,   # (B, Q, llm_hidden) projected visual prefix
+    input_ids: jax.Array,       # (B * num_generations, S) generated ids
+    attention_mask: jax.Array,  # (B * num_generations, S)
+    *,
+    num_generations: int = 1,
+    policy: DTypePolicy = DTypePolicy(),
+) -> jax.Array:
+    """GRPO-style forward (reference StarVectorForCausalLM.forward,
+    starvector_arch.py:161-184): repeat each image's visual prefix for its
+    `num_generations` rollouts, run the decoder over [prefix ‖ tokens], and
+    return per-token log-probs of the generated ids (B*G, S) for the policy
+    gradient. Positions before each row's first real token get logprob 0."""
+    dec = cfg.decoder_module
+    G = num_generations
+    B, Q, E = vision_embeds.shape
+    cond = jnp.repeat(policy.cast(vision_embeds), G, axis=0)  # (B*G, Q, E)
+    tok_embeds = policy.cast(
+        dec.embed_tokens(params["svg_transformer"], input_ids)
+    )
+    inputs_embeds = jnp.concatenate([cond, tok_embeds], axis=1)
+    am = jnp.concatenate(
+        [jnp.ones((B * G, Q), jnp.int32), attention_mask.astype(jnp.int32)],
+        axis=1,
+    )
+    logits, _ = dec.forward(
+        params["svg_transformer"], cfg.llm, inputs_embeds,
+        attention_mask=am, policy=policy,
+    )
+    # logits at position Q-1+t predict input_ids[:, t]
+    pred = logits[:, Q - 1 : Q - 1 + input_ids.shape[1]]
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    token_lp = jnp.take_along_axis(
+        logp, input_ids[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    return jnp.where(attention_mask > 0, token_lp, 0.0)
+
+
 def loss_fn_with_bn_stats(
     params: dict,
     cfg: StarVectorConfig,
