@@ -28,12 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_dense(p: dict) -> dict:
-    """Per-output-channel symmetric int8 of p['kernel'] (K, N)."""
-    w = np.asarray(p["kernel"], np.float32)
-    scale = np.abs(w).max(axis=0) / 127.0
-    scale = np.maximum(scale, 1e-12)
-    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-    out = {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale, jnp.float32)}
+    """Per-output-channel symmetric int8 of p['kernel'] (K, N). Runs
+    on-device (jnp) — pulling GB-scale weights to host first is slow."""
+    w = jnp.asarray(p["kernel"], jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": q, "scale": scale.astype(jnp.float32)}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -47,19 +47,18 @@ def quantize_tree(params, min_elems: int = 1 << 16):
     def rec(node):
         if isinstance(node, dict):
             if "kernel" in node and hasattr(node["kernel"], "shape"):
-                w = np.asarray(node["kernel"])
+                w = node["kernel"]
                 if w.size >= min_elems and w.ndim in (2, 3):
                     if w.ndim == 2:
                         return quantize_dense(node)
-                    scale = np.abs(w).max(axis=1, keepdims=False) / 127.0  # (L, N)
-                    scale = np.maximum(scale, 1e-12)
-                    q = np.clip(
-                        np.round(w / scale[:, None, :]), -127, 127
-                    ).astype(np.int8)
-                    out = {
-                        "kernel_q": jnp.asarray(q),
-                        "scale": jnp.asarray(scale, jnp.float32),
-                    }
+                    w32 = jnp.asarray(w, jnp.float32)
+                    scale = jnp.maximum(
+                        jnp.max(jnp.abs(w32), axis=1) / 127.0, 1e-12
+                    )  # (L, N)
+                    q = jnp.clip(
+                        jnp.round(w32 / scale[:, None, :]), -127, 127
+                    ).astype(jnp.int8)
+                    out = {"kernel_q": q, "scale": scale.astype(jnp.float32)}
                     if "bias" in node:
                         out["bias"] = node["bias"]
                     return out
@@ -74,8 +73,8 @@ def quantize_tree(params, min_elems: int = 1 << 16):
 # ---------------------------------------------------------------------------
 
 def _qmm_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_scr, *, block_n, block_k):
-    j = pl.program_id(1)   # K blocks (innermost: accumulate)
-    nk = pl.num_programs(1)
+    j = pl.program_id(2)   # K blocks (innermost: accumulate)
+    nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
@@ -111,9 +110,10 @@ def quant_matmul(
     N = w_q.shape[1]
     block_k = min(block_k, K)
     block_n = min(block_n, N)
+    block_m = min(256, max(8, M))
     k_pad = (-K) % block_k
     n_pad = (-N) % block_n
-    m_pad = (-M) % 8
+    m_pad = (-M) % block_m
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     if k_pad:
@@ -126,18 +126,18 @@ def quant_matmul(
 
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, block_n=block_n, block_k=block_k),
-        grid=(Np // block_n, Kp // block_k),
+        grid=(Mp // block_m, Np // block_n, Kp // block_k),
         in_specs=[
-            pl.BlockSpec((Mp, block_k), lambda i, j: (0, j),
+            pl.BlockSpec((block_m, block_k), lambda m, i, j: (m, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i),
+            pl.BlockSpec((block_k, block_n), lambda m, i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, i),
+            pl.BlockSpec((1, block_n), lambda m, i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Mp, block_n), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda m, i, j: (m, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((Mp, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         interpret=interpret,
     )(x, w_q, scale[None, :])

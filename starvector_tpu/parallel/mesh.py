@@ -83,10 +83,19 @@ def create_mesh(
     config = config or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     shape = config.resolve(len(devices))
+    num_slices = len({getattr(d, "slice_index", 0) for d in devices})
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+        if num_slices > 1 and shape[0] == num_slices:
+            # multi-slice pod: replica axis rides DCN, inner axes stay on ICI
+            # (HSDP semantics of the reference's HYBRID_SHARD,
+            # train/util.py:224-241)
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (1, *shape[1:]), (shape[0], 1, 1, 1), devices=devices
+            ).reshape(shape)
+        else:
+            dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception:
         dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, MESH_AXES)
