@@ -57,8 +57,10 @@ class GPTBigCodeConfig:
     resid_pdrop: float = 0.1
     embd_pdrop: float = 0.1
     attn_pdrop: float = 0.1
-    # "xla" (reference path) | "flash" (Pallas kernels: flash prefill +
-    # MQA decode; avoids materialising the (B,1,S,T) bias entirely)
+    # "xla" (reference path) | "flash" (Pallas prefill + Pallas decode) |
+    # "mixed" (Pallas flash prefill, XLA decode — fastest measured combo on
+    # v5e: flash prefill is ~6x XLA, but XLA's fused einsum wins the
+    # single-token decode step)
     attn_impl: str = "xla"
 
     @property
@@ -204,10 +206,16 @@ def _attention_block(
         k, v = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = {"k": ck, "v": cv}
 
-    if cfg.attn_impl == "flash":
-        from starvector_tpu.ops.flash_attention import flash_prefill, gqa_decode
+    is_decode = S == 1 and layer_cache is not None
+    impl = cfg.attn_impl
+    if impl == "mixed":
+        impl = "xla" if is_decode else "flash"
+    if impl == "flash":
+        from starvector_tpu.ops.flash_attention import (
+            flash_prefill, gqa_decode_batched as gqa_decode,
+        )
 
-        if S == 1 and layer_cache is not None:
+        if is_decode:
             out = gqa_decode(
                 q[:, 0], k, v, ctx["kv_mask"], ctx["q_offset"] + 1
             )[:, None]
@@ -266,7 +274,11 @@ def forward(
     B, S, E = inputs_embeds.shape
     x = policy.cast(inputs_embeds)
 
-    use_flash = cfg.attn_impl == "flash"
+    # bias is only needed where the XLA attention path will run
+    is_decode_call = cache is not None and inputs_embeds.shape[1] == 1
+    use_flash = cfg.attn_impl == "flash" or (
+        cfg.attn_impl == "mixed" and not is_decode_call
+    )
     if cache is None:
         if attention_mask is None:
             attention_mask = jnp.ones((B, S), jnp.int32)
@@ -405,7 +417,9 @@ def forward_ragged_decode(
         lk = lk.at[rows, write_pos].set(k.astype(lk.dtype))
         lv = lv.at[rows, write_pos].set(v.astype(lv.dtype))
         if cfg.attn_impl == "flash":
-            from starvector_tpu.ops.flash_attention import gqa_decode
+            from starvector_tpu.ops.flash_attention import (
+                gqa_decode_batched as gqa_decode,
+            )
 
             out = gqa_decode(
                 q[:, 0], lk.astype(h.dtype), lv.astype(h.dtype), kv_mask, T

@@ -51,7 +51,7 @@ class StarCoder2Config:
     rope_theta: float = 1e6
     sliding_window: int | None = 4096
     use_bias: bool = True
-    attn_impl: str = "xla"  # "xla" | "flash" (Pallas kernels)
+    attn_impl: str = "xla"  # "xla" | "flash" | "mixed" (flash prefill, xla decode)
     tie_word_embeddings: bool = True
     initializer_range: float = 0.018042
 
@@ -175,10 +175,16 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
         k, v = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = {"k": ck, "v": cv}
 
-    if cfg.attn_impl == "flash":
-        from starvector_tpu.ops.flash_attention import flash_prefill, gqa_decode
+    is_decode = S == 1 and layer_cache is not None
+    impl = cfg.attn_impl
+    if impl == "mixed":
+        impl = "xla" if is_decode else "flash"
+    if impl == "flash":
+        from starvector_tpu.ops.flash_attention import (
+            flash_prefill, gqa_decode_batched as gqa_decode,
+        )
 
-        if S == 1 and layer_cache is not None:
+        if is_decode:
             cache_len = ctx["q_offset"] + 1
             win_start = (
                 jnp.maximum(cache_len - cfg.sliding_window, 0)
@@ -233,7 +239,11 @@ def forward(
     x = policy.cast(inputs_embeds)
     x = maybe_constrain(x, batch_spec(extra_dims=2))
 
-    use_flash = cfg.attn_impl == "flash"
+    # bias is only needed where the XLA attention path will run
+    is_decode_call = cache is not None and inputs_embeds.shape[1] == 1
+    use_flash = cfg.attn_impl == "flash" or (
+        cfg.attn_impl == "mixed" and not is_decode_call
+    )
     if cache is None:
         if attention_mask is None:
             attention_mask = jnp.ones((B, S), jnp.int32)
@@ -363,7 +373,9 @@ def forward_ragged_decode(
         lk = lk.at[rows, write_pos].set(k[:, 0].astype(lk.dtype))
         lv = lv.at[rows, write_pos].set(v[:, 0].astype(lv.dtype))
         if cfg.attn_impl == "flash":
-            from starvector_tpu.ops.flash_attention import gqa_decode
+            from starvector_tpu.ops.flash_attention import (
+                gqa_decode_batched as gqa_decode,
+            )
 
             out = gqa_decode(
                 q[:, 0], lk.astype(h.dtype), lv.astype(h.dtype), kv_mask, T

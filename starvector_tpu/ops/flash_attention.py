@@ -212,6 +212,165 @@ def flash_prefill(
 
 
 # ---------------------------------------------------------------------------
+# batched MQA decode (all batch rows per program — the serving hot kernel)
+# ---------------------------------------------------------------------------
+
+def _decode_all_kernel(
+    len_ref,        # (2,) [valid len, window start]
+    q_ref,          # (B, H, D)
+    k_ref,          # (B, bk, D)
+    v_ref,          # (B, bk, D)
+    kvmask_ref,     # (B, bk)
+    o_ref,          # (B, H, D)
+    m_scr,          # (B*H, 128)
+    l_scr,          # (B*H, 128)
+    acc_scr,        # (B*H, D)
+    *,
+    scale: float,
+    block_k: int,
+):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    valid_len = len_ref[0]
+    win_start = len_ref[1]
+    run = jnp.logical_and(
+        j * block_k < valid_len, (j + 1) * block_k > win_start
+    )
+
+    @pl.when(run)
+    def _compute():
+        B, H, D = q_ref.shape
+        q = q_ref[:]                     # (B, H, D)
+        k = k_ref[:]                     # (B, bk, D)
+        # batched scores: one MXU pass over all rows/heads
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                        # (B, H, bk)
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (B, H, block_k), 2
+        )
+        mask = (kvmask_ref[:][:, None, :] > 0) & (k_pos < valid_len)
+        mask &= k_pos >= win_start
+        s = jnp.where(mask, s, NEG_INF)
+        s2 = s.reshape(B * H, block_k)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=-1, keepdims=True))
+        p = jnp.exp(s2 - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+            l_scr.shape,
+        )
+        pv = jax.lax.dot_general(
+            p.reshape(B, H, block_k).astype(v_ref.dtype), v_ref[:],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                # (B, H, D)
+        acc_scr[:] = acc_scr[:] * corr + pv.reshape(B * H, D)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        B, H, D = q_ref.shape
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[:] = (acc_scr[:] / denom).reshape(B, H, D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_k", "interpret", "scale")
+)
+def mqa_decode_batched(
+    q: jax.Array,          # (B, H, D)
+    k_cache: jax.Array,    # (B, T, D)
+    v_cache: jax.Array,    # (B, T, D)
+    kv_mask: jax.Array,    # (B, T)
+    cache_len: jax.Array,
+    window_start: jax.Array | int = 0,
+    *,
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-token MQA decode, one program per KV block covering ALL batch
+    rows and heads (big MXU tiles instead of per-row matvecs)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, H, D = q.shape
+    T = k_cache.shape[1]
+    scale = D**-0.5 if scale is None else scale
+    block_k = min(block_k, max(T, 128))
+    k_pad = (-T) % block_k
+    if k_pad:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, k_pad), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, k_pad), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, k_pad)))
+    Tp = T + k_pad
+
+    out = pl.pallas_call(
+        functools.partial(_decode_all_kernel, scale=scale, block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Tp // block_k,),
+            in_specs=[
+                pl.BlockSpec((B, H, D), lambda j, *_: (0, 0, 0)),
+                pl.BlockSpec((B, block_k, D), lambda j, *_: (0, j, 0)),
+                pl.BlockSpec((B, block_k, D), lambda j, *_: (0, j, 0)),
+                pl.BlockSpec((B, block_k), lambda j, *_: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((B, H, D), lambda j, *_: (0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((B * H, 128), jnp.float32),
+                pltpu.VMEM((B * H, 128), jnp.float32),
+                pltpu.VMEM((B * H, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        interpret=interpret,
+    )(
+        jnp.stack([jnp.asarray(cache_len, jnp.int32),
+                   jnp.asarray(window_start, jnp.int32)]),
+        q, k_cache, v_cache, kv_mask.astype(jnp.int32),
+    )
+    return out
+
+
+def gqa_decode_batched(
+    q: jax.Array,          # (B, H, D)
+    k_cache: jax.Array,    # (B, T, Hkv, D)
+    v_cache: jax.Array,    # (B, T, Hkv, D)
+    kv_mask: jax.Array,
+    cache_len: jax.Array,
+    window_start: jax.Array | int = 0,
+    *,
+    scale: float | None = None,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """GQA wrapper over the batched decode kernel (kv heads fold to batch)."""
+    B, H, D = q.shape
+    Hkv = k_cache.shape[2]
+    G = H // Hkv
+    T = k_cache.shape[1]
+    qf = q.reshape(B, Hkv, G, D).reshape(B * Hkv, G, D)
+    kf = jnp.moveaxis(k_cache, 2, 1).reshape(B * Hkv, T, D)
+    vf = jnp.moveaxis(v_cache, 2, 1).reshape(B * Hkv, T, D)
+    mf = jnp.repeat(kv_mask, Hkv, axis=0)
+    out = mqa_decode_batched(
+        qf, kf, vf, mf, cache_len, window_start,
+        scale=scale, block_k=block_k, interpret=interpret,
+    )
+    return out.reshape(B, Hkv, G, D).reshape(B, H, D)
+
+
+# ---------------------------------------------------------------------------
 # MQA decode
 # ---------------------------------------------------------------------------
 

@@ -149,3 +149,78 @@ def test_decoder_flash_path_matches_xla(module):
     _, cache_x = dec.forward(params, cfg_x, embeds, cache=cache_x, policy=f32)
     dx, _ = dec.forward(params, cfg_x, nxt, cache=cache_x, policy=f32)
     np.testing.assert_allclose(np.asarray(df), np.asarray(dx), rtol=5e-4, atol=5e-4)
+
+
+def test_batched_decode_parity():
+    from starvector_tpu.ops.flash_attention import mqa_decode_batched
+
+    B, H, D, T = 4, 8, 128, 96
+    filled = 70
+    q1 = rand(20, (B, 1, H, D))
+    k = rand(21, (B, T, 1, D))
+    v = rand(22, (B, T, 1, D))
+    kv_mask = jnp.asarray(
+        (np.arange(T)[None, :] < filled).astype(np.int32).repeat(B, 0)
+    )
+    bias = make_attention_bias(kv_mask, 1, T, q_offset=filled - 1, causal=True)
+    ref = multihead_attention(q1, k, v, bias)[:, 0]
+    out = mqa_decode_batched(
+        q1[:, 0], k[:, :, 0], v[:, :, 0], kv_mask,
+        jnp.asarray(filled), block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_batched_decode_window():
+    from starvector_tpu.ops.flash_attention import mqa_decode_batched
+
+    B, H, D, T = 2, 4, 128, 64
+    filled, win_start = 50, 20
+    q1 = rand(23, (B, 1, H, D))
+    k = rand(24, (B, T, 1, D))
+    v = rand(25, (B, T, 1, D))
+    base_mask = (np.arange(T)[None, :] < filled).astype(np.int32).repeat(B, 0)
+    win_mask = base_mask * (np.arange(T)[None, :] >= win_start)
+    bias = make_attention_bias(jnp.asarray(win_mask), 1, T, q_offset=filled - 1)
+    ref = multihead_attention(q1, k, v, bias)[:, 0]
+    out = mqa_decode_batched(
+        q1[:, 0], k[:, :, 0], v[:, :, 0], jnp.asarray(base_mask),
+        jnp.asarray(filled), jnp.asarray(win_start), block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("module", ["gpt_bigcode", "starcoder2"])
+def test_decoder_mixed_mode_matches_xla(module):
+    """'mixed' (flash prefill, xla decode) must equal the xla path."""
+    import dataclasses
+
+    if module == "gpt_bigcode":
+        from starvector_tpu.models import gpt_bigcode as dec
+        cfg_x = dec.tiny_config(hidden_size=256, n_head=2)
+    else:
+        from starvector_tpu.models import starcoder2 as dec
+        cfg_x = dec.tiny_config(
+            hidden_size=256, num_attention_heads=2, num_key_value_heads=2,
+            intermediate_size=512,
+        )
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    f32 = DTypePolicy(compute_dtype=jnp.float32)
+    cfg_m = dataclasses.replace(cfg_x, attn_impl="mixed")
+    params = dec.init_params(cfg_x, jax.random.PRNGKey(0))
+    B, S = 2, 10
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0, cfg_x.vocab_size)
+    embeds = dec.embed_tokens(params, ids)
+
+    cache_x = dec.init_cache(cfg_x, B, S + 3, dtype=jnp.float32)
+    px, cache_x = dec.forward(params, cfg_x, embeds, cache=cache_x, policy=f32)
+    cache_m = dec.init_cache(cfg_m, B, S + 3, dtype=jnp.float32)
+    pm, cache_m = dec.forward(params, cfg_m, embeds, cache=cache_m, policy=f32)
+    np.testing.assert_allclose(
+        np.asarray(pm[:, -1]), np.asarray(px[:, -1]), rtol=5e-4, atol=5e-4
+    )
+    nxt = dec.embed_tokens(params, jnp.full((B, 1), 7))
+    dx, _ = dec.forward(params, cfg_x, nxt, cache=cache_x, policy=f32)
+    dm, _ = dec.forward(params, cfg_m, nxt, cache=cache_m, policy=f32)
+    np.testing.assert_allclose(np.asarray(dm), np.asarray(dx), rtol=5e-4, atol=5e-4)
