@@ -47,7 +47,12 @@ def config_from_yaml_block(model_block: dict) -> sv.StarVectorConfig:
         overrides["max_length_train"] = int(model_block["max_length"])
     if "task" in model_block:
         overrides["task"] = model_block["task"]
-    return dataclasses.replace(base, **overrides)
+    cfg = dataclasses.replace(base, **overrides)
+    if "attn_impl" in model_block:
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, attn_impl=model_block["attn_impl"])
+        )
+    return cfg
 
 
 def _detect_version(path: str) -> str:

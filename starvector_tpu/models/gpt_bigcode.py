@@ -212,13 +212,17 @@ def _attention_block(
         impl = "xla" if is_decode else "flash"
     if impl == "flash":
         from starvector_tpu.ops.flash_attention import (
-            flash_prefill, gqa_decode_batched as gqa_decode,
+            flash_prefill, flash_prefill_trainable,
+            gqa_decode_batched as gqa_decode,
         )
 
         if is_decode:
             out = gqa_decode(
                 q[:, 0], k, v, ctx["kv_mask"], ctx["q_offset"] + 1
             )[:, None]
+        elif layer_cache is None:
+            # training path: differentiable wrapper (q_offset is 0)
+            out = flash_prefill_trainable(q, k, v, ctx["kv_mask"])
         else:
             out = flash_prefill(
                 q, k, v, ctx["kv_mask"], q_offset=ctx["q_offset"]

@@ -181,7 +181,8 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
         impl = "xla" if is_decode else "flash"
     if impl == "flash":
         from starvector_tpu.ops.flash_attention import (
-            flash_prefill, gqa_decode_batched as gqa_decode,
+            flash_prefill, flash_prefill_trainable,
+            gqa_decode_batched as gqa_decode,
         )
 
         if is_decode:
@@ -194,6 +195,10 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
             out = gqa_decode(
                 q[:, 0], k, v, ctx["kv_mask"], cache_len, win_start
             )[:, None]
+        elif layer_cache is None:
+            out = flash_prefill_trainable(
+                q, k, v, ctx["kv_mask"], True, cfg.sliding_window
+            )
         else:
             out = flash_prefill(
                 q, k, v, ctx["kv_mask"], q_offset=ctx["q_offset"],

@@ -212,6 +212,45 @@ def flash_prefill(
 
 
 # ---------------------------------------------------------------------------
+# trainable flash prefill (custom VJP)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_prefill_trainable(q, k, v, kv_mask, causal=True, window=None,
+                            scale=None):
+    """flash_prefill with a gradient: forward runs the Pallas kernel,
+    backward recomputes attention through the XLA reference path (correct,
+    memory-lighter than storing probs; a fused Pallas backward is a later
+    optimization). Signature restricted to the training case (q_offset=0)."""
+    return flash_prefill(q, k, v, kv_mask, 0, causal=causal, window=window,
+                         scale=scale)
+
+
+def _fp_fwd(q, k, v, kv_mask, causal, window, scale):
+    out = flash_prefill(q, k, v, kv_mask, 0, causal=causal, window=window,
+                        scale=scale)
+    return out, (q, k, v, kv_mask)
+
+
+def _fp_bwd(causal, window, scale, residuals, g):
+    from starvector_tpu.ops.attention import make_attention_bias, multihead_attention
+
+    q, k, v, kv_mask = residuals
+    S, T = q.shape[1], k.shape[1]
+
+    def ref(q, k, v):
+        bias = make_attention_bias(kv_mask, S, T, causal=causal, window=window)
+        return multihead_attention(q, k, v, bias, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_prefill_trainable.defvjp(_fp_fwd, _fp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # batched MQA decode (all batch rows per program — the serving hot kernel)
 # ---------------------------------------------------------------------------
 

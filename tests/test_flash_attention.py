@@ -224,3 +224,31 @@ def test_decoder_mixed_mode_matches_xla(module):
     dx, _ = dec.forward(params, cfg_x, nxt, cache=cache_x, policy=f32)
     dm, _ = dec.forward(params, cfg_m, nxt, cache=cache_m, policy=f32)
     np.testing.assert_allclose(np.asarray(dm), np.asarray(dx), rtol=5e-4, atol=5e-4)
+
+
+def test_flash_training_gradients_match_xla():
+    """Grads through the flash training path match the xla path."""
+    import dataclasses
+
+    from starvector_tpu.models import gpt_bigcode as dec
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    f32 = DTypePolicy(compute_dtype=jnp.float32)
+    cfg_x = dec.tiny_config(hidden_size=256, n_head=2)
+    cfg_f = dataclasses.replace(cfg_x, attn_impl="flash")
+    params = dec.init_params(cfg_x, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, cfg_x.vocab_size)
+    labels = ids.astype(jnp.int32)
+
+    def loss(p, cfg):
+        e = dec.embed_tokens(p, ids)
+        lg, _ = dec.forward(p, cfg, e, policy=f32)
+        return dec.causal_lm_loss(lg, labels)
+
+    lx, gx = jax.value_and_grad(lambda p: loss(p, cfg_x))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss(p, cfg_f))(params)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )
