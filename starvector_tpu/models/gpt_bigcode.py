@@ -339,6 +339,14 @@ def forward(
         body_fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(body_fn, x, params["layers"])
         new_cache = None
+    elif S == 1 and cfg.attn_impl in ("xla", "mixed"):
+        # decode fast path: layers emit only their NEW k/v token; the big
+        # cache is written once after the scan. The naive scan-ys variant
+        # re-materializes the full (L,B,T,…) cache every step (~2x cache
+        # traffic); attention merges the cached scores with the new token's
+        # self-score in one softmax.
+        x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, policy)
+        new_cache["index"] = new_index
     else:
         def body(h, xs):
             layer_p, lk, lv = xs
@@ -359,6 +367,73 @@ def forward(
     )
     logits = maybe_constrain(logits, batch_spec(extra_dims=2))
     return logits, new_cache
+
+
+def _decode_step(params, cfg, x, cache, kv_mask, policy):
+    """Single-token cached decode with small scan outputs (see forward).
+    `kv_mask` already includes the new token's slot; the cached arrays do
+    NOT yet contain the new k/v, whose contribution is merged analytically
+    into the softmax."""
+    B = x.shape[0]
+    E, H, D, Hkv = cfg.hidden_size, cfg.n_head, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    idx = cache["index"]
+    # mask over cached slots only (exclude the new token's slot)
+    T = cache["k"].shape[2]
+    old_mask = kv_mask & (jnp.arange(T)[None, :] < idx)
+
+    def body(h, xs):
+        layer_p, lk, lv = xs
+        hh = layer_norm(layer_p["ln_1"], h, cfg.layer_norm_epsilon)
+        qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
+        q = qkv[..., :E].reshape(B, Hkv, G, D)
+        k_new = qkv[..., E : E + Hkv * D].reshape(B, Hkv, D)
+        v_new = qkv[..., E + Hkv * D :].reshape(B, Hkv, D)
+
+        scale = D**-0.5
+        kc = lk.astype(h.dtype)                       # (B, T, Hkv, D)
+        vc = lv.astype(h.dtype)
+        s_c = jnp.einsum(
+            "bkgd,btkd->bkgt", q, kc, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * scale                 # (B, Hkv, G, T)
+        from starvector_tpu.ops.attention import NEG_INF
+
+        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
+        s_self = jnp.einsum(
+            "bkgd,bkd->bkg", q, k_new.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) * scale                 # (B, Hkv, G)
+
+        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
+        p_c = jnp.exp(s_c - m[..., None])
+        p_s = jnp.exp(s_self - m)
+        denom = jnp.sum(p_c, axis=-1) + p_s
+        out = jnp.einsum(
+            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + p_s[..., None] * v_new[:, :, None].astype(jnp.float32)
+        out = (out / denom[..., None]).astype(h.dtype)
+        out = out.reshape(B, 1, E)
+
+        h = h + dense(layer_p["attn"]["c_proj"], out, policy)
+        hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        return h, (k_new.astype(cache["k"].dtype), v_new.astype(cache["v"].dtype))
+
+    x, (k_news, v_news) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    # one small write: (L, B, 1, Hkv, D) at slot idx
+    new_k = jax.lax.dynamic_update_slice(
+        cache["k"], k_news[:, :, None], (0, 0, idx, 0, 0)
+    )
+    new_v = jax.lax.dynamic_update_slice(
+        cache["v"], v_news[:, :, None], (0, 0, idx, 0, 0)
+    )
+    return x, {"k": new_k, "v": new_v, "kv_mask": kv_mask}
 
 
 def init_ragged_cache(

@@ -295,6 +295,9 @@ def forward(
         body_fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(body_fn, x, params["layers"])
         new_cache = None
+    elif S == 1 and cfg.attn_impl in ("xla", "mixed"):
+        x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, positions, policy)
+        new_cache["index"] = new_index
     else:
         def body(h, xs):
             layer_p, lk, lv = xs
@@ -322,6 +325,74 @@ def forward(
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     table = maybe_constrain(params["embed_tokens"], P(None, None))
     return maybe_constrain(table[input_ids], batch_spec(extra_dims=2))
+
+
+def _decode_step(params, cfg, x, cache, kv_mask, positions, policy):
+    """Single-token cached decode with small scan outputs + analytic
+    self-token softmax merge (see gpt_bigcode._decode_step)."""
+    B = x.shape[0]
+    E = cfg.hidden_size
+    H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    idx = cache["index"]
+    T = cache["k"].shape[2]
+    inv_freq = rope_frequencies(D, cfg.rope_theta)
+    slot_ids = jnp.arange(T)[None, :]
+    old_mask = kv_mask & (slot_ids < idx)
+    if cfg.sliding_window is not None:
+        old_mask = old_mask & (slot_ids > idx - cfg.sliding_window)
+
+    def body(h, xs):
+        layer_p, lk, lv = xs
+        hh = layer_norm(layer_p["input_layernorm"], h, cfg.norm_epsilon)
+        q = dense(layer_p["attn"]["q_proj"], hh, policy).reshape(B, 1, H, D)
+        k_new = dense(layer_p["attn"]["k_proj"], hh, policy).reshape(B, 1, Hkv, D)
+        v_new = dense(layer_p["attn"]["v_proj"], hh, policy).reshape(B, 1, Hkv, D)
+        q = apply_rope(q, positions, inv_freq)
+        k_new = apply_rope(k_new, positions, inv_freq)
+        qg = q.reshape(B, Hkv, G, D)
+        kn = k_new[:, 0]
+        vn = v_new[:, 0]
+
+        scale = D**-0.5
+        kc = lk.astype(h.dtype)
+        vc = lv.astype(h.dtype)
+        s_c = jnp.einsum(
+            "bkgd,btkd->bkgt", qg, kc, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * scale
+        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
+        s_self = jnp.einsum(
+            "bkgd,bkd->bkg", qg, kn.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) * scale
+        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
+        p_c = jnp.exp(s_c - m[..., None])
+        p_s = jnp.exp(s_self - m)
+        denom = jnp.sum(p_c, axis=-1) + p_s
+        out = jnp.einsum(
+            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + p_s[..., None] * vn[:, :, None].astype(jnp.float32)
+        out = (out / denom[..., None]).astype(h.dtype).reshape(B, 1, H * D)
+
+        h = h + dense(layer_p["attn"]["o_proj"], out, policy)
+        hh = layer_norm(layer_p["post_attention_layernorm"], h, cfg.norm_epsilon)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        return h, (kn.astype(cache["k"].dtype), vn.astype(cache["v"].dtype))
+
+    x, (k_news, v_news) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    new_k = jax.lax.dynamic_update_slice(
+        cache["k"], k_news[:, :, None], (0, 0, idx, 0, 0)
+    )
+    new_v = jax.lax.dynamic_update_slice(
+        cache["v"], v_news[:, :, None], (0, 0, idx, 0, 0)
+    )
+    return x, {"k": new_k, "v": new_v, "kv_mask": kv_mask}
 
 
 def init_ragged_cache(
