@@ -92,6 +92,7 @@ def _generate_jit(
     logits, cache = dec.forward(
         params, llm_cfg, inputs_embeds,
         attention_mask=attention_mask, cache=cache, policy=policy,
+        last_logits_only=True,
     )
     last_logits = logits[:, -1]  # (B, V) — prompts are left-padded
 

@@ -254,7 +254,7 @@ def compute_position_ids(attention_mask: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "policy", "remat", "return_hidden"),
+    static_argnames=("cfg", "policy", "remat", "return_hidden", "last_logits_only"),
 )
 def forward(
     params: dict,
@@ -267,6 +267,7 @@ def forward(
     policy: DTypePolicy = DTypePolicy(),
     remat: bool = False,
     return_hidden: bool = False,
+    last_logits_only: bool = False,
 ) -> tuple[jax.Array, dict | None]:
     """Run the decoder. Without `cache`: full-sequence (training) forward.
     With `cache`: writes the S new tokens at cache.index and attends over the
@@ -361,6 +362,10 @@ def forward(
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     if return_hidden:
         return x, new_cache
+    if last_logits_only:
+        # generation prefill only needs the last position: skips a
+        # (B, S, vocab) fp32 materialization (12.9 GB at B=64, S=1024)
+        x = x[:, -1:]
     logits = jnp.einsum(
         "bse,ve->bsv", policy.cast(x), policy.cast(params["wte"]),
         preferred_element_type=jnp.float32,

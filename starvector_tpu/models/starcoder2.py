@@ -224,7 +224,8 @@ def _block(p, cfg, x, ctx, positions, layer_cache, cache_index, policy):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "policy", "remat", "return_hidden")
+    jax.jit,
+    static_argnames=("cfg", "policy", "remat", "return_hidden", "last_logits_only"),
 )
 def forward(
     params: dict,
@@ -237,6 +238,7 @@ def forward(
     policy: DTypePolicy = DTypePolicy(),
     remat: bool = False,
     return_hidden: bool = False,
+    last_logits_only: bool = False,
 ):
     """Same contract as gpt_bigcode.forward. Sliding-window mask applied when
     cfg.sliding_window is set (HF semantics: key within [q-window+1, q])."""
@@ -313,6 +315,8 @@ def forward(
     x = layer_norm(params["norm"], x, cfg.norm_epsilon)
     if return_hidden:
         return x, new_cache
+    if last_logits_only:
+        x = x[:, -1:]
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.einsum(
         "bse,ve->bsv", policy.cast(x), policy.cast(head),

@@ -127,7 +127,7 @@ class ServeEngine:
             logits, small = self.dec.forward(
                 self.params, self.llm_cfg, embeds,
                 attention_mask=jnp.ones((1, P), jnp.int32),
-                cache=small, policy=self.policy,
+                cache=small, policy=self.policy, last_logits_only=True,
             )
             self.cache = self.dec.insert_prefill(
                 self.llm_cfg, self.cache, small, jnp.asarray(slot_idx),
