@@ -480,46 +480,59 @@ def forward_ragged_decode(
     rows = jnp.arange(B)
     write_pos = jnp.clip(cache["lengths"], 0, T - 1)
     kv_mask = cache["kv_mask"].at[rows, write_pos].max(active.astype(jnp.int32))
-    # visibility = all previously written slots + own new slot
+    # cached-slot visibility (the new token's contribution merges analytically)
     from starvector_tpu.ops.attention import NEG_INF
 
-    bias = jnp.where(kv_mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(
-        jnp.float32
-    )
-    ctx = {"bias": bias, "kv_mask": kv_mask, "q_offset": 0}
+    old_mask = cache["kv_mask"]
 
     E = cfg.hidden_size
     H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    scale = D**-0.5
 
     def body(h, xs):
         layer_p, lk, lv = xs
         hh = layer_norm(layer_p["ln_1"], h, cfg.layer_norm_epsilon)
         qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
-        q = qkv[..., :E].reshape(B, 1, H, D)
-        k = qkv[..., E : E + Hkv * D].reshape(B, Hkv, D)
-        v = qkv[..., E + Hkv * D :].reshape(B, Hkv, D)
-        lk = lk.at[rows, write_pos].set(k.astype(lk.dtype))
-        lv = lv.at[rows, write_pos].set(v.astype(lv.dtype))
-        if cfg.attn_impl == "flash":
-            from starvector_tpu.ops.flash_attention import (
-                gqa_decode_batched as gqa_decode,
-            )
+        q = qkv[..., :E].reshape(B, Hkv, G, D)
+        k_new = qkv[..., E : E + Hkv * D].reshape(B, Hkv, D)
+        v_new = qkv[..., E + Hkv * D :].reshape(B, Hkv, D)
 
-            out = gqa_decode(
-                q[:, 0], lk.astype(h.dtype), lv.astype(h.dtype), kv_mask, T
-            )[:, None]
-        else:
-            out = multihead_attention(
-                q, lk.astype(h.dtype), lv.astype(h.dtype), bias
-            )
-        h = h + dense(layer_p["attn"]["c_proj"], out.reshape(B, 1, E), policy)
+        kc = lk.astype(h.dtype)
+        vc = lv.astype(h.dtype)
+        s_c = jnp.einsum(
+            "bkgd,btkd->bkgt", q, kc, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * scale
+        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
+        s_self = jnp.einsum(
+            "bkgd,bkd->bkg", q, k_new.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) * scale
+        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
+        p_c = jnp.exp(s_c - m[..., None])
+        p_s = jnp.exp(s_self - m)
+        denom = jnp.sum(p_c, axis=-1) + p_s
+        out = jnp.einsum(
+            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + p_s[..., None] * v_new[:, :, None].astype(jnp.float32)
+        out = (out / denom[..., None]).astype(h.dtype).reshape(B, 1, E)
+
+        h = h + dense(layer_p["attn"]["c_proj"], out, policy)
         hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
         hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
         hh = gelu_tanh(hh)
         h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
-        return h, (lk, lv)
+        return h, (k_new.astype(cache["k"].dtype), v_new.astype(cache["v"].dtype))
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x, (k_news, v_news) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    # per-row scatter of the (L, B, Hkv, D) new tokens at each slot's length
+    layer_ids = jnp.arange(cfg.n_layer)[:, None]
+    ks = cache["k"].at[layer_ids, rows[None, :], write_pos[None, :]].set(k_news)
+    vs = cache["v"].at[layer_ids, rows[None, :], write_pos[None, :]].set(v_news)
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     logits = jnp.einsum(
         "bse,ve->bsv", policy.cast(x), policy.cast(params["wte"]),

@@ -435,12 +435,14 @@ def forward_ragged_decode(
     rows = jnp.arange(B)
     write_pos = jnp.clip(cache["lengths"], 0, T - 1)
     kv_mask = cache["kv_mask"].at[rows, write_pos].max(active.astype(jnp.int32))
-    allowed = kv_mask[:, None, None, :] > 0
+    # cached-slot visibility only; self term merged analytically
+    old_mask = cache["kv_mask"]
     if cfg.sliding_window is not None:
-        slot = jnp.arange(T)[None, None, None, :]
-        win_lo = (cache["lengths"] - cfg.sliding_window)[:, None, None, None]
-        allowed = allowed & (slot > win_lo)
-    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+        slot = jnp.arange(T)[None, :]
+        win_lo = (cache["lengths"] - cfg.sliding_window)[:, None]
+        old_mask = old_mask & (slot > win_lo)
+    G = H // Hkv
+    scale = D**-0.5
 
     def body(h, xs):
         layer_p, lk, lv = xs
@@ -450,28 +452,44 @@ def forward_ragged_decode(
         v = dense(layer_p["attn"]["v_proj"], hh, policy).reshape(B, 1, Hkv, D)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        lk = lk.at[rows, write_pos].set(k[:, 0].astype(lk.dtype))
-        lv = lv.at[rows, write_pos].set(v[:, 0].astype(lv.dtype))
-        if cfg.attn_impl == "flash":
-            from starvector_tpu.ops.flash_attention import (
-                gqa_decode_batched as gqa_decode,
-            )
+        qg = q.reshape(B, Hkv, G, D)
+        k_new = k[:, 0]
+        v_new = v[:, 0]
 
-            out = gqa_decode(
-                q[:, 0], lk.astype(h.dtype), lv.astype(h.dtype), kv_mask, T
-            )[:, None]
-        else:
-            out = multihead_attention(
-                q, lk.astype(h.dtype), lv.astype(h.dtype), bias
-            )
-        h = h + dense(layer_p["attn"]["o_proj"], out.reshape(B, 1, H * D), policy)
+        kc = lk.astype(h.dtype)
+        vc = lv.astype(h.dtype)
+        s_c = jnp.einsum(
+            "bkgd,btkd->bkgt", qg, kc, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * scale
+        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
+        s_self = jnp.einsum(
+            "bkgd,bkd->bkg", qg, k_new.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) * scale
+        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
+        p_c = jnp.exp(s_c - m[..., None])
+        p_s = jnp.exp(s_self - m)
+        denom = jnp.sum(p_c, axis=-1) + p_s
+        out = jnp.einsum(
+            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + p_s[..., None] * v_new[:, :, None].astype(jnp.float32)
+        out = (out / denom[..., None]).astype(h.dtype).reshape(B, 1, H * D)
+
+        h = h + dense(layer_p["attn"]["o_proj"], out, policy)
         hh = layer_norm(layer_p["post_attention_layernorm"], h, cfg.norm_epsilon)
         hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
         hh = gelu_tanh(hh)
         h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
-        return h, (lk, lv)
+        return h, (k_new.astype(cache["k"].dtype), v_new.astype(cache["v"].dtype))
 
-    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x, (k_news, v_news) = jax.lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    layer_ids = jnp.arange(cfg.num_hidden_layers)[:, None]
+    ks = cache["k"].at[layer_ids, rows[None, :], write_pos[None, :]].set(k_news)
+    vs = cache["v"].at[layer_ids, rows[None, :], write_pos[None, :]].set(v_news)
     x = layer_norm(params["norm"], x, cfg.norm_epsilon)
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.einsum(
