@@ -70,6 +70,11 @@ class ServeEngine:
 
         self.dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
         self.params = params
+        if llm_cfg.attn_impl == "xla":
+            # serving default: flash prefill + xla decode (fastest measured)
+            import dataclasses as _dc
+
+            llm_cfg = _dc.replace(llm_cfg, attn_impl="mixed")
         self.llm_cfg = llm_cfg
         self.policy = policy
         self.max_batch = max_batch
