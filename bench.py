@@ -38,7 +38,7 @@ def main():
         # (BASELINE.md), so measure decode against a ~1k-deep KV cache.
         # NEW is large to amortize the fixed per-call dispatch overhead of
         # the tunneled TPU runtime (~30ms/call measured).
-        B, PREFIX, NEW = 32, 1024, 256
+        B, PREFIX, NEW = 64, 1024, 256
         reps = 2
     else:
         llm = gbc.tiny_config()

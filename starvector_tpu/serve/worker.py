@@ -190,7 +190,95 @@ def build_app(worker: ModelWorker) -> web.Application:
             await resp.write_eof()
             return resp
 
-    app = web.Application()
+    @routes.post("/v1/chat/completions")
+    async def chat_completions(request: web.Request):
+        """OpenAI-compatible endpoint (the reference's vLLM-API surface:
+        starvector/validation/starvector_vllm_api_svg_validator.py:28-69 and
+        serve/vllm_api_gradio/model_worker.py). Accepts messages whose
+        content includes {'type':'image_url','image_url':{'url':'data:...'}}
+        parts; streams SSE `data:` chunks when stream=true."""
+        body = await request.json()
+        messages = body.get("messages", [])
+        image_b64 = None
+        text_prompt = ""
+        for msg in messages:
+            content = msg.get("content")
+            if isinstance(content, str):
+                text_prompt += content
+            elif isinstance(content, list):
+                for part in content:
+                    if part.get("type") == "image_url":
+                        url = part["image_url"]["url"]
+                        image_b64 = url.split(",", 1)[-1]
+                    elif part.get("type") == "text":
+                        text_prompt += part.get("text", "")
+        payload = {
+            "task": "im2svg" if image_b64 else "text2svg",
+            "image": image_b64,
+            "prompt": text_prompt if not image_b64 else None,
+            "max_new_tokens": int(body.get("max_tokens", 512)),
+            "temperature": float(body.get("temperature", 0.8)),
+            "top_p": float(body.get("top_p", 0.9)),
+        }
+        loop = asyncio.get_running_loop()
+        async with semaphore:
+            req, prompt_text = await loop.run_in_executor(
+                None, worker.make_request, payload
+            )
+            worker.engine.submit(req)
+            tok = worker.model.tokenizer
+            rid = "chatcmpl-" + req.request_id[:12]
+            model_name = body.get("model", worker.model_names[0])
+
+            if body.get("stream"):
+                resp = web.StreamResponse(
+                    headers={"Content-Type": "text/event-stream"}
+                )
+                await resp.prepare(request)
+                generated: list[int] = []
+                prev = ""  # first delta carries the '<svg' prompt prefix
+                while True:
+                    kind, data = await loop.run_in_executor(
+                        None, req.out_queue.get
+                    )
+                    if kind == "token":
+                        generated.append(data)
+                        text = prompt_text + tok.decode(np.asarray(generated))
+                        delta, prev = text[len(prev):], text
+                        chunk = {
+                            "id": rid, "object": "chat.completion.chunk",
+                            "model": model_name,
+                            "choices": [{"index": 0,
+                                         "delta": {"content": delta},
+                                         "finish_reason": None}],
+                        }
+                        await resp.write(
+                            b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                        )
+                    else:
+                        break
+                await resp.write(b"data: [DONE]\n\n")
+                await resp.write_eof()
+                return resp
+
+            generated = []
+            while True:
+                kind, data = await loop.run_in_executor(None, req.out_queue.get)
+                if kind == "done":
+                    generated = data
+                    break
+            text = prompt_text + tok.decode(np.asarray(generated))
+            return web.json_response({
+                "id": rid, "object": "chat.completion", "model": model_name,
+                "choices": [{
+                    "index": 0,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": "stop",
+                }],
+                "usage": {"completion_tokens": len(generated)},
+            })
+
+    app = web.Application(client_max_size=32 * 1024 * 1024)
     app.add_routes(routes)
     return app
 

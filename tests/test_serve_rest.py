@@ -147,3 +147,59 @@ def test_controller_worker_integration(model):
     chunks = run(scenario())
     worker.shutdown()
     assert len(chunks) == 3 and chunks[-1]["text"].startswith("<svg")
+
+
+def test_openai_chat_completions_endpoint(model):
+    """/v1/chat/completions: non-streaming and SSE streaming modes."""
+    from aiohttp import ClientSession
+    from aiohttp.test_utils import TestServer
+    from PIL import Image
+
+    worker = ModelWorker(model, worker_addr="oai", max_batch=2, max_len=64)
+
+    async def scenario():
+        srv = TestServer(build_worker(worker))
+        await srv.start_server()
+        try:
+            buf = io.BytesIO()
+            Image.new("RGB", (28, 28), (123, 40, 200)).save(buf, format="PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            body = {
+                "model": "starvector",
+                "messages": [{
+                    "role": "user",
+                    "content": [
+                        {"type": "text", "text": "<image-start>"},
+                        {"type": "image_url",
+                         "image_url": {"url": f"data:image/png;base64,{b64}"}},
+                    ],
+                }],
+                "max_tokens": 4,
+                "temperature": 0.0,
+            }
+            async with ClientSession() as session:
+                async with session.post(
+                    srv.make_url("/v1/chat/completions"), json=body
+                ) as r:
+                    full = await r.json()
+                body["stream"] = True
+                async with session.post(
+                    srv.make_url("/v1/chat/completions"), json=body
+                ) as r:
+                    raw = await r.read()
+            return full, raw
+        finally:
+            await srv.close()
+
+    full, raw = run(scenario())
+    worker.shutdown()
+    assert full["object"] == "chat.completion"
+    content = full["choices"][0]["message"]["content"]
+    assert content.startswith("<svg")
+    assert full["usage"]["completion_tokens"] == 4
+    lines = [l for l in raw.split(b"\n\n") if l.startswith(b"data: ")]
+    assert lines[-1] == b"data: [DONE]"
+    chunks = [json.loads(l[6:]) for l in lines[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    streamed = "".join(c["choices"][0]["delta"]["content"] for c in chunks)
+    assert streamed.startswith("<svg")
