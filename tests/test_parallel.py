@@ -66,3 +66,60 @@ def test_batch_sharding_layout():
     # 8 batch rows spread over data(4) x fsdp(2) = 8 shards
     assert len(xs.addressable_shards) == 8
     assert xs.addressable_shards[0].data.shape == (1, 16)
+
+
+def test_sharded_starcoder2_matches_single_device():
+    from starvector_tpu.models import starcoder2 as sc2
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    f32 = DTypePolicy(compute_dtype=jnp.float32)
+    cfg = sc2.tiny_config(
+        hidden_size=128, num_attention_heads=8, num_key_value_heads=2,
+        intermediate_size=256, vocab_size=1024,
+    )
+    params = sc2.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 6), 0, cfg.vocab_size)
+    embeds = sc2.embed_tokens(params, ids)
+    ref, _ = sc2.forward(params, cfg, embeds, policy=f32)
+
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    sp = jax.tree_util.tree_map(
+        jax.device_put, params,
+        make_param_shardings(params, sc2.partition_rules(), mesh),
+    )
+    se = jax.device_put(embeds, batch_sharding(mesh, extra_dims=2))
+    with jax.set_mesh(mesh):
+        out, _ = sc2.forward(sp, cfg, se, policy=f32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4
+    )
+
+
+def test_sharded_task_model_loss_matches():
+    from starvector_tpu.models import starvector as sv
+    from starvector_tpu.ops.layers import DTypePolicy
+    from starvector_tpu.parallel import shard_pytree
+
+    f32 = DTypePolicy(compute_dtype=jnp.float32)
+    cfg = sv.tiny_config()
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    rngs = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rngs.randn(8, cfg.image_size, cfg.image_size, 3),
+                             jnp.float32),
+        "svg_ids": jnp.asarray(rngs.randint(1, cfg.llm.vocab_size, (8, 10)),
+                               jnp.int32),
+        "svg_mask": jnp.ones((8, 10), jnp.int32),
+    }
+    ref = sv.loss_fn(params, cfg, batch, 0, policy=f32)
+
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    sp = shard_pytree(params, sv.partition_rules(), mesh)
+    sb = {
+        "image": jax.device_put(batch["image"], batch_sharding(mesh, 3)),
+        "svg_ids": jax.device_put(batch["svg_ids"], batch_sharding(mesh, 1)),
+        "svg_mask": jax.device_put(batch["svg_mask"], batch_sharding(mesh, 1)),
+    }
+    with jax.set_mesh(mesh):
+        out = sv.loss_fn(sp, cfg, sb, 0, policy=f32)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)
