@@ -39,8 +39,11 @@ def main():
         cfg = sv.tiny_config()
         B, S, reps = 2, 16, 1
 
-    policy = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
-    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    # bf16 params on the single bench chip: fp32 params + fp32 AdamW moments
+    # for 1B exceed one v5e's 16 GB; real runs shard over fsdp instead
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    policy = DTypePolicy(param_dtype=dtype, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    params = sv.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     tx = build_optimizer(params, lr=1e-4, total_steps=1000)
     opt_state = tx.init(params)
     step = make_train_step(cfg, tx, 0, policy=policy, remat=True)

@@ -591,6 +591,56 @@ def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     return maybe_constrain(wte_full[input_ids], batch_spec(extra_dims=2))
 
 
+def lm_head_table(params: dict, cfg: GPTBigCodeConfig) -> jax.Array:
+    return params["wte"]  # tied (reference modeling_gpt_bigcode.py:1144-1153)
+
+
+def causal_lm_loss_fused(
+    head_table: jax.Array,  # (V, E) tied lm head
+    hidden: jax.Array,      # (B, S, E) final hidden states
+    labels: jax.Array,      # (B, S) int32, -100 = ignored
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    chunk: int = 128,
+) -> jax.Array:
+    """Shift-by-one CE with the LM head fused into a chunked scan: the full
+    (B, S, vocab) logits (and their cotangent) never materialize — at
+    B=8, S=1.5k, V=49k that's ~2.4 GB fp32 apiece. The scan body is
+    checkpointed so backward recomputes each chunk's logits."""
+    h = hidden[:, :-1]
+    y = labels[:, 1:]
+    B, S, E = h.shape
+    pad = (-S) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-100)
+    n_chunks = (S + pad) // chunk
+    hc = policy.cast(h).reshape(B, n_chunks, chunk, E).transpose(1, 0, 2, 3)
+    yc = y.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    table = policy.cast(head_table)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        hcc, ycc = xs
+        logits = jnp.einsum(
+            "bce,ve->bcv", hcc, table, preferred_element_type=jnp.float32
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        valid = ycc != -100
+        safe = jnp.where(valid, ycc, 0)
+        ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        total, count = carry
+        return (
+            total + jnp.sum(jnp.where(valid, -ll, 0.0)),
+            count + jnp.sum(valid),
+        ), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)), (hc, yc)
+    )
+    return total / jnp.maximum(count, 1)
+
+
 def causal_lm_loss(
     logits: jax.Array,   # (B, S, V) fp32
     labels: jax.Array,   # (B, S) int32, -100 = ignored

@@ -326,6 +326,10 @@ def forward(
     return logits, new_cache
 
 
+def lm_head_table(params: dict, cfg: StarCoder2Config) -> jax.Array:
+    return params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+
+
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
     table = maybe_constrain(params["embed_tokens"], P(None, None))
     return maybe_constrain(table[input_ids], batch_spec(extra_dims=2))

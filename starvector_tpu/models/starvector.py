@@ -392,11 +392,15 @@ def loss_fn_with_bn_stats(
         [jnp.full((B, Q), -100, jnp.int32), svg_targets.astype(jnp.int32)],
         axis=1,
     )
-    logits, _ = dec.forward(
+    hidden, _ = dec.forward(
         params["svg_transformer"], cfg.llm, inputs_embeds,
         attention_mask=attention_mask, policy=policy, remat=remat,
+        return_hidden=True,
     )
-    loss = gpt_bigcode.causal_lm_loss(logits, targets)
+    loss = gpt_bigcode.causal_lm_loss_fused(
+        dec.lm_head_table(params["svg_transformer"], cfg.llm), hidden,
+        targets, policy=policy,
+    )
     return loss, {"bn_stats": jax.lax.stop_gradient(bn_stats)}
 
 
@@ -431,8 +435,12 @@ def loss_fn(
             params, cfg, batch["input_ids"], batch["input_mask"], pad_token_id,
             policy=policy,
         )
-    logits, _ = dec.forward(
+    hidden, _ = dec.forward(
         params["svg_transformer"], cfg.llm, inputs_embeds,
         attention_mask=attention_mask, policy=policy, remat=remat,
+        return_hidden=True,
     )
-    return gpt_bigcode.causal_lm_loss(logits, targets)
+    return gpt_bigcode.causal_lm_loss_fused(
+        dec.lm_head_table(params["svg_transformer"], cfg.llm), hidden,
+        targets, policy=policy,
+    )

@@ -205,5 +205,9 @@ def main(config: ConfigNode):
     return params
 
 
-if __name__ == "__main__":
+def main_cli():
     main(get_config(default_path="configs/models/default.yaml"))
+
+
+if __name__ == "__main__":
+    main_cli()

@@ -118,3 +118,32 @@ def test_remat_matches(setup):
     l1, _ = gbc.forward(params, cfg, embeds, policy=F32)
     l2, _ = gbc.forward(params, cfg, embeds, policy=F32, remat=True)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_loss_matches_naive(setup):
+    cfg, params = setup
+    B, S = 2, 13
+    ids = jax.random.randint(jax.random.PRNGKey(8), (B, S), 0, cfg.vocab_size)
+    embeds = gbc.embed_tokens(params, ids)
+    labels = ids.astype(jnp.int32).at[:, :3].set(-100)
+    logits, _ = gbc.forward(params, cfg, embeds, policy=F32)
+    naive = gbc.causal_lm_loss(logits, labels)
+    hidden, _ = gbc.forward(params, cfg, embeds, policy=F32, return_hidden=True)
+    fused = gbc.causal_lm_loss_fused(
+        gbc.lm_head_table(params, cfg), hidden, labels, policy=F32, chunk=4
+    )
+    np.testing.assert_allclose(float(fused), float(naive), rtol=2e-5)
+    # gradients agree too
+    def f_naive(p):
+        lg, _ = gbc.forward(p, cfg, gbc.embed_tokens(p, ids), policy=F32)
+        return gbc.causal_lm_loss(lg, labels)
+    def f_fused(p):
+        h, _ = gbc.forward(p, cfg, gbc.embed_tokens(p, ids), policy=F32,
+                           return_hidden=True)
+        return gbc.causal_lm_loss_fused(
+            gbc.lm_head_table(p, cfg), h, labels, policy=F32, chunk=4)
+    g1 = jax.grad(f_naive)(params)
+    g2 = jax.grad(f_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
