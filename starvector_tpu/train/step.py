@@ -33,7 +33,7 @@ def make_train_step(
     (params, opt_state, metrics). BatchNorm running stats (1B adapter) are
     merged back into params each step."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         def loss_wrapped(p):
             return sv.loss_fn_with_bn_stats(

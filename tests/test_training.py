@@ -75,6 +75,8 @@ def test_freeze_mask_blocks_updates():
     opt_state = tx.init(params)
     step = make_train_step(cfg, tx, tok.pad_token_id, policy=F32, remat=False)
     before = jax.tree_util.tree_map(np.asarray, params["image_encoder"])
+    wte_before = np.asarray(params["svg_transformer"]["wte"]).copy()
+    # params/opt_state are donated by the jitted step — snapshot first
     params2, _, _ = step(params, opt_state, batch, jax.random.PRNGKey(0))
     after = params2["image_encoder"]
     diffs = jax.tree_util.tree_map(
@@ -84,10 +86,7 @@ def test_freeze_mask_blocks_updates():
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
     # but the LLM did move
     moved = float(
-        np.abs(
-            np.asarray(params2["svg_transformer"]["wte"])
-            - np.asarray(params["svg_transformer"]["wte"])
-        ).max()
+        np.abs(np.asarray(params2["svg_transformer"]["wte"]) - wte_before).max()
     )
     assert moved > 0
 
