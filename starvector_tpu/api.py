@@ -116,13 +116,49 @@ class StarVectorForCausalLM:
         )
 
     def generate_im2svg(self, batch: dict, **kwargs) -> list[str]:
-        """reference generate_im2svg (starvector_base.py:243-259)."""
+        """reference generate_im2svg (starvector_base.py:243-259).
+
+        `use_speculative=True` (greedy, batch 1) switches to prompt-lookup
+        speculative decoding — typically several-x fewer decoder forwards on
+        repetitive SVG output, identical tokens."""
         images = jnp.asarray(batch["image"])
         prompt = kwargs.get("prompt") or self.tokenizer.prompt
         B = images.shape[0]
         enc = self.tokenizer([prompt] * B, add_special_tokens=False)
         prompt_ids = jnp.asarray(enc["input_ids"])
         gen = self._gen_config(kwargs)
+        if kwargs.get("use_speculative") and B == 1 and not gen.do_sample:
+            from starvector_tpu.generation.speculative import (
+                generate_greedy_speculative,
+            )
+            from starvector_tpu.models import starvector as sv_mod
+
+            cond = sv_mod.encode_image(
+                self.params, self.cfg, images, policy=self.policy
+            )
+            pe = self.cfg.decoder_module.embed_tokens(
+                self.params["svg_transformer"], prompt_ids
+            )
+            prefix = jnp.concatenate([cond, self.policy.cast(pe)], axis=1)
+            Q = cond.shape[1]
+            ids_aligned = jnp.concatenate(
+                [jnp.full((1, Q), -1, jnp.int32), prompt_ids.astype(jnp.int32)],
+                axis=1,
+            )
+            toks, lengths, _ = generate_greedy_speculative(
+                self.params["svg_transformer"], prefix,
+                jnp.ones((1, prefix.shape[1]), jnp.int32), ids_aligned,
+                dec_name=self.cfg.decoder, llm_cfg=self.cfg.llm,
+                max_new_tokens=gen.max_new_tokens,
+                draft_len=int(kwargs.get("draft_len", 8)),
+                stop_sequences=gen.stop_sequences,
+                eos_token_id=gen.eos_token_id,
+                pad_token_id=gen.pad_token_id,
+                policy=self.policy,
+            )
+            row = np.asarray(toks[0][: int(lengths[0])])
+            return [self.tokenizer.decode(np.asarray(prompt_ids[0])) +
+                    self.tokenizer.decode(row)]
         tokens, lengths = generate_im2svg(
             self.params, self.cfg, images, prompt_ids, gen,
             self._next_rng(), policy=self.policy,

@@ -1,0 +1,183 @@
+"""Prompt-lookup speculative decoding (greedy).
+
+SVG code is extremely self-repetitive (path commands, attribute boilerplate;
+SVG-Stack averages ~1.8k tokens of recurring structure — BASELINE.md), which
+makes n-gram "prompt lookup" drafting unusually effective: draft the K
+tokens that followed the most recent earlier occurrence of the current
+bigram, verify them in ONE cached forward (S=K), keep the longest
+argmax-consistent prefix, and roll the cache index back over rejected slots.
+
+Invariant: `pending` is always the model's verified greedy continuation of
+everything emitted so far. Each iteration:
+  1. proposal p = [pending, draft_1, ..., draft_{K-1}]
+  2. one forward over p → g[i] = argmax continuation after p[0..i]
+  3. accept a = 1 + longest prefix with p[i+1] == g[i]
+  4. emit p[0..a-1], set pending = g[a-1], cache index += a (of K written)
+
+Greedy outputs are exactly identical to one-token-at-a-time decoding; an
+accepted run of a tokens costs one forward instead of a.
+
+Single-sequence (B=1): this is the p50 image→SVG latency path; batched
+throughput uses generation/engine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from starvector_tpu.ops.layers import DTypePolicy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dec_name", "llm_cfg", "max_new_tokens", "draft_len",
+        "stop_sequences", "eos_token_id", "pad_token_id", "policy",
+    ),
+)
+def generate_greedy_speculative(
+    params: dict,
+    inputs_embeds: jax.Array,     # (1, P, E)
+    attention_mask: jax.Array,    # (1, P)
+    prompt_ids: jax.Array,        # (1, P) ids aligned with the prefix;
+                                  # positions without a token id (visual
+                                  # prefix) = -1
+    *,
+    dec_name: str,
+    llm_cfg: Any,
+    max_new_tokens: int,
+    draft_len: int = 8,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
+    eos_token_id: int | None = None,
+    pad_token_id: int = 0,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """Returns (tokens (1, max_new_tokens), lengths (1,), n_forwards)."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B, P, E = inputs_embeds.shape
+    K = draft_len
+    total = P + max_new_tokens + K + 1
+    BUF = max_new_tokens + K  # emit buffer with K slack for block writes
+
+    cache = dec.init_cache(llm_cfg, B, total, dtype=policy.compute_dtype)
+    logits, cache = dec.forward(
+        params, llm_cfg, inputs_embeds, attention_mask=attention_mask,
+        cache=cache, policy=policy, last_logits_only=True,
+    )
+    pending = jnp.argmax(logits[0, -1].astype(jnp.float32)).astype(jnp.int32)
+
+    ctx0 = jnp.full((total,), -1, jnp.int32)
+    ctx0 = jax.lax.dynamic_update_slice(
+        ctx0, prompt_ids[0].astype(jnp.int32), (0,)
+    )
+
+    tokens0 = jnp.full((BUF,), pad_token_id, jnp.int32)
+
+    def draft(ctx, n_ctx, pending):
+        """K-1 tokens following the latest earlier (ctx[n_ctx-1], pending)
+        bigram; fallback repeats pending (mismatches only cost acceptance)."""
+        last = ctx[n_ctx - 1]
+        nxt = jnp.roll(ctx, -1)
+        hit = (ctx == last) & (nxt == pending)
+        pos = jnp.arange(total)
+        hit &= pos < (n_ctx - 1)
+        any_hit = jnp.any(hit)
+        j = jnp.where(any_hit, total - 1 - jnp.argmax(hit[::-1]), 0)
+        start = jnp.where(any_hit, j + 2, 0)  # tokens after the bigram
+        prop = jax.lax.dynamic_slice(ctx, (start,), (K,))[: K - 1]
+        prop = jnp.where(any_hit & (prop >= 0), prop, pending)
+        return prop
+
+    def find_stop(tok_buf, upto):
+        """(first stop end-index within tok_buf[:upto], fired?)"""
+        n = BUF
+        fire = jnp.zeros((n,), bool)
+        pos = jnp.arange(n)
+        for stop in stop_sequences:
+            L = len(stop)
+            if L == 0 or L > max_new_tokens:
+                continue
+            s = jnp.asarray(stop, jnp.int32)
+            windows = jnp.stack(
+                [jnp.roll(tok_buf, L - 1 - i) for i in range(L)], axis=-1
+            )
+            fire |= jnp.all(windows == s[None, :], axis=-1) & (pos >= L - 1)
+        if eos_token_id is not None:
+            fire |= tok_buf == eos_token_id
+        fire &= pos < upto
+        any_fire = jnp.any(fire)
+        return jnp.where(any_fire, jnp.argmax(fire) + 1, max_new_tokens), any_fire
+
+    def cond(state):
+        t, done = state[0], state[6]
+        return jnp.logical_and(t < max_new_tokens, ~done)
+
+    def body(state):
+        t, cache, ctx, tokens, n_ctx, n_fwd, done, lengths, pending = state
+        drafted = draft(ctx, n_ctx, pending)                 # (K-1,)
+        proposal = jnp.concatenate([pending[None], drafted])  # (K,)
+
+        saved_index = cache["index"]
+        saved_mask = cache["kv_mask"]
+        embeds = dec.embed_tokens(params, proposal[None, :]).astype(
+            policy.compute_dtype
+        )
+        lg, cache = dec.forward(
+            params, llm_cfg, embeds,
+            attention_mask=jnp.ones((1, K), jnp.int32),
+            cache=cache, policy=policy,
+        )
+        g = jnp.argmax(lg[0].astype(jnp.float32), -1).astype(jnp.int32)  # (K,)
+
+        agree = (proposal[1:] == g[: K - 1]).astype(jnp.int32)  # (K-1,)
+        a = 1 + jnp.sum(jnp.cumprod(agree))                     # 1..K accepted
+
+        # emit the a verified proposal tokens (junk beyond `a` is overwritten
+        # by later iterations; buffer has K slack)
+        tokens = jax.lax.dynamic_update_slice(tokens, proposal, (t,))
+        tokens = jnp.where(
+            (jnp.arange(BUF) >= t + a) & (jnp.arange(BUF) < t + K),
+            pad_token_id, tokens,
+        )
+        new_pending = g[a - 1]
+
+        # cache rollback: of the K written slots keep `a`
+        new_index = saved_index + a
+        slot = jnp.arange(total)[None, :]
+        kv_mask = jnp.where(
+            slot < saved_index, saved_mask,
+            (slot < new_index).astype(jnp.int32),
+        )
+        cache = dict(cache)
+        cache["index"] = new_index
+        cache["kv_mask"] = kv_mask
+
+        # context gains the a verified tokens
+        ctx = jax.lax.dynamic_update_slice(ctx, proposal, (n_ctx,))
+        keep = jnp.arange(total) < (n_ctx + a)
+        ctx = jnp.where(keep, ctx, jnp.where(jnp.arange(total) < n_ctx + K, -1, ctx))
+        n_ctx = n_ctx + a
+        t = t + a
+
+        stop_at, fired = find_stop(tokens, jnp.minimum(t, max_new_tokens))
+        done = fired | (t >= max_new_tokens)
+        lengths = jnp.where(
+            fired, stop_at, jnp.minimum(t, max_new_tokens)
+        )
+        return (t, cache, ctx, tokens, n_ctx, n_fwd + 1, done, lengths, new_pending)
+
+    state = (
+        jnp.asarray(0, jnp.int32), cache, ctx0, tokens0,
+        jnp.asarray(P, jnp.int32), jnp.asarray(1, jnp.int32),
+        jnp.asarray(False), jnp.asarray(max_new_tokens, jnp.int32), pending,
+    )
+    t, cache, ctx, tokens, n_ctx, n_fwd, done, lengths, pending = (
+        jax.lax.while_loop(cond, body, state)
+    )
+    return tokens[None, :max_new_tokens], lengths[None], n_fwd

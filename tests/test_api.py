@@ -68,3 +68,17 @@ def test_loss_via_forward(model):
     }
     loss = model.forward(batch)
     assert np.isfinite(float(loss))
+
+
+def test_generate_im2svg_speculative(model):
+    import jax.numpy as jnp
+
+    images = jnp.zeros((1, model.cfg.image_size, model.cfg.image_size, 3))
+    normal = model.generate_im2svg(
+        {"image": images}, max_new_tokens=10, use_nucleus_sampling=False
+    )
+    spec = model.generate_im2svg(
+        {"image": images}, max_new_tokens=10, use_nucleus_sampling=False,
+        use_speculative=True,
+    )
+    assert spec == normal
