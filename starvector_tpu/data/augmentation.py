@@ -27,7 +27,7 @@ import re
 
 import numpy as np
 
-from starvector_tpu.data.svg_util import PathCommand, path_to_str, tokenize_path
+from starvector_tpu.data.svg_util import PathCommand, path_to_str
 
 # minimal CSS color table for the names that appear in SVG corpora
 CSS_COLORS = {

@@ -18,7 +18,6 @@ same semantics, actually enforceable.
 from __future__ import annotations
 
 import ctypes
-import io
 import multiprocessing as mp
 import os
 import subprocess

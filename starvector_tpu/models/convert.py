@@ -17,7 +17,6 @@ here; loading helpers that need safetensors are lazy.
 from __future__ import annotations
 
 import os
-import re
 from typing import Mapping
 
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import queue
 import threading
 import time
 import uuid
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import time
 
 import jax.numpy as jnp
 import numpy as np
-from aiohttp import ClientSession, web
+from aiohttp import web
 
 from starvector_tpu.serve.constants import WORKER_HEART_BEAT_INTERVAL
 from starvector_tpu.serve.engine import Request, ServeEngine

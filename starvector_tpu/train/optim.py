@@ -10,7 +10,6 @@ frozen subtrees get zero updates via optax.masked.
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

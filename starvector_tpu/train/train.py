@@ -26,7 +26,7 @@ from starvector_tpu.models.builder import model_builder
 from starvector_tpu.models.tokenizer import build_test_tokenizer, load_tokenizer
 from starvector_tpu.ops.layers import DTypePolicy
 from starvector_tpu.parallel import MeshConfig, create_mesh
-from starvector_tpu.parallel.mesh import batch_sharding, local_mesh_summary
+from starvector_tpu.parallel.mesh import local_mesh_summary
 from starvector_tpu.train import checkpoint as ckpt
 from starvector_tpu.train.loader import DataLoader
 from starvector_tpu.train.optim import build_optimizer
