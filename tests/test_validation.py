@@ -101,3 +101,31 @@ def test_post_process_chain():
 
 def test_registry():
     assert "StarVectorJAXValidator" in validator_registry
+
+
+@needs_native
+def test_temperature_sweep(tmp_path):
+    cfg = ConfigNode({
+        "run": {"out_dir": str(tmp_path / "sweep")},
+        "model": {"task": "im2svg", "name": "tiny", "generation_engine": "jax",
+                  "from_checkpoint": None},
+        "dataset": {
+            "target": "tests.test_validation._MemDataset",
+            "batch_size": 2,
+            "num_samples": 2,
+            "params": {"n": 2, "im_size": 28},
+        },
+        "generation_params": {"max_new_tokens": 6, "temperature": 1.0,
+                              "generation_sweep": True},
+        "generation_sweep": {"min_temperature": 0.0, "max_temperature": 1.0,
+                             "num_generations_different_temp": 2},
+        "metrics": {"L2": True, "ratio_post_processed": True,
+                    "ratio_non_compiling": True},
+    })
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    validator = StarVectorJAXValidator(cfg, model=model)
+    avg, all_results = validator.validate()
+    assert len(all_results) == 2
+    # per-sample results hold one entry per temperature internally
+    first = validator.results[list(validator.results)[0]]
+    assert len(first) == 2  # two temperatures
