@@ -115,7 +115,25 @@ def load_hf_starvector_checkpoint(
 
         from starvector_tpu.models.starcoder2 import StarCoder2Config
 
-        llm = StarCoder2Config()
+        # Derive geometry from the checkpoint like the v1 branch: the
+        # reference resizes embeddings after adding special tokens
+        # (starcoder2.py:38-53), so vocab is ~49157, not the base 49152.
+        pfx = "svg_transformer.transformer.model."
+        vocab, hidden = sd[pfx + "embed_tokens.weight"].shape
+        n_layer = max(
+            int(k[len(pfx) + len("layers."):].split(".")[0])
+            for k in sd if k.startswith(pfx + "layers.")
+        ) + 1
+        q_out = sd[pfx + "layers.0.self_attn.q_proj.weight"].shape[0]
+        kv_out = sd[pfx + "layers.0.self_attn.k_proj.weight"].shape[0]
+        inter = sd[pfx + "layers.0.mlp.c_fc.weight"].shape[0]
+        head_dim = 128  # all StarCoder2 sizes (3b/7b/15b) use head_dim 128
+        n_head = q_out // head_dim
+        llm = StarCoder2Config(
+            vocab_size=vocab, hidden_size=hidden, num_hidden_layers=n_layer,
+            num_attention_heads=n_head, num_key_value_heads=kv_out // head_dim,
+            intermediate_size=inter,
+        )
         cfg = dataclasses.replace(cfg, llm=llm, decoder="starcoder2")
         params["svg_transformer"] = convert.starcoder2_from_hf(
             sd, llm, dtype, prefix="svg_transformer.transformer.model."

@@ -271,7 +271,12 @@ def im2svg_inputs(
     attention_mask = jnp.concatenate(
         [jnp.ones((B, Q), jnp.int32), svg_mask.astype(jnp.int32)], axis=1
     )
-    svg_targets = jnp.where(svg_ids == pad_token_id, -100, svg_ids)
+    # Mask targets by position (svg_mask == 0), not token-id equality with
+    # pad: when the checkpoint tokenizer has pad == eos (<|endoftext|>), id
+    # masking would also erase the terminal EOS the loader appends and the
+    # model would never learn to stop (reference pads with a distinct [PAD],
+    # starcoder.py:40-53).
+    svg_targets = jnp.where(svg_mask == 0, -100, svg_ids)
     targets = jnp.concatenate(
         [jnp.full((B, Q), -100, jnp.int32), svg_targets.astype(jnp.int32)], axis=1
     )
@@ -290,7 +295,8 @@ def text2svg_inputs(
     """reference embed_text_to_svg (starvector_base.py:131-148)."""
     dec = cfg.decoder_module
     tok_embeds = dec.embed_tokens(params["svg_transformer"], input_ids)
-    targets = jnp.where(input_ids == pad_token_id, -100, input_ids).astype(jnp.int32)
+    # position-based masking; see im2svg_inputs for the pad==eos rationale
+    targets = jnp.where(input_mask == 0, -100, input_ids).astype(jnp.int32)
     return policy.cast(tok_embeds), input_mask.astype(jnp.int32), targets
 
 
@@ -387,7 +393,7 @@ def loss_fn_with_bn_stats(
     attention_mask = jnp.concatenate(
         [jnp.ones((B, Q), jnp.int32), svg_mask.astype(jnp.int32)], axis=1
     )
-    svg_targets = jnp.where(svg_ids == pad_token_id, -100, svg_ids)
+    svg_targets = jnp.where(svg_mask == 0, -100, svg_ids)
     targets = jnp.concatenate(
         [jnp.full((B, Q), -100, jnp.int32), svg_targets.astype(jnp.int32)],
         axis=1,

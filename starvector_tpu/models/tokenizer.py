@@ -41,7 +41,12 @@ class SVGTokenizer:
             EOS_FALLBACK
         ) is None:
             to_add.append(EOS_FALLBACK)
-        if self._find_pad() is None and PAD_FALLBACK not in to_add:
+        # add a dedicated [PAD] when the tokenizer has none (the reference
+        # adds it and resizes embeddings, starcoder.py:40-53) so pad != eos
+        has_dedicated_pad = any(
+            tokenizer.token_to_id(c) is not None for c in (PAD_FALLBACK, "<pad>")
+        )
+        if not has_dedicated_pad and PAD_FALLBACK not in to_add:
             to_add.append(PAD_FALLBACK)
         if to_add:
             tokenizer.add_special_tokens(to_add)
@@ -54,7 +59,10 @@ class SVGTokenizer:
 
     # -- ids ----------------------------------------------------------------
     def _find_pad(self):
-        for cand in ("<|endoftext|>", PAD_FALLBACK, "<pad>", "[PAD]"):
+        # Prefer a dedicated pad token over <|endoftext|>: the reference adds
+        # [PAD] distinct from eos (starcoder.py:40-53); pad == eos would make
+        # id-based target masking erase the terminal EOS.
+        for cand in (PAD_FALLBACK, "<pad>", "<|endoftext|>"):
             tid = self.tokenizer.token_to_id(cand)
             if tid is not None:
                 return tid
