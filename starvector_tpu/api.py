@@ -127,6 +127,37 @@ class StarVectorForCausalLM:
         enc = self.tokenizer([prompt] * B, add_special_tokens=False)
         prompt_ids = jnp.asarray(enc["input_ids"])
         gen = self._gen_config(kwargs)
+        num_beams = int(kwargs.get("num_beams", 1))
+        if num_beams > 1:
+            # reference _get_generation_kwargs defaults to num_beams=2
+            # (starvector_base.py:228-241); route to the beam engine
+            from starvector_tpu.generation.beam import beam_search
+            from starvector_tpu.models import starvector as sv_mod
+
+            cond = sv_mod.encode_image(
+                self.params, self.cfg, images, policy=self.policy
+            )
+            pe = self.cfg.decoder_module.embed_tokens(
+                self.params["svg_transformer"], prompt_ids
+            )
+            prefix = jnp.concatenate([cond, self.policy.cast(pe)], axis=1)
+            tokens, lengths = beam_search(
+                self.params["svg_transformer"], prefix,
+                jnp.ones((B, prefix.shape[1]), jnp.int32),
+                dec_name=self.cfg.decoder, llm_cfg=self.cfg.llm,
+                num_beams=num_beams,
+                max_new_tokens=gen.max_new_tokens,
+                stop_sequences=gen.stop_sequences,
+                eos_token_id=gen.eos_token_id,
+                pad_token_id=gen.pad_token_id,
+                length_penalty=float(kwargs.get("length_penalty", 1.0)),
+                policy=self.policy,
+            )
+            outs = jnp.concatenate([prompt_ids, tokens], axis=1)
+            return [
+                self.tokenizer.decode(row[: prompt_ids.shape[1] + int(L)])
+                for row, L in zip(np.asarray(outs), np.asarray(lengths))
+            ]
         if kwargs.get("use_speculative") and B == 1 and not gen.do_sample:
             from starvector_tpu.generation.speculative import (
                 generate_greedy_speculative,

@@ -199,21 +199,31 @@ def is_valid_svg(svg_text: str) -> bool:
         return False
 
 
+_TAG_TOKEN = re.compile(r"<(/?)(\w+)([^<>]*?)(/?)>|<(\w+)")
+
+
 def find_unclosed_tags(svg_content: str) -> list[str]:
-    """Reference semantics (data/util.py:163-181): tags opened more times
-    than they are self-closed or explicitly closed, in first-seen order."""
-    all_tags_pattern = r"<(\w+)"
-    self_closing_pattern = r"<\w+[^>]*\/>"
-    all_tags = re.findall(all_tags_pattern, svg_content)
-    self_closing_tags = []
-    for match in re.findall(self_closing_pattern, svg_content):
-        tag = re.search(all_tags_pattern, match)
-        if tag:
-            self_closing_tags.append(tag.group(1))
-    unclosed = []
-    for tag in all_tags:
-        if all_tags.count(tag) > self_closing_tags.count(tag) + svg_content.count(
-            "</" + tag + ">"
-        ):
-            unclosed.append(tag)
-    return list(dict.fromkeys(unclosed))
+    """Tags still open at end of document, in first-seen order — used by the
+    streaming renderer to balance partial SVG (behavioral parity with the
+    reference's unclosed-tag detection, data/util.py:163-181; different
+    algorithm: one linear scan keeping a per-tag open/close balance instead
+    of repeated whole-string counting).
+
+    A tag counts as open if it appears more times as `<tag ...>` than as
+    `<tag .../>` or `</tag>`. Truncated trailing tags (`<path d="...`) with
+    no closing `>` also count as open.
+    """
+    balance: dict[str, int] = {}
+    order: list[str] = []
+    for m in _TAG_TOKEN.finditer(svg_content):
+        closing, name, _, self_closed, dangling = m.groups()
+        if dangling is not None:
+            name, closing, self_closed = dangling, "", ""
+        if name not in balance:
+            balance[name] = 0
+            order.append(name)
+        if closing:
+            balance[name] -= 1
+        elif not self_closed:
+            balance[name] += 1
+    return [t for t in order if balance[t] > 0]

@@ -192,6 +192,12 @@ def generate(
 ):
     """Returns (tokens (B*, max_new_tokens), lengths (B*,)). Sequences are
     pad-filled after their stop; lengths include the stop tokens."""
+    if gen.top_k > gen.max_top_k:
+        raise ValueError(
+            f"top_k={gen.top_k} exceeds max_top_k={gen.max_top_k}; raise "
+            f"GenerationConfig.max_top_k (static bound on the traced top-k) "
+            f"or the sampling distribution would be silently truncated"
+        )
     B = inputs_embeds.shape[0]
     V = llm_cfg.vocab_size
     if gen.num_return_sequences > 1:

@@ -14,16 +14,27 @@ import jax.numpy as jnp
 NEG_INF = -1e10
 
 
+def _rowwise(knob: jax.Array, logits: jax.Array) -> jax.Array:
+    """Broadcast a sampling knob against (B, V) logits: scalars pass through,
+    per-row (B,) knobs (the continuous-batching engine's per-request params)
+    gain a trailing axis."""
+    knob = jnp.asarray(knob)
+    if knob.ndim == logits.ndim - 1 and knob.ndim > 0:
+        return knob[..., None]
+    return knob
+
+
 def apply_temperature(logits: jax.Array, temperature: jax.Array) -> jax.Array:
     """Divide by temperature; temperature 0 is handled by the greedy branch
     upstream (HF maps temp==0 → greedy, validate temp sweep does too)."""
-    t = jnp.maximum(temperature, 1e-6)
+    t = jnp.maximum(_rowwise(temperature, logits), 1e-6)
     return logits / t
 
 
 def apply_top_k(logits: jax.Array, k: jax.Array, max_k: int) -> jax.Array:
     """Keep the top-k logits per row (k traced, bounded by static max_k)."""
     max_k = min(max_k, logits.shape[-1])
+    k = _rowwise(k, logits)
     vals, _ = jax.lax.top_k(logits, max_k)  # (..., max_k) sorted desc
     idx = jnp.clip(k - 1, 0, max_k - 1)
     threshold = jnp.take_along_axis(
@@ -38,6 +49,7 @@ def apply_top_k(logits: jax.Array, k: jax.Array, max_k: int) -> jax.Array:
 def apply_top_p(logits: jax.Array, p: jax.Array) -> jax.Array:
     """Nucleus filtering (HF semantics: keep the smallest set of tokens with
     cumulative prob > p, always keeping the most probable token)."""
+    p = _rowwise(p, logits)
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
@@ -58,6 +70,7 @@ def apply_repetition_penalty(
     penalty: jax.Array,
 ) -> jax.Array:
     """HF CFG: seen & logit>0 → logit/penalty; seen & logit<0 → logit*penalty."""
+    penalty = _rowwise(penalty, logits)
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     out = jnp.where(presence > 0, penalized, logits)
     return jnp.where(penalty == 1.0, logits, out)

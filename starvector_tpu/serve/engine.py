@@ -3,20 +3,26 @@ serve path — BASELINE config 4; reference relies on an external vLLM fork,
 README.md:297-319).
 
 Iteration-level scheduling over a slot-based ragged KV cache:
-  * requests queue up; free slots admit them by prefilling a B=1 cache and
-    scattering it into the slot (models/*.insert_prefill)
-  * every engine tick decodes ONE token for all active slots together
-    (models/*.forward_ragged_decode) — new requests join between ticks
-    without stalling running ones
-  * per-request sampling params, stop sequences, eos, max tokens
-  * emitted tokens stream into per-request queues (worker SSE layer)
+  * requests queue up; a dedicated ADMISSION thread prefills them (prompt
+    lengths bucketed to powers of two so each bucket compiles exactly once)
+    and inserts the finished prefix into a reserved slot — running decodes
+    never wait on a prefill
+  * every engine tick decodes ONE token for all active slots AND samples the
+    next token for every slot in a single fused jitted step (per-request
+    temperature/top-p/top-k ride along as (B,) arrays; greedy slots are
+    temperature 0) — one dispatch + one (B,) host transfer per tick, with
+    the KV cache donated so the update is in-place
+  * per-request stop sequences, eos, max tokens checked host-side
+  * emitted tokens stream into per-request queues (worker SSE layer);
+    scheduler errors fail only the offending request, never the loop
 
-The engine runs its own Python scheduler thread; all device work is jitted.
+The engine runs two Python scheduler threads; all device work is jitted.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
 import time
@@ -37,6 +43,7 @@ class Request:
     max_new_tokens: int = 256
     temperature: float = 0.8
     top_p: float = 0.9
+    top_k: int = 0
     do_sample: bool = True
     stop_sequences: tuple[tuple[int, ...], ...] = ()
     eos_token_id: int | None = None
@@ -50,6 +57,99 @@ class _Slot:
     req: Request | None = None
     generated: list[int] = dataclasses.field(default_factory=list)
     last_token: int = 0
+    reserved: bool = False             # held by the admission thread
+
+
+def _bucket_len(n: int, lo: int = 64) -> int:
+    """Round a prompt length up to a power-of-two bucket so prefill compiles
+    once per bucket instead of once per unique length."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dec_name", "cfg", "policy", "max_top_k")
+)
+def _prefill_step(
+    params: dict,
+    embeds: jax.Array,        # (1, Pb, E) right-padded to the bucket
+    mask: jax.Array,          # (1, Pb)
+    last_idx: jax.Array,      # scalar: index of the last REAL token (P-1)
+    base_rng: jax.Array,
+    step: jax.Array,
+    temp: jax.Array,
+    top_p: jax.Array,
+    top_k: jax.Array,
+    *,
+    dec_name: str,
+    cfg: Any,
+    policy: DTypePolicy,
+    max_top_k: int,
+):
+    """Admission prefill in ONE dispatch: build the bucket-sized B=1 cache,
+    run the cached forward, project ONLY the last real position through the
+    LM head (no (Pb, V) materialization), and sample the first token."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    Pb = embeds.shape[1]
+    cache = dec.init_cache(cfg, 1, Pb, dtype=policy.compute_dtype)
+    hidden, cache = dec.forward(
+        params, cfg, embeds, attention_mask=mask, cache=cache,
+        policy=policy, return_hidden=True,
+    )
+    h_last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
+    logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(h_last),
+        policy.cast(dec.lm_head_table(params, cfg)),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    rng = jax.random.fold_in(base_rng, 1_000_000 + step)
+    first = sample_token(
+        rng, logits, do_sample=True,
+        temperature=temp, top_p=top_p, top_k=top_k, max_top_k=max_top_k,
+    )
+    return first, cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dec_name", "cfg", "policy", "max_top_k"),
+    donate_argnames=("cache",),
+)
+def _fused_ragged_step(
+    params: dict,
+    tokens: jax.Array,        # (B,) last sampled token per slot
+    cache: dict,
+    active: jax.Array,        # (B,)
+    base_rng: jax.Array,
+    step: jax.Array,          # scalar int32 tick counter (host-incremented)
+    temps: jax.Array,         # (B,) fp32; 0 = greedy
+    top_ps: jax.Array,        # (B,) fp32
+    top_ks: jax.Array,        # (B,) int32; 0 = disabled
+    *,
+    dec_name: str,
+    cfg: Any,
+    policy: DTypePolicy,
+    max_top_k: int,
+):
+    """ONE dispatch per engine tick: ragged decode + per-slot sampling fused.
+    Folding the tick counter into the base key on device avoids a separate
+    jax.random.split dispatch per tick (~30 ms each on the tunneled runtime)."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    logits, cache = dec.forward_ragged_decode(
+        params, cfg, tokens, cache, active, policy=policy
+    )
+    rng = jax.random.fold_in(base_rng, step)
+    nxt = sample_token(
+        rng, logits, do_sample=True,
+        temperature=temps, top_p=top_ps, top_k=top_ks, max_top_k=max_top_k,
+    )
+    return nxt, cache
 
 
 class ServeEngine:
@@ -65,10 +165,12 @@ class ServeEngine:
             param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16
         ),
         seed: int = 0,
+        max_top_k: int = 64,
     ):
         from starvector_tpu.models import gpt_bigcode, starcoder2
 
         self.dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+        self.dec_name = dec_name
         self.params = params
         if llm_cfg.attn_impl == "xla":
             # serving default: flash prefill + xla decode (fastest measured)
@@ -79,32 +181,52 @@ class ServeEngine:
         self.policy = policy
         self.max_batch = max_batch
         self.max_len = max_len
+        self.max_top_k = max_top_k
         self.cache = self.dec.init_ragged_cache(
             llm_cfg, max_batch, max_len, dtype=policy.compute_dtype
         )
         self.slots = [_Slot() for _ in range(max_batch)]
         self.pending: "queue.Queue[Request]" = queue.Queue()
-        self.rng = jax.random.PRNGKey(seed)
+        self._ready: "queue.Queue" = queue.Queue()   # admission → tick handoff
+        self.base_rng = jax.random.PRNGKey(seed)
+        self._step = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        self._thread: threading.Thread | None = None
+        self._decode_thread: threading.Thread | None = None
+        self._admit_thread: threading.Thread | None = None
         self._idle_wait = 0.005
 
     # -- public API ----------------------------------------------------------
     def submit(self, req: Request) -> Request:
+        P = int(req.prefix_embeds.shape[1])
+        if P + req.max_new_tokens > self.max_len:
+            req.out_queue.put((
+                "error",
+                f"prompt ({P}) + max_new_tokens ({req.max_new_tokens}) "
+                f"exceeds engine max_len ({self.max_len})",
+            ))
+            return req
         self.pending.put(req)
         return req
 
     def start(self):
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._loop, daemon=True)
-            self._thread.start()
+        if self._decode_thread is None:
+            self._decode_thread = threading.Thread(
+                target=self._decode_loop, daemon=True
+            )
+            self._admit_thread = threading.Thread(
+                target=self._admit_loop, daemon=True
+            )
+            self._decode_thread.start()
+            self._admit_thread.start()
 
     def stop(self):
         self._stop.set()
-        if self._thread:
-            self._thread.join(timeout=5)
-            self._thread = None
+        for t in (self._decode_thread, self._admit_thread):
+            if t:
+                t.join(timeout=5)
+        self._decode_thread = None
+        self._admit_thread = None
 
     @property
     def num_active(self) -> int:
@@ -114,45 +236,66 @@ class ServeEngine:
     def queue_length(self) -> int:
         return self.pending.qsize() + self.num_active
 
-    # -- internals -----------------------------------------------------------
-    def _admit(self):
-        for slot_idx, slot in enumerate(self.slots):
-            if slot.req is not None:
-                continue
+    # -- admission (its own thread; prefill happens OFF the tick lock) -------
+    def _reserve_slot(self) -> int | None:
+        with self._lock:
+            for i, s in enumerate(self.slots):
+                if s.req is None and not s.reserved:
+                    s.reserved = True
+                    return i
+        return None
+
+    def _admit_loop(self):
+        while not self._stop.is_set():
             try:
-                req = self.pending.get_nowait()
+                req = self.pending.get(timeout=0.05)
             except queue.Empty:
+                continue
+            slot_idx = self._reserve_slot()
+            while slot_idx is None and not self._stop.is_set():
+                time.sleep(self._idle_wait)
+                slot_idx = self._reserve_slot()
+            if slot_idx is None:
                 return
-            embeds = jnp.asarray(req.prefix_embeds, self.policy.compute_dtype)
-            P = embeds.shape[1]
-            small = self.dec.init_cache(
-                self.llm_cfg, 1, min(P + 1, self.max_len),
-                dtype=self.policy.compute_dtype,
-            )
-            logits, small = self.dec.forward(
-                self.params, self.llm_cfg, embeds,
-                attention_mask=jnp.ones((1, P), jnp.int32),
-                cache=small, policy=self.policy, last_logits_only=True,
-            )
+            try:
+                self._admit_one(req, slot_idx)
+            except Exception as e:  # noqa: BLE001 — fail the request, not the loop
+                with self._lock:
+                    self.slots[slot_idx] = _Slot()
+                req.out_queue.put(("error", f"{type(e).__name__}: {e}"))
+
+    def _admit_one(self, req: Request, slot_idx: int):
+        """Bucketed prefill (no lock held) + locked cache insertion."""
+        embeds = jnp.asarray(req.prefix_embeds, self.policy.compute_dtype)
+        P = embeds.shape[1]
+        Pb = min(_bucket_len(P), self.max_len)
+        if Pb > P:
+            embeds = jnp.pad(embeds, ((0, 0), (0, Pb - P), (0, 0)))
+        mask = (jnp.arange(Pb) < P).astype(jnp.int32)[None]
+        self._step += 1
+        first_arr, small = _prefill_step(
+            self.params, embeds, mask, jnp.asarray(P - 1, jnp.int32),
+            self.base_rng, jnp.asarray(self._step, jnp.int32),
+            jnp.asarray(req.temperature if req.do_sample else 0.0, jnp.float32),
+            jnp.asarray(req.top_p, jnp.float32),
+            jnp.asarray(req.top_k, jnp.int32),
+            dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
+            max_top_k=self.max_top_k,
+        )
+        first = int(first_arr[0])
+        with self._lock:
             self.cache = self.dec.insert_prefill(
                 self.llm_cfg, self.cache, small, jnp.asarray(slot_idx),
                 jnp.asarray(P),
             )
-            self.rng, r = jax.random.split(self.rng)
-            first = int(
-                sample_token(
-                    r, logits[:, -1],
-                    do_sample=req.do_sample,
-                    temperature=jnp.asarray(req.temperature, jnp.float32),
-                    top_p=jnp.asarray(req.top_p, jnp.float32),
-                    top_k=jnp.asarray(0, jnp.int32),
-                )[0]
-            )
+            slot = self.slots[slot_idx]
             slot.req = req
             slot.generated = [first]
             slot.last_token = first
+            slot.reserved = False
             self._emit(slot_idx)
 
+    # -- decode tick -----------------------------------------------------------
     def _emit(self, slot_idx: int):
         """Push the latest token; finish the request if stopped."""
         slot = self.slots[slot_idx]
@@ -172,41 +315,59 @@ class ServeEngine:
             req.out_queue.put(("done", list(slot.generated)))
             self.slots[slot_idx] = _Slot()
 
-    def _tick(self):
-        active = np.array(
-            [1 if s.req is not None else 0 for s in self.slots], np.int32
-        )
-        if active.sum() == 0:
+    def _tick(self) -> bool:
+        reqs = [s.req for s in self.slots]
+        if not any(r is not None for r in reqs):
             return False
+        active = np.array([1 if r is not None else 0 for r in reqs], np.int32)
         tokens = np.array([s.last_token for s in self.slots], np.int32)
-        logits, self.cache = self.dec.forward_ragged_decode(
-            self.params, self.llm_cfg, jnp.asarray(tokens), self.cache,
-            jnp.asarray(active), policy=self.policy,
+        temps = np.array(
+            [
+                (r.temperature if (r and r.do_sample) else 0.0)
+                for r in reqs
+            ],
+            np.float32,
         )
-        logits = np.asarray(logits, np.float32)
+        top_ps = np.array([(r.top_p if r else 1.0) for r in reqs], np.float32)
+        top_ks = np.array([(r.top_k if r else 0) for r in reqs], np.int32)
+        self._step += 1
+        nxt, self.cache = _fused_ragged_step(
+            self.params, jnp.asarray(tokens), self.cache, jnp.asarray(active),
+            self.base_rng, jnp.asarray(self._step, jnp.int32),
+            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(top_ks),
+            dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
+            max_top_k=self.max_top_k,
+        )
+        nxt = np.asarray(nxt)
         for i, slot in enumerate(self.slots):
             if slot.req is None:
                 continue
-            self.rng, r = jax.random.split(self.rng)
-            tok = int(
-                sample_token(
-                    r, jnp.asarray(logits[i : i + 1]),
-                    do_sample=slot.req.do_sample,
-                    temperature=jnp.asarray(slot.req.temperature, jnp.float32),
-                    top_p=jnp.asarray(slot.req.top_p, jnp.float32),
-                    top_k=jnp.asarray(0, jnp.int32),
-                )[0]
-            )
+            tok = int(nxt[i])
             slot.generated.append(tok)
             slot.last_token = tok
             self._emit(i)
         return True
 
-    def _loop(self):
+    def _decode_loop(self):
         while not self._stop.is_set():
-            with self._lock:
-                self._admit()
-                worked = self._tick()
+            try:
+                with self._lock:
+                    worked = self._tick()
+            except Exception as e:  # noqa: BLE001 — fail active requests, keep looping
+                with self._lock:
+                    for i, s in enumerate(self.slots):
+                        if s.req is not None:
+                            s.req.out_queue.put(
+                                ("error", f"{type(e).__name__}: {e}")
+                            )
+                            self.slots[i] = _Slot()
+                    # the failed step may have consumed the donated cache
+                    # buffer; rebuild it so the engine stays serviceable
+                    self.cache = self.dec.init_ragged_cache(
+                        self.llm_cfg, self.max_batch, self.max_len,
+                        dtype=self.policy.compute_dtype,
+                    )
+                worked = False
             if not worked:
                 time.sleep(self._idle_wait)
 
@@ -225,4 +386,6 @@ class ServeEngine:
                 tokens.append(payload)
             elif kind == "done":
                 return payload
+            elif kind == "error":
+                raise RuntimeError(f"request {req.request_id} failed: {payload}")
         raise TimeoutError(f"request {req.request_id} timed out")

@@ -97,11 +97,35 @@ class ModelWorker:
             max_new_tokens=int(payload.get("max_new_tokens", 512)),
             temperature=float(payload.get("temperature", 0.8)),
             top_p=float(payload.get("top_p", 0.9)),
+            top_k=int(payload.get("top_k", 0)),
             do_sample=float(payload.get("temperature", 0.8)) > 0,
             stop_sequences=(tok.stop_sequence_ids("</svg>"),),
             eos_token_id=tok.eos_token_id,
         )
         return req, prompt_text
+
+    def generate_beam(self, payload: dict) -> str:
+        """Beam-search path (reference exposes num_beams through the UI
+        slider + HF generate, gradio_web_server.py / starvector_base.py:228):
+        runs outside the continuous-batching engine, returns the final text."""
+        from starvector_tpu.generation.beam import beam_search
+
+        prefix, prompt_text = self._prefix_for(payload)
+        tok = self.model.tokenizer
+        tokens, lengths = beam_search(
+            self.model.params["svg_transformer"], prefix,
+            jnp.ones((1, prefix.shape[1]), jnp.int32),
+            dec_name=self.model.cfg.decoder, llm_cfg=self.model.cfg.llm,
+            num_beams=int(payload.get("num_beams", 2)),
+            max_new_tokens=int(payload.get("max_new_tokens", 512)),
+            stop_sequences=(tok.stop_sequence_ids("</svg>"),),
+            eos_token_id=tok.eos_token_id,
+            pad_token_id=tok.pad_token_id,
+            length_penalty=float(payload.get("length_penalty", 1.0)),
+            policy=self.model.policy,
+        )
+        row = np.asarray(tokens[0][: int(lengths[0])])
+        return prompt_text + tok.decode(row)
 
     # -- heartbeat ------------------------------------------------------------
     def get_status(self) -> dict:
@@ -172,6 +196,17 @@ def build_app(worker: ModelWorker) -> web.Application:
             resp = web.StreamResponse()
             await resp.prepare(request)
             loop = asyncio.get_running_loop()
+            if int(payload.get("num_beams", 1)) > 1:
+                try:
+                    text = await loop.run_in_executor(
+                        None, worker.generate_beam, payload
+                    )
+                    chunk = json.dumps({"text": text, "error_code": 0})
+                except Exception as e:  # noqa: BLE001
+                    chunk = json.dumps({"text": str(e), "error_code": 1})
+                await resp.write(chunk.encode() + b"\0")
+                await resp.write_eof()
+                return resp
             req, prompt_text = await loop.run_in_executor(
                 None, worker.make_request, payload
             )
@@ -185,6 +220,10 @@ def build_app(worker: ModelWorker) -> web.Application:
                     text = prompt_text + tok.decode(np.asarray(generated))
                     chunk = json.dumps({"text": text, "error_code": 0})
                     await resp.write(chunk.encode() + b"\0")
+                elif kind == "error":
+                    chunk = json.dumps({"text": str(data), "error_code": 1})
+                    await resp.write(chunk.encode() + b"\0")
+                    break
                 else:
                     break
             await resp.write_eof()
@@ -267,6 +306,11 @@ def build_app(worker: ModelWorker) -> web.Application:
                 if kind == "done":
                     generated = data
                     break
+                if kind == "error":
+                    return web.json_response(
+                        {"error": {"message": str(data), "type": "engine_error"}},
+                        status=500,
+                    )
             text = prompt_text + tok.decode(np.asarray(generated))
             return web.json_response({
                 "id": rid, "object": "chat.completion", "model": model_name,

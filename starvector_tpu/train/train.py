@@ -33,23 +33,20 @@ from starvector_tpu.train.optim import build_optimizer
 from starvector_tpu.train.step import make_eval_step, make_train_step, shard_train_state
 
 
-def _metrics_logger(out_dir: str):
-    os.makedirs(out_dir, exist_ok=True)
-    f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+def _metrics_logger(out_dir: str, config=None):
+    """jsonl sink + optional wandb mirror (`project.report_to: wandb`,
+    mirroring the reference's report_to key, train/train.py:139-171)."""
+    from starvector_tpu.utils.logging import MetricsSink
+
+    sink = MetricsSink(
+        out_dir,
+        report_to=(config.get_path("project.report_to") if config else None),
+        project=(config.get_path("project.name") if config else None),
+        config=(config.to_dict() if config and hasattr(config, "to_dict") else None),
+    )
 
     def log(record: dict):
-        record = {
-            k: (float(v) if hasattr(v, "item") or isinstance(v, (np.floating,)) else v)
-            for k, v in record.items()
-        }
-        f.write(json.dumps(record) + "\n")
-        f.flush()
-        print(
-            " ".join(
-                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
-                for k, v in record.items()
-            )
-        )
+        sink.log(record, step=record.get("step"))
 
     return log
 
@@ -80,7 +77,7 @@ def _to_device(batch: dict, mesh) -> dict:
 def main(config: ConfigNode):
     project = config.get_path("project.name", "starvector-tpu")
     out_dir = config.get_path("project.out_dir", f"runs/{project}")
-    log = _metrics_logger(out_dir)
+    log = _metrics_logger(out_dir, config)
 
     mesh = create_mesh(
         MeshConfig(

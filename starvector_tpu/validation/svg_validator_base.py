@@ -59,6 +59,18 @@ class SVGValidator(ABC):
         self.metrics = SVGMetrics(dict(metrics_cfg))
         self.results: dict[str, dict] = {}
 
+        from starvector_tpu.utils.logging import MetricsSink
+
+        self.sink = MetricsSink(
+            self.out_dir,
+            report_to=config.get_path("run.report_to"),
+            project=config.get_path("run.project_name", "starvector-eval"),
+            run_name=config.get_path("run.run_id"),
+            config=config.to_dict() if hasattr(config, "to_dict") else None,
+            echo=False,
+        )
+        self.log_images = bool(config.get_path("run.log_images", False))
+
     # -- to implement ---------------------------------------------------------
     @abstractmethod
     def generate_svg(self, batch: dict, generate_config: dict) -> list[str]:
@@ -181,4 +193,31 @@ class SVGValidator(ABC):
         pd.DataFrame.from_dict(all_results, orient="index").to_csv(
             os.path.join(out, "all_results.csv")
         )
+        self._log_comparison(avg_results, all_results)
         return avg_results, all_results
+
+    def _log_comparison(self, avg_results: dict, all_results: dict):
+        """Scalars + per-sample comparison table (+ optional image pairs) to
+        the sink (reference's wandb tables/plots, svg_validator_base.py:436-451)."""
+        self.sink.log({k: v for k, v in avg_results.items()
+                       if isinstance(v, (int, float))})
+        if all_results:
+            cols = sorted({
+                k for row in all_results.values()
+                for k, v in row.items() if isinstance(v, (int, float, bool))
+            })
+            rows = [
+                [sid] + [row.get(c) for c in cols]
+                for sid, row in all_results.items()
+            ]
+            self.sink.log_table("per_sample_results", ["sample_id"] + cols, rows)
+        if self.log_images:
+            pairs, caps = [], []
+            for sid in list(self.results)[:32]:
+                d = os.path.join(self.out_dir, sid)
+                pairs.append((
+                    os.path.join(d, f"{sid}_original.png"),
+                    os.path.join(d, f"{sid}_generated.png"),
+                ))
+                caps.append(sid)
+            self.sink.log_image_pairs("comparisons", pairs, caps)
