@@ -212,38 +212,394 @@ def flash_prefill(
 
 
 # ---------------------------------------------------------------------------
-# trainable flash prefill (custom VJP)
+# flash prefill that also emits the logsumexp (residual for the backward)
+# ---------------------------------------------------------------------------
+
+# lse/delta ride through HBM as (B, H, S, LANES): a trailing lane dim equal
+# to the overall array dim satisfies Mosaic's block-shape rule (a bare
+# (1, 1, bq) block does not — the squeezed head dim still counts).
+_LSE_LANES = 8
+
+
+def _flash_lse_kernel(
+    q_offset_ref, q_ref, k_ref, v_ref, kvmask_ref,
+    o_ref,
+    lse_ref,         # (1, 1, bq, LANES) logsumexp per query row (broadcast)
+    m_scr, l_scr, acc_scr,
+    *, scale, block_q, block_k, causal, window,
+):
+    _flash_kernel(
+        q_offset_ref, q_ref, k_ref, v_ref, kvmask_ref, o_ref,
+        m_scr, l_scr, acc_scr,
+        scale=scale, block_q=block_q, block_k=block_k,
+        causal=causal, window=window,
+    )
+    j = pl.program_id(3)
+
+    @pl.when(j == pl.num_programs(3) - 1)
+    def _write_lse():
+        lse = m_scr[:, :1] + jnp.log(jnp.maximum(l_scr[:, :1], 1e-30))
+        lse_ref[0, 0] = jnp.broadcast_to(
+            lse, (lse.shape[0], _LSE_LANES)
+        ).astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret", "scale",
+                     "window"),
+)
+def flash_prefill_with_lse(
+    q, k, v, kv_mask, *,
+    causal: bool = True, window: int | None = None, scale: float | None = None,
+    block_q: int = 256, block_k: int = 256, interpret: bool | None = None,
+):
+    """flash_prefill that also returns the per-row logsumexp (B, S, H) fp32 —
+    the only residual the recompute-based backward needs beyond the inputs."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, S, H, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    scale = D**-0.5 if scale is None else scale
+    block_q = min(block_q, max(S, 8))
+    block_k = min(block_k, max(T, 128))
+    q_pad = (-S) % block_q
+    k_pad = (-T) % block_k
+    qh = jnp.moveaxis(q, 2, 1)
+    kh = jnp.moveaxis(k, 2, 1)
+    vh = jnp.moveaxis(v, 2, 1)
+    if q_pad:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
+    if k_pad:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, k_pad)))
+    Sp, Tp = S + q_pad, T + k_pad
+    grid = (B, H, Sp // block_q, Tp // block_k)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_lse_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            causal=causal, window=window,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, *_: (b, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_q, _LSE_LANES),
+                    lambda b, h, i, j, *_: (b, h, i, 0),
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Sp, _LSE_LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.zeros((1,), jnp.int32), qh, kh, vh,
+      kv_mask.astype(jnp.int32)[:, None, :])
+    return jnp.moveaxis(out, 1, 2)[:, :S], lse[:, :, :S, 0]
+
+
+# ---------------------------------------------------------------------------
+# flash backward kernels (recompute-based; FlashAttention-2 style)
+# ---------------------------------------------------------------------------
+
+def _flash_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dq_ref,
+    dq_scr,          # (bq, D) fp32 accumulator
+    *, scale, block_q, block_k, causal, window,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nj = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    run = True
+    if causal:
+        first_q = i * block_q
+        first_k = j * block_k
+        run = first_k <= first_q + block_q - 1
+        if window is not None:
+            run = jnp.logical_and(
+                run, first_k + block_k - 1 > first_q - window
+            )
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]                  # (bq, D)
+        k = k_ref[0, 0]                  # (bk, D)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]                # (bq, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                        # (bq, bk)
+        q_pos = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = kvmask_ref[0, 0, :][None, :] > 0
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+        lse = lse_ref[0, 0][:, :1]       # (bq, 1)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # (bq, bk)
+        delta = delta_ref[0, 0][:, :1]                        # (bq, 1)
+        ds = p * (dp - delta) * scale                         # (bq, bk)
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,  # (bk, D) fp32 accumulators
+    *, scale, block_q, block_k, causal, window, n_i,
+):
+    j = pl.program_id(2)      # k block
+    u = pl.program_id(3)      # combined (group, q block) inner axis
+    nu = pl.num_programs(3)
+    i = jax.lax.rem(u, n_i)
+
+    @pl.when(u == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = True
+    if causal:
+        first_q = i * block_q
+        first_k = j * block_k
+        run = first_k <= first_q + block_q - 1
+        if window is not None:
+            run = jnp.logical_and(
+                run, first_k + block_k - 1 > first_q - window
+            )
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]                  # (bq, D)
+        k = k_ref[0, 0]                  # (bk, D)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]                # (bq, D)
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                        # (bk, bq)
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 0
+        )
+        q_pos = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 1
+        )
+        mask = kvmask_ref[0, 0, :][:, None] > 0
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+        lse = lse_ref[0, 0][:, 0][None, :]   # (1, bq)
+        p_t = jnp.where(mask, jnp.exp(s_t - lse), 0.0)        # (bk, bq)
+        dv_scr[:] += jax.lax.dot_general(
+            p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # (bk, bq)
+        delta = delta_ref[0, 0][:, 0][None, :]                # (1, bq)
+        ds_t = p_t * (dp_t - delta) * scale                   # (bk, bq)
+        dk_scr[:] += jax.lax.dot_general(
+            ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(u == nu - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "window", "scale", "block_q", "block_k",
+                     "interpret"),
+)
+def flash_backward(
+    q, k, v, kv_mask, out, lse, g, *,
+    causal: bool = True, window: int | None = None, scale: float | None = None,
+    block_q: int = 128, block_k: int = 128, interpret: bool | None = None,
+):
+    """Fused flash-attention backward: dq/dk/dv with recomputed P blocks and
+    fp32 accumulation — nothing O(S·T) ever materializes (the reference gets
+    this from the flash_attn CUDA backward, modeling_gpt_bigcode.py:288-503).
+    `lse` is the forward's logsumexp (B, H, S); `g` the output cotangent."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B, S, H, D = q.shape
+    T, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    scale = D**-0.5 if scale is None else scale
+    block_q = min(block_q, max(S, 8))
+    block_k = min(block_k, max(T, 128))
+    q_pad = (-S) % block_q
+    k_pad = (-T) % block_k
+
+    qh = jnp.moveaxis(q, 2, 1)                       # (B, H, S, D)
+    kh = jnp.moveaxis(k, 2, 1)                       # (B, Hkv, T, D)
+    vh = jnp.moveaxis(v, 2, 1)
+    doh = jnp.moveaxis(g, 2, 1)                      # (B, H, S, D)
+    oh = jnp.moveaxis(out, 2, 1)
+    # delta_i = rowsum(dO_i * O_i) — tiny elementwise pre-pass
+    delta = jnp.sum(
+        doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1
+    )                                                # (B, H, S)
+    if q_pad:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
+        doh = jnp.pad(doh, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, q_pad)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, q_pad)))
+    if k_pad:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, k_pad)))
+    # lane-expand (see _LSE_LANES note above)
+    lse = jnp.broadcast_to(lse[..., None], (*lse.shape, _LSE_LANES))
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, _LSE_LANES))
+    Sp, Tp = S + q_pad, T + k_pad
+    ni, nj = Sp // block_q, Tp // block_k
+    kvm = kv_mask.astype(jnp.int32)[:, None, :]
+
+    common = dict(scale=scale, block_q=block_q, block_k=block_k,
+                  causal=causal, window=window)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, **common),
+        grid=(B, H, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, i, j, G=G: (b, h // G, j, 0)),
+            pl.BlockSpec((1, 1, block_k, D),
+                         lambda b, h, i, j, G=G: (b, h // G, j, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, _LSE_LANES),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, _LSE_LANES),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, delta, kvm)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, **common, n_i=ni),
+        grid=(B, Hkv, nj, G * ni),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, D),
+                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
+            ),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
+            pl.BlockSpec(
+                (1, 1, block_q, D),
+                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, _LSE_LANES),
+                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, _LSE_LANES),
+                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
+            ),
+            pl.BlockSpec((1, 1, block_k), lambda b, hk, j, u: (b, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, Tp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Tp, D), v.dtype),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, doh, lse, delta, kvm)
+
+    dq = jnp.moveaxis(dq, 1, 2)[:, :S]
+    dk = jnp.moveaxis(dk, 1, 2)[:, :T]
+    dv = jnp.moveaxis(dv, 1, 2)[:, :T]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# trainable flash prefill (custom VJP: Pallas forward AND backward)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_prefill_trainable(q, k, v, kv_mask, causal=True, window=None,
                             scale=None):
-    """flash_prefill with a gradient: forward runs the Pallas kernel,
-    backward recomputes attention through the XLA reference path (correct,
-    memory-lighter than storing probs; a fused Pallas backward is a later
-    optimization). Signature restricted to the training case (q_offset=0)."""
+    """flash_prefill with a fused Pallas backward (dq/dk/dv recompute-based,
+    fp32 accumulation): at the 8k/16k training contexts (SURVEY §6) nothing
+    O(S²) materializes in either pass. Signature restricted to the training
+    case (q_offset=0)."""
     return flash_prefill(q, k, v, kv_mask, 0, causal=causal, window=window,
                          scale=scale)
 
 
 def _fp_fwd(q, k, v, kv_mask, causal, window, scale):
-    out = flash_prefill(q, k, v, kv_mask, 0, causal=causal, window=window,
-                        scale=scale)
-    return out, (q, k, v, kv_mask)
+    out, lse = flash_prefill_with_lse(
+        q, k, v, kv_mask, causal=causal, window=window, scale=scale
+    )
+    return out, (q, k, v, kv_mask, out, lse)
 
 
 def _fp_bwd(causal, window, scale, residuals, g):
-    from starvector_tpu.ops.attention import make_attention_bias, multihead_attention
-
-    q, k, v, kv_mask = residuals
-    S, T = q.shape[1], k.shape[1]
-
-    def ref(q, k, v):
-        bias = make_attention_bias(kv_mask, S, T, causal=causal, window=window)
-        return multihead_attention(q, k, v, bias, scale=scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, kv_mask, out, lse = residuals
+    dq, dk, dv = flash_backward(
+        q, k, v, kv_mask, out, lse, g,
+        causal=causal, window=window, scale=scale,
+    )
     return dq, dk, dv, None
 
 

@@ -252,3 +252,63 @@ def test_flash_training_gradients_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
         )
+
+
+@pytest.mark.parametrize("H,Hkv,window", [(4, 1, None), (4, 2, 7)])
+def test_flash_backward_kernel_parity(H, Hkv, window):
+    """Pallas dq/dk/dv match XLA autodiff (causal MQA; windowed GQA)."""
+    from starvector_tpu.ops.flash_attention import (
+        flash_backward, flash_prefill_with_lse,
+    )
+
+    B, S, D = 2, 18, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32).at[1, 13:].set(0)  # padded keys
+    g = jax.random.normal(ks[3], (B, S, H, D), jnp.float32)
+
+    def ref(q, k, v):
+        bias = make_attention_bias(mask, S, S, causal=True, window=window)
+        return multihead_attention(q, k, v, bias)
+
+    out_ref, vjp = jax.vjp(ref, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    out, lse = flash_prefill_with_lse(q, k, v, mask, window=window)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )
+    dq, dk, dv = flash_backward(q, k, v, mask, out, lse, g, window=window)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_trainable_vjp_uses_pallas_backward():
+    """End-to-end custom VJP parity at a non-divisible length."""
+    from starvector_tpu.ops.flash_attention import flash_prefill_trainable
+
+    B, S, H, Hkv, D = 1, 11, 2, 1, 8
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_prefill_trainable(q, k, v, mask) ** 2)
+
+    def f_ref(q, k, v):
+        bias = make_attention_bias(mask, S, S, causal=True)
+        return jnp.sum(multihead_attention(q, k, v, bias) ** 2)
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
