@@ -154,16 +154,11 @@ def partition_rules() -> list[tuple[str, P]]:
 def init_cache(
     cfg: GPTBigCodeConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> dict:
-    shape = (cfg.n_layer, batch, max_len, cfg.kv_heads, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        # number of tokens already written (same for all sequences; ragged
-        # prefixes are handled by left-padding + kv_mask)
-        "index": jnp.zeros((), jnp.int32),
-        # (B, max_len) 1 where a real token occupies the slot
-        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
-    }
+    from starvector_tpu.models import decode_common as dc
+
+    return dc.init_cache(
+        cfg.n_layer, cfg.kv_heads, cfg.head_dim, batch, max_len, dtype
+    )
 
 
 def cache_partition_rules() -> list[tuple[str, P]]:
@@ -339,12 +334,13 @@ def forward(
         body_fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(body_fn, x, params["layers"])
         new_cache = None
-    elif S == 1 and cfg.attn_impl in ("xla", "mixed"):
-        # decode fast path: layers emit only their NEW k/v token; the big
-        # cache is written once after the scan. The naive scan-ys variant
+    elif S == 1:
+        # decode fast path (ALL attn impls — the analytic softmax merge
+        # beats both the Pallas decode kernel and the scan-ys rewrite for a
+        # single token): layers emit only their NEW k/v token; the big cache
+        # is written once after the scan. The naive scan-ys variant
         # re-materializes the full (L,B,T,…) cache every step (~2x cache
-        # traffic); attention merges the cached scores with the new token's
-        # self-score in one softmax.
+        # traffic).
         x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, policy)
         new_cache["index"] = new_index
     else:
@@ -373,71 +369,52 @@ def forward(
     return logits, new_cache
 
 
-def _decode_step(params, cfg, x, cache, kv_mask, policy):
-    """Single-token cached decode with small scan outputs (see forward).
-    `kv_mask` already includes the new token's slot; the cached arrays do
-    NOT yet contain the new k/v, whose contribution is merged analytically
-    into the softmax."""
-    B = x.shape[0]
+def _decode_layer_fn(cfg: GPTBigCodeConfig, old_mask, policy):
+    """Per-layer single-token decode callback for decode_common.decode_scan:
+    ln_1 → fused c_attn split → merged-softmax attention → residual MLP."""
+    from starvector_tpu.models import decode_common as dc
+
     E, H, D, Hkv = cfg.hidden_size, cfg.n_head, cfg.head_dim, cfg.kv_heads
     G = H // Hkv
-    idx = cache["index"]
-    # mask over cached slots only (exclude the new token's slot)
-    T = cache["k"].shape[2]
-    old_mask = kv_mask & (jnp.arange(T)[None, :] < idx)
+    scale = D**-0.5
 
-    def body(h, xs):
-        layer_p, lk, lv = xs
+    def fn(layer_p, h, lk, lv):
+        B = h.shape[0]
         hh = layer_norm(layer_p["ln_1"], h, cfg.layer_norm_epsilon)
         qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
         q = qkv[..., :E].reshape(B, Hkv, G, D)
         k_new = qkv[..., E : E + Hkv * D].reshape(B, Hkv, D)
         v_new = qkv[..., E + Hkv * D :].reshape(B, Hkv, D)
-
-        scale = D**-0.5
-        kc = lk.astype(h.dtype)                       # (B, T, Hkv, D)
-        vc = lv.astype(h.dtype)
-        s_c = jnp.einsum(
-            "bkgd,btkd->bkgt", q, kc, preferred_element_type=jnp.float32
-        ).astype(jnp.float32) * scale                 # (B, Hkv, G, T)
-        from starvector_tpu.ops.attention import NEG_INF
-
-        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
-        s_self = jnp.einsum(
-            "bkgd,bkd->bkg", q, k_new.astype(h.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.float32) * scale                 # (B, Hkv, G)
-
-        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
-        p_c = jnp.exp(s_c - m[..., None])
-        p_s = jnp.exp(s_self - m)
-        denom = jnp.sum(p_c, axis=-1) + p_s
-        out = jnp.einsum(
-            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
-            preferred_element_type=jnp.float32,
+        out = dc.merged_decode_attention(
+            q, k_new, v_new, lk, lv, old_mask, scale
         )
-        out = out + p_s[..., None] * v_new[:, :, None].astype(jnp.float32)
-        out = (out / denom[..., None]).astype(h.dtype)
-        out = out.reshape(B, 1, E)
-
         h = h + dense(layer_p["attn"]["c_proj"], out, policy)
         hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
         hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
         hh = gelu_tanh(hh)
         h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
-        return h, (k_new.astype(cache["k"].dtype), v_new.astype(cache["v"].dtype))
+        return h, k_new, v_new
 
-    x, (k_news, v_news) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    return fn
+
+
+def _decode_step(params, cfg, x, cache, kv_mask, policy):
+    """Single-token cached decode with small scan outputs (see forward).
+    `kv_mask` already includes the new token's slot; the cached arrays do
+    NOT yet contain the new k/v, whose contribution is merged analytically
+    into the softmax."""
+    from starvector_tpu.models import decode_common as dc
+
+    idx = cache["index"]
+    T = cache["k"].shape[2]
+    # mask over cached slots only (exclude the new token's slot)
+    old_mask = kv_mask & (jnp.arange(T)[None, :] < idx)
+    x, (k_news, v_news) = dc.decode_scan(
+        params["layers"], cache, x, _decode_layer_fn(cfg, old_mask, policy)
     )
-    # one small write: (L, B, 1, Hkv, D) at slot idx
-    new_k = jax.lax.dynamic_update_slice(
-        cache["k"], k_news[:, :, None], (0, 0, idx, 0, 0)
-    )
-    new_v = jax.lax.dynamic_update_slice(
-        cache["v"], v_news[:, :, None], (0, 0, idx, 0, 0)
-    )
-    return x, {"k": new_k, "v": new_v, "kv_mask": kv_mask}
+    new_cache = dc.write_new_kv_linear(cache, k_news, v_news, idx)
+    new_cache["kv_mask"] = kv_mask
+    return x, new_cache
 
 
 def init_ragged_cache(
@@ -445,13 +422,11 @@ def init_ragged_cache(
 ) -> dict:
     """Cache with PER-SLOT lengths for continuous batching (serving): each
     batch row advances independently."""
-    shape = (cfg.n_layer, batch, max_len, cfg.kv_heads, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        "lengths": jnp.zeros((batch,), jnp.int32),
-        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
-    }
+    from starvector_tpu.models import decode_common as dc
+
+    return dc.init_ragged_cache(
+        cfg.n_layer, cfg.kv_heads, cfg.head_dim, batch, max_len, dtype
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "policy"))
@@ -467,8 +442,8 @@ def forward_ragged_decode(
     """One decode step where every slot sits at its own cache position
     (the continuous-batching hot path). Inactive slots still compute but
     don't advance their cache. Returns (logits (B, V), new_cache)."""
-    B = token_ids.shape[0]
-    T = cache["k"].shape[2]
+    from starvector_tpu.models import decode_common as dc
+
     x = policy.cast(embed_tokens(params, token_ids[:, None]))  # (B, 1, E)
     positions = cache["lengths"][:, None]                      # (B, 1)
     pe = maybe_constrain(params["wpe"], P(None, None))[
@@ -476,62 +451,11 @@ def forward_ragged_decode(
     ]
     x = x + policy.cast(pe)
 
-    rows = jnp.arange(B)
-    write_pos = jnp.clip(cache["lengths"], 0, T - 1)
-    kv_mask = cache["kv_mask"].at[rows, write_pos].max(active.astype(jnp.int32))
-    # cached-slot visibility (the new token's contribution merges analytically)
-    from starvector_tpu.ops.attention import NEG_INF
-
-    old_mask = cache["kv_mask"]
-
-    E = cfg.hidden_size
-    H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
-    G = H // Hkv
-    scale = D**-0.5
-
-    def body(h, xs):
-        layer_p, lk, lv = xs
-        hh = layer_norm(layer_p["ln_1"], h, cfg.layer_norm_epsilon)
-        qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
-        q = qkv[..., :E].reshape(B, Hkv, G, D)
-        k_new = qkv[..., E : E + Hkv * D].reshape(B, Hkv, D)
-        v_new = qkv[..., E + Hkv * D :].reshape(B, Hkv, D)
-
-        kc = lk.astype(h.dtype)
-        vc = lv.astype(h.dtype)
-        s_c = jnp.einsum(
-            "bkgd,btkd->bkgt", q, kc, preferred_element_type=jnp.float32
-        ).astype(jnp.float32) * scale
-        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
-        s_self = jnp.einsum(
-            "bkgd,bkd->bkg", q, k_new.astype(h.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.float32) * scale
-        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
-        p_c = jnp.exp(s_c - m[..., None])
-        p_s = jnp.exp(s_self - m)
-        denom = jnp.sum(p_c, axis=-1) + p_s
-        out = jnp.einsum(
-            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
-            preferred_element_type=jnp.float32,
-        )
-        out = out + p_s[..., None] * v_new[:, :, None].astype(jnp.float32)
-        out = (out / denom[..., None]).astype(h.dtype).reshape(B, 1, E)
-
-        h = h + dense(layer_p["attn"]["c_proj"], out, policy)
-        hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
-        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
-        hh = gelu_tanh(hh)
-        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
-        return h, (k_new.astype(cache["k"].dtype), v_new.astype(cache["v"].dtype))
-
-    x, (k_news, v_news) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    write_pos, kv_mask, old_mask = dc.ragged_step_masks(cache, active, None)
+    x, (k_news, v_news) = dc.decode_scan(
+        params["layers"], cache, x, _decode_layer_fn(cfg, old_mask, policy)
     )
-    # per-row scatter of the (L, B, Hkv, D) new tokens at each slot's length
-    layer_ids = jnp.arange(cfg.n_layer)[:, None]
-    ks = cache["k"].at[layer_ids, rows[None, :], write_pos[None, :]].set(k_news)
-    vs = cache["v"].at[layer_ids, rows[None, :], write_pos[None, :]].set(v_news)
+    ks, vs = dc.write_new_kv_ragged(cache, k_news, v_news, write_pos)
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     logits = jnp.einsum(
         "bse,ve->bsv", policy.cast(x), policy.cast(params["wte"]),
@@ -555,31 +479,9 @@ def insert_prefill(
     length: jax.Array,   # number of valid tokens in the small cache
 ):
     """Admit a prefilled request into slot `slot` of the serving cache."""
-    T = ragged_cache["k"].shape[2]
-    Ts = small_cache["k"].shape[2]
-    pad = T - Ts
-    k = small_cache["k"]
-    v = small_cache["v"]
-    mask = small_cache["kv_mask"]
-    if pad > 0:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    else:
-        k, v, mask = k[:, :, :T], v[:, :, :T], mask[:, :T]
-    new_k = jax.lax.dynamic_update_slice(
-        ragged_cache["k"], k.astype(ragged_cache["k"].dtype), (0, slot, 0, 0, 0)
-    )
-    new_v = jax.lax.dynamic_update_slice(
-        ragged_cache["v"], v.astype(ragged_cache["v"].dtype), (0, slot, 0, 0, 0)
-    )
-    new_mask = jax.lax.dynamic_update_slice(
-        ragged_cache["kv_mask"], mask.astype(jnp.int32), (slot, 0)
-    )
-    lengths = jax.lax.dynamic_update_slice(
-        ragged_cache["lengths"], length[None].astype(jnp.int32), (slot,)
-    )
-    return {"k": new_k, "v": new_v, "lengths": lengths, "kv_mask": new_mask}
+    from starvector_tpu.models import decode_common as dc
+
+    return dc.insert_prefill(ragged_cache, small_cache, slot, length)
 
 
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:

@@ -140,13 +140,11 @@ def partition_rules() -> list[tuple[str, P]]:
 
 
 def init_cache(cfg: StarCoder2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        "index": jnp.zeros((), jnp.int32),
-        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
-    }
+    from starvector_tpu.models import decode_common as dc
+
+    return dc.init_cache(
+        cfg.num_hidden_layers, cfg.kv_heads, cfg.head_dim, batch, max_len, dtype
+    )
 
 
 def compute_position_ids(attention_mask: jax.Array) -> jax.Array:
@@ -297,7 +295,8 @@ def forward(
         body_fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(body_fn, x, params["layers"])
         new_cache = None
-    elif S == 1 and cfg.attn_impl in ("xla", "mixed"):
+    elif S == 1:
+        # decode fast path for ALL attn impls (see gpt_bigcode.forward)
         x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, positions, policy)
         new_cache["index"] = new_index
     else:
@@ -338,82 +337,64 @@ def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
 def _decode_step(params, cfg, x, cache, kv_mask, positions, policy):
     """Single-token cached decode with small scan outputs + analytic
     self-token softmax merge (see gpt_bigcode._decode_step)."""
-    B = x.shape[0]
-    E = cfg.hidden_size
-    H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
-    G = H // Hkv
+    from starvector_tpu.models import decode_common as dc
+
     idx = cache["index"]
     T = cache["k"].shape[2]
-    inv_freq = rope_frequencies(D, cfg.rope_theta)
     slot_ids = jnp.arange(T)[None, :]
     old_mask = kv_mask & (slot_ids < idx)
     if cfg.sliding_window is not None:
         old_mask = old_mask & (slot_ids > idx - cfg.sliding_window)
+    x, (k_news, v_news) = dc.decode_scan(
+        params["layers"], cache, x,
+        _decode_layer_fn(cfg, old_mask, positions, policy),
+    )
+    new_cache = dc.write_new_kv_linear(cache, k_news, v_news, idx)
+    new_cache["kv_mask"] = kv_mask
+    return x, new_cache
 
-    def body(h, xs):
-        layer_p, lk, lv = xs
+
+def _decode_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
+    """Per-layer single-token decode callback: pre-LN → separate q/k/v with
+    RoPE → merged-softmax attention → residual MLP."""
+    from starvector_tpu.models import decode_common as dc
+
+    H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    scale = D**-0.5
+    inv_freq = rope_frequencies(D, cfg.rope_theta)
+
+    def fn(layer_p, h, lk, lv):
+        B = h.shape[0]
         hh = layer_norm(layer_p["input_layernorm"], h, cfg.norm_epsilon)
         q = dense(layer_p["attn"]["q_proj"], hh, policy).reshape(B, 1, H, D)
         k_new = dense(layer_p["attn"]["k_proj"], hh, policy).reshape(B, 1, Hkv, D)
         v_new = dense(layer_p["attn"]["v_proj"], hh, policy).reshape(B, 1, Hkv, D)
         q = apply_rope(q, positions, inv_freq)
         k_new = apply_rope(k_new, positions, inv_freq)
-        qg = q.reshape(B, Hkv, G, D)
-        kn = k_new[:, 0]
-        vn = v_new[:, 0]
-
-        scale = D**-0.5
-        kc = lk.astype(h.dtype)
-        vc = lv.astype(h.dtype)
-        s_c = jnp.einsum(
-            "bkgd,btkd->bkgt", qg, kc, preferred_element_type=jnp.float32
-        ).astype(jnp.float32) * scale
-        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
-        s_self = jnp.einsum(
-            "bkgd,bkd->bkg", qg, kn.astype(h.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.float32) * scale
-        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
-        p_c = jnp.exp(s_c - m[..., None])
-        p_s = jnp.exp(s_self - m)
-        denom = jnp.sum(p_c, axis=-1) + p_s
-        out = jnp.einsum(
-            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
-            preferred_element_type=jnp.float32,
+        out = dc.merged_decode_attention(
+            q.reshape(B, Hkv, G, D), k_new[:, 0], v_new[:, 0],
+            lk, lv, old_mask, scale,
         )
-        out = out + p_s[..., None] * vn[:, :, None].astype(jnp.float32)
-        out = (out / denom[..., None]).astype(h.dtype).reshape(B, 1, H * D)
-
         h = h + dense(layer_p["attn"]["o_proj"], out, policy)
         hh = layer_norm(layer_p["post_attention_layernorm"], h, cfg.norm_epsilon)
         hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
         hh = gelu_tanh(hh)
         h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
-        return h, (kn.astype(cache["k"].dtype), vn.astype(cache["v"].dtype))
+        return h, k_new[:, 0], v_new[:, 0]
 
-    x, (k_news, v_news) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
-    )
-    new_k = jax.lax.dynamic_update_slice(
-        cache["k"], k_news[:, :, None], (0, 0, idx, 0, 0)
-    )
-    new_v = jax.lax.dynamic_update_slice(
-        cache["v"], v_news[:, :, None], (0, 0, idx, 0, 0)
-    )
-    return x, {"k": new_k, "v": new_v, "kv_mask": kv_mask}
+    return fn
 
 
 def init_ragged_cache(
     cfg: StarCoder2Config, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> dict:
     """Per-slot-length cache for continuous batching (see gpt_bigcode)."""
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-        "lengths": jnp.zeros((batch,), jnp.int32),
-        "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
-    }
+    from starvector_tpu.models import decode_common as dc
+
+    return dc.init_ragged_cache(
+        cfg.num_hidden_layers, cfg.kv_heads, cfg.head_dim, batch, max_len, dtype
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "policy"))
@@ -427,73 +408,19 @@ def forward_ragged_decode(
     policy: DTypePolicy = DTypePolicy(),
 ):
     """Continuous-batching decode step (per-slot positions + RoPE)."""
-    from starvector_tpu.ops.attention import NEG_INF
+    from starvector_tpu.models import decode_common as dc
 
-    B = token_ids.shape[0]
-    T = cache["k"].shape[2]
-    H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
-    inv_freq = rope_frequencies(D, cfg.rope_theta)
     x = policy.cast(embed_tokens(params, token_ids[:, None]))  # (B, 1, E)
     positions = cache["lengths"][:, None]
 
-    rows = jnp.arange(B)
-    write_pos = jnp.clip(cache["lengths"], 0, T - 1)
-    kv_mask = cache["kv_mask"].at[rows, write_pos].max(active.astype(jnp.int32))
-    # cached-slot visibility only; self term merged analytically
-    old_mask = cache["kv_mask"]
-    if cfg.sliding_window is not None:
-        slot = jnp.arange(T)[None, :]
-        win_lo = (cache["lengths"] - cfg.sliding_window)[:, None]
-        old_mask = old_mask & (slot > win_lo)
-    G = H // Hkv
-    scale = D**-0.5
-
-    def body(h, xs):
-        layer_p, lk, lv = xs
-        hh = layer_norm(layer_p["input_layernorm"], h, cfg.norm_epsilon)
-        q = dense(layer_p["attn"]["q_proj"], hh, policy).reshape(B, 1, H, D)
-        k = dense(layer_p["attn"]["k_proj"], hh, policy).reshape(B, 1, Hkv, D)
-        v = dense(layer_p["attn"]["v_proj"], hh, policy).reshape(B, 1, Hkv, D)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
-        qg = q.reshape(B, Hkv, G, D)
-        k_new = k[:, 0]
-        v_new = v[:, 0]
-
-        kc = lk.astype(h.dtype)
-        vc = lv.astype(h.dtype)
-        s_c = jnp.einsum(
-            "bkgd,btkd->bkgt", qg, kc, preferred_element_type=jnp.float32
-        ).astype(jnp.float32) * scale
-        s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
-        s_self = jnp.einsum(
-            "bkgd,bkd->bkg", qg, k_new.astype(h.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.float32) * scale
-        m = jnp.maximum(jnp.max(s_c, axis=-1), s_self)
-        p_c = jnp.exp(s_c - m[..., None])
-        p_s = jnp.exp(s_self - m)
-        denom = jnp.sum(p_c, axis=-1) + p_s
-        out = jnp.einsum(
-            "bkgt,btkd->bkgd", p_c.astype(h.dtype), vc,
-            preferred_element_type=jnp.float32,
-        )
-        out = out + p_s[..., None] * v_new[:, :, None].astype(jnp.float32)
-        out = (out / denom[..., None]).astype(h.dtype).reshape(B, 1, H * D)
-
-        h = h + dense(layer_p["attn"]["o_proj"], out, policy)
-        hh = layer_norm(layer_p["post_attention_layernorm"], h, cfg.norm_epsilon)
-        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
-        hh = gelu_tanh(hh)
-        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
-        return h, (k_new.astype(cache["k"].dtype), v_new.astype(cache["v"].dtype))
-
-    x, (k_news, v_news) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    write_pos, kv_mask, old_mask = dc.ragged_step_masks(
+        cache, active, cfg.sliding_window
     )
-    layer_ids = jnp.arange(cfg.num_hidden_layers)[:, None]
-    ks = cache["k"].at[layer_ids, rows[None, :], write_pos[None, :]].set(k_news)
-    vs = cache["v"].at[layer_ids, rows[None, :], write_pos[None, :]].set(v_news)
+    x, (k_news, v_news) = dc.decode_scan(
+        params["layers"], cache, x,
+        _decode_layer_fn(cfg, old_mask, positions, policy),
+    )
+    ks, vs = dc.write_new_kv_ragged(cache, k_news, v_news, write_pos)
     x = layer_norm(params["norm"], x, cfg.norm_epsilon)
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.einsum(
@@ -518,26 +445,6 @@ def insert_prefill(
     length: jax.Array,
 ):
     """Admit a prefilled B=1 cache into slot `slot` (see gpt_bigcode)."""
-    T = ragged_cache["k"].shape[2]
-    Ts = small_cache["k"].shape[2]
-    pad = T - Ts
-    k, v, mask = small_cache["k"], small_cache["v"], small_cache["kv_mask"]
-    if pad > 0:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    else:
-        k, v, mask = k[:, :, :T], v[:, :, :T], mask[:, :T]
-    new_k = jax.lax.dynamic_update_slice(
-        ragged_cache["k"], k.astype(ragged_cache["k"].dtype), (0, slot, 0, 0, 0)
-    )
-    new_v = jax.lax.dynamic_update_slice(
-        ragged_cache["v"], v.astype(ragged_cache["v"].dtype), (0, slot, 0, 0, 0)
-    )
-    new_mask = jax.lax.dynamic_update_slice(
-        ragged_cache["kv_mask"], mask.astype(jnp.int32), (slot, 0)
-    )
-    lengths = jax.lax.dynamic_update_slice(
-        ragged_cache["lengths"], length[None].astype(jnp.int32), (slot,)
-    )
-    return {"k": new_k, "v": new_v, "lengths": lengths, "kv_mask": new_mask}
+    from starvector_tpu.models import decode_common as dc
+
+    return dc.insert_prefill(ragged_cache, small_cache, slot, length)
