@@ -44,6 +44,7 @@ class CLIPViTConfig:
     layers: int = 23
     heads: int = 16
     ln_eps: float = 1e-5
+    act: str = "quick_gelu"   # LAVIS/openai towers; open_clip ViTs use "gelu"
 
     @property
     def num_patches(self) -> int:
@@ -135,7 +136,9 @@ def _block(p, cfg: CLIPViTConfig, x, policy: DTypePolicy):
     x = x + dense(p["attn"]["out_proj"], attn, policy)
     h = layer_norm(p["ln_2"], x, cfg.ln_eps)
     h = dense(p["mlp"]["c_fc"], h, policy)
-    h = quick_gelu(h)
+    h = quick_gelu(h) if cfg.act == "quick_gelu" else jax.nn.gelu(
+        h, approximate=False
+    )
     h = dense(p["mlp"]["c_proj"], h, policy)
     return x + h
 

@@ -38,26 +38,49 @@ def quantize_dense(p: dict) -> dict:
     return out
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _quantize_2d(w):
+    w32 = jnp.asarray(w, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=0) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _quantize_stacked(w):
+    """(L, K, N) → per-layer per-channel int8. lax.map over the layer axis
+    keeps the fp32 transient to ONE layer's (K, N) — a stacked 7B c_fc is
+    5.4 GB bf16, so a whole-leaf fp32 cast (10.9 GB) OOMs a 16 GB chip."""
+
+    def one(w_l):
+        w32 = jnp.asarray(w_l, jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=0) / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    return jax.lax.map(one, w)
+
+
 def quantize_tree(params, min_elems: int = 1 << 16):
     """Quantize every {'kernel': ...} dict with enough elements; leaves the
     rest (LN, small projections) untouched. Works on stacked (L, K, N)
-    layer weights too (per-layer, per-channel scales)."""
+    layer weights too (per-layer, per-channel scales).
+
+    Memory-safe for models near the HBM limit: the tree is rewritten leaf by
+    leaf with the source kernel DONATED to the quantization kernel, so the
+    bf16 weights free as the int8 ones appear (never 1.5x the model in HBM).
+    The input tree's kernel arrays are consumed."""
 
     def rec(node):
         if isinstance(node, dict):
             if "kernel" in node and hasattr(node["kernel"], "shape"):
                 w = node["kernel"]
                 if w.size >= min_elems and w.ndim in (2, 3):
-                    if w.ndim == 2:
-                        return quantize_dense(node)
-                    w32 = jnp.asarray(w, jnp.float32)
-                    scale = jnp.maximum(
-                        jnp.max(jnp.abs(w32), axis=1) / 127.0, 1e-12
-                    )  # (L, N)
-                    q = jnp.clip(
-                        jnp.round(w32 / scale[:, None, :]), -127, 127
-                    ).astype(jnp.int8)
-                    out = {"kernel_q": q, "scale": scale.astype(jnp.float32)}
+                    quant = _quantize_2d if w.ndim == 2 else _quantize_stacked
+                    node = dict(node)
+                    w = node.pop("kernel")  # drop the tree's reference
+                    q, scale = quant(w)
+                    out = {"kernel_q": q, "scale": scale}
                     if "bias" in node:
                         out["bias"] = node["bias"]
                     return out
