@@ -115,25 +115,52 @@ class CLIPScoreCalculator(BaseMetric):
 
 
 class LPIPSDistanceCalculator(BaseMetric):
-    """Perceptual distance. The reference uses the `lpips` package's VGG
-    variant (compute_LPIPS.py:9-55); with only local weights available this
-    implementation computes the LPIPS-style normalized feature distance from
-    any local vision backbone (default CLIP ViT) — same monotonic behavior,
-    documented deviation."""
+    """Perceptual distance with the REAL LPIPS-VGG net (metrics/lpips_vgg.py,
+    reference compute_LPIPS.py:9-55) when its weights are available:
+    `STARVECTOR_METRICS_DIR/lpips-vgg/{vgg16.pth, lpips_vgg.pth}` (torch
+    state dicts: torchvision VGG16 features + lpips 'vgg' linear layers).
+    Without them, falls back to an LPIPS-style normalized feature distance
+    over a local CLIP ViT — monotonic stand-in, NOT comparable to paper
+    LPIPS numbers (documented deviation)."""
 
     def __init__(self, config=None, model_path: str | None = None):
         super().__init__()
         self.config = config
         self.model_path = model_path
         self._model = None
+        self._vgg_params = None
         self.metric = self.lpips
+
+    # -- real LPIPS-VGG path --------------------------------------------------
+    def _load_vgg(self):
+        if self._vgg_params is not None:
+            return self._vgg_params
+        base = self.model_path or (
+            os.path.join(_models_dir(), "lpips-vgg") if _models_dir() else None
+        )
+        if base and os.path.isdir(base):
+            import torch
+
+            from starvector_tpu.metrics import lpips_vgg
+
+            vgg_sd = torch.load(
+                os.path.join(base, "vgg16.pth"), map_location="cpu",
+                weights_only=True,
+            )
+            lin_sd = torch.load(
+                os.path.join(base, "lpips_vgg.pth"), map_location="cpu",
+                weights_only=True,
+            )
+            self._vgg_params = lpips_vgg.from_torch_state_dicts(vgg_sd, lin_sd)
+            return self._vgg_params
+        return None
 
     def _load(self):
         if self._model is None:
             import torch
             from transformers import CLIPModel, CLIPProcessor
 
-            path = _resolve(self.model_path, "clip-vit-base-patch32")
+            path = _resolve(None, "clip-vit-base-patch32")
             self._processor = CLIPProcessor.from_pretrained(path)
             self._model = CLIPModel.from_pretrained(path).vision_model.eval()
             self._torch = torch
@@ -151,6 +178,13 @@ class LPIPSDistanceCalculator(BaseMetric):
         return feats
 
     def lpips(self, **kwargs):
+        vgg = self._load_vgg()
+        if vgg is not None:
+            from starvector_tpu.metrics import lpips_vgg
+
+            x = lpips_vgg.preprocess([kwargs["gt_im"]])
+            y = lpips_vgg.preprocess([kwargs["gen_im"]])
+            return float(lpips_vgg.lpips_distance(vgg, x, y)[0])
         fa = self._feats(kwargs["gt_im"])
         fb = self._feats(kwargs["gen_im"])
         d = sum(((a - b) ** 2).sum(-1).mean() for a, b in zip(fa, fb))
@@ -173,32 +207,61 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 
 class FIDCalculator:
-    """FID over a pluggable feature extractor (reference supports vendored
-    InceptionV3 or CLIP ViT-B/32 features; here the extractor is a local
-    CLIP checkpoint for both modes — torchvision/Inception weights are not
-    shippable in this image)."""
+    """FID over InceptionV3 pool3 features (the REAL FID network,
+    metrics/inception_v3.py — reference inception.py:16-340) when
+    `model_name='InceptionV3'` and a state dict exists at
+    `STARVECTOR_METRICS_DIR/inception/inception_v3.pth` (pytorch-fid or
+    torchvision naming). `model_name='ViT-B/32'` computes FID-CLIP over a
+    local CLIP checkpoint (the reference's clip mode, compute_fid.py)."""
 
     def __init__(self, model_name: str = "ViT-B/32", model_path: str | None = None):
         self.model_name = model_name
         self.model_path = model_path
         self._model = None
+        self._inception = None
         self.class_name = self.__class__.__name__
 
     def reset(self):
         pass
+
+    def _load_inception(self):
+        if self._inception is None:
+            import torch
+
+            from starvector_tpu.metrics import inception_v3
+
+            path = self.model_path or _resolve(None, "inception")
+            f = path if path.endswith(".pth") else os.path.join(
+                path, "inception_v3.pth"
+            )
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            self._inception = inception_v3.from_torch_state_dict(sd)
+        return self._inception
 
     def _load(self):
         if self._model is None:
             import torch
             from transformers import CLIPModel, CLIPProcessor
 
-            path = _resolve(self.model_path, "clip-vit-base-patch32")
+            path = _resolve(
+                self.model_path if self.model_name != "InceptionV3" else None,
+                "clip-vit-base-patch32",
+            )
             self._processor = CLIPProcessor.from_pretrained(path)
             self._model = CLIPModel.from_pretrained(path).eval()
             self._torch = torch
         return self._model
 
     def _features(self, images) -> np.ndarray:
+        if self.model_name == "InceptionV3":
+            from starvector_tpu.metrics import inception_v3
+
+            params = self._load_inception()
+            out = []
+            for i in range(0, len(images), 16):
+                x = inception_v3.preprocess(images[i:i + 16])
+                out.append(np.asarray(inception_v3.features(params, x)))
+            return np.concatenate(out)
         model = self._load()
         feats = []
         for im in images:
