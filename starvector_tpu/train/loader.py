@@ -30,6 +30,8 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         svg_end_suffix: str | None = None,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -40,6 +42,18 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        # Multi-host: each process feeds a DISJOINT slice of the index space
+        # (the reference gets this from torch DistributedSampler via
+        # accelerate). Defaults to jax process topology; batch_size here is
+        # the PER-PROCESS batch. The shuffle seed is shared so every host
+        # permutes identically before slicing.
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
         # v1: svg + eos; v2: svg + <svg-end> + eos (starvector_v2.py:54-58)
         if svg_end_suffix is None:
             svg_end_suffix = (
@@ -47,9 +61,23 @@ class DataLoader:
             )
         self.svg_end_suffix = svg_end_suffix
 
+    def _local_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        if self.process_count > 1:
+            # identical permutation on every host (shared seed), then a
+            # strided per-host slice — disjoint, near-equal shards
+            order = order[self.process_index::self.process_count]
+        return order
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n_local = len(self.dataset)
+        if self.process_count > 1:
+            n_local = (n_local - self.process_index + self.process_count - 1
+                       ) // self.process_count
+        n = n_local // self.batch_size
+        if not self.drop_last and n_local % self.batch_size:
             n += 1
         return n
 
@@ -65,9 +93,7 @@ class DataLoader:
         }
 
     def __iter__(self) -> Iterator[dict]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        order = self._local_order()
         batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)

@@ -125,3 +125,33 @@ def test_freeze_mask_structure():
     )
     assert not any(jax.tree_util.tree_leaves(mask["image_encoder"]))
     assert all(jax.tree_util.tree_leaves(mask["svg_transformer"]))
+
+
+def test_loader_multihost_sharding():
+    """Each process gets a disjoint, identically-permuted slice (replaces
+    the reference's DistributedSampler semantics)."""
+    from starvector_tpu.models.tokenizer import build_test_tokenizer
+    from starvector_tpu.train.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 17
+
+        def __getitem__(self, i):
+            import numpy as np
+
+            return {"image": np.zeros((4, 4, 3)), "svg": f"<svg>{i}</svg>",
+                    "caption": "", "id": str(i)}
+
+    tok = build_test_tokenizer()
+    seen = []
+    for pi in range(3):
+        dl = DataLoader(DS(), tok, 2, shuffle=True, drop_last=False,
+                        num_workers=1, seed=7, process_index=pi,
+                        process_count=3)
+        ids = [int(i) for b in dl for i in b["id"]]
+        assert len(ids) > 0
+        seen.append(set(ids))
+    assert seen[0] | seen[1] | seen[2] == set(range(17))
+    assert not (seen[0] & seen[1]) and not (seen[0] & seen[2]) \
+        and not (seen[1] & seen[2])
