@@ -1,14 +1,23 @@
-"""Benchmark: StarVector-1B im2svg decode throughput on one TPU chip.
+"""Benchmark: StarVector im2svg throughput on one TPU chip.
 
-Measures the serving hot path end-to-end on device: CLIP-257 visual-prefix
-prefill followed by batched autoregressive decode through the Pallas
-flash/MQA kernels, on the real 1B geometry (hidden 2048, 24 layers, MQA,
-bf16). Reports SVG tokens/sec/chip (the BASELINE.json headline metric).
+Phase-separated and honest (round-2 rework):
+  * vision: the REAL CLIP-ViT tower + adapter produce the 257-token visual
+    prefix from a batch of images (previous bench fed a random prefix)
+  * prefill: Pallas flash prefill of [visual ‖ prompt] into the KV cache
+  * decode: the batched single-token hot loop (fused sampling on device)
 
-`vs_baseline` is the speedup over the same model running the reference-
-equivalent XLA attention path on the same chip (the in-framework stand-in
-for the reference HF implementation; the reference repo publishes no
-throughput numbers — BASELINE.md).
+Headline metric = DECODE tokens/s/chip (the serving steady state and the
+BASELINE.json north-star unit). `vs_baseline` compares the same decode loop
+against this repo's XLA-attention path on the same chip — a self-relative
+number; the reference publishes no throughput figures (BASELINE.md), its
+only speed claim being that vLLM is "substantially faster" than HF.
+
+`bandwidth_utilization` is computed from bytes that MUST move per decode
+step (all weights + KV read) against the v5e 819 GB/s HBM roof, so the
+headline is auditable against speed-of-light.
+
+Also reports: e2e tokens/s (prefill amortized), prefill TFLOP/s, p50
+single-image latency, and (on TPU) an 8B int8 StarCoder2-7B decode section.
 
 Prints ONE JSON line.
 """
@@ -16,105 +25,319 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
+import os
 import statistics
 import time
+
+HBM_ROOF_GBPS = 819.0  # v5e
+
+
+def _median_time(fn, reps):
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
+def bench_1b(jax, jnp, np, on_tpu):
+    from starvector_tpu.models import gpt_bigcode as gbc
+    from starvector_tpu.models import starvector as sv
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    if on_tpu:
+        cfg = sv.starvector_1b_config()
+        B, NEW = 64, 256
+        reps = 3
+    else:
+        cfg = sv.tiny_config()
+        B, NEW = 2, 8
+        reps = 1
+    llm = cfg.llm
+    img = cfg.image_size
+
+    t0 = time.time()
+    params = sv.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    init_s = time.time() - t0
+    dec_params = params["svg_transformer"]
+    param_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(dec_params)
+    )
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (B, img, img, 3),
+                                jnp.bfloat16)
+    prompt_ids = jnp.full((B, 2), 27, jnp.int32)  # '<svg'-like 2-token prompt
+
+    # phase 1+2: REAL vision encode + flash prefill into the cache
+    Q = cfg.query_length
+    P = Q + prompt_ids.shape[1]
+    # pad the cache window toward the SVG-Stack mean ~1.8k tokens: decode
+    # depth is what the steady state reads
+    PREFIX_CTX = 1024 if on_tpu else P
+    total = max(P, PREFIX_CTX) + NEW
+
+    @jax.jit
+    def vision_and_prefill(params, images, prompt_ids):
+        cond = sv.encode_image(params, cfg, images, policy=policy)
+        pe = cfg.decoder_module.embed_tokens(params["svg_transformer"],
+                                             prompt_ids)
+        embeds = jnp.concatenate([cond, policy.cast(pe)], axis=1)
+        pad = max(PREFIX_CTX - embeds.shape[1], 0)
+        if pad:
+            embeds = jnp.concatenate(
+                [embeds, jnp.zeros((B, pad, embeds.shape[-1]), embeds.dtype)],
+                axis=1,
+            )
+        mask = jnp.ones((B, embeds.shape[1]), jnp.int32)
+        cache = gbc.init_cache(llm, B, total, dtype=policy.compute_dtype)
+        logits, cache = cfg.decoder_module.forward(
+            params["svg_transformer"], llm, embeds, attention_mask=mask,
+            cache=cache, policy=policy, last_logits_only=True,
+        )
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+
+    @functools.partial(jax.jit, static_argnames=("n", "attn"))
+    def decode_loop(dec_params, cache, tok, n, attn):
+        dcfg = dataclasses.replace(llm, attn_impl=attn)
+
+        def body(state, _):
+            tok, cache = state
+            e = gbc.embed_tokens(dec_params, tok[:, None]).astype(
+                policy.compute_dtype
+            )
+            lg, cache = gbc.forward(
+                dec_params, dcfg, e,
+                attention_mask=jnp.ones((B, 1), jnp.int32),
+                cache=cache, policy=policy,
+            )
+            nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+            return (nxt, cache), None
+
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), None, length=n)
+        return tok
+
+    tok, cache = vision_and_prefill(params, images, prompt_ids)
+    np.asarray(tok)  # host fetch = true sync on the tunneled backend
+    prefill_s = _median_time(
+        lambda: np.asarray(vision_and_prefill(params, images, prompt_ids)[0]),
+        reps,
+    )
+
+    results = {}
+    for attn in (("mixed", "xla") if on_tpu else ("mixed",)):
+        np.asarray(decode_loop(dec_params, cache, tok, NEW, attn))  # compile
+        dt = _median_time(
+            lambda: np.asarray(decode_loop(dec_params, cache, tok, NEW, attn)),
+            reps,
+        )
+        results[attn] = B * NEW / dt
+    decode_s = B * NEW / results["mixed"]
+
+    # speed-of-light accounting for the decode step
+    L, Hkv, D = llm.n_layer, llm.kv_heads, llm.head_dim
+    kv_read = 2 * L * B * (PREFIX_CTX + NEW / 2) * Hkv * D * 2
+    step_bytes = param_bytes + kv_read
+    step_s = decode_s / NEW
+    bw_util = (step_bytes / step_s) / (HBM_ROOF_GBPS * 1e9)
+
+    # single-image p50 latency: vision + prefill + 64 tokens at B=1
+    lat = None
+    if on_tpu:
+        img1 = images[:1]
+        pid1 = prompt_ids[:1]
+
+        @jax.jit
+        def one(params, img1, pid1):
+            cond = sv.encode_image(params, cfg, img1, policy=policy)
+            pe = cfg.decoder_module.embed_tokens(params["svg_transformer"], pid1)
+            embeds = jnp.concatenate([cond, policy.cast(pe)], axis=1)
+            mask = jnp.ones((1, embeds.shape[1]), jnp.int32)
+            cache = gbc.init_cache(llm, 1, embeds.shape[1] + 64,
+                                   dtype=policy.compute_dtype)
+            lg, cache = cfg.decoder_module.forward(
+                params["svg_transformer"], llm, embeds, attention_mask=mask,
+                cache=cache, policy=policy, last_logits_only=True,
+            )
+            t0 = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+
+            def body(state, _):
+                tok, cache = state
+                e = gbc.embed_tokens(params["svg_transformer"], tok[:, None]
+                                     ).astype(policy.compute_dtype)
+                lg, cache = gbc.forward(
+                    params["svg_transformer"], llm, e,
+                    attention_mask=jnp.ones((1, 1), jnp.int32),
+                    cache=cache, policy=policy,
+                )
+                return (jnp.argmax(lg[:, -1], -1).astype(jnp.int32), cache), None
+
+            (tok, _), _ = jax.lax.scan(body, (t0, cache), None, length=64)
+            return tok
+
+        np.asarray(one(params, img1, pid1))
+        lat = _median_time(lambda: np.asarray(one(params, img1, pid1)), 3)
+
+    return {
+        "decode_tok_per_s": round(results["mixed"], 1),
+        "xla_decode_tok_per_s": round(results.get("xla", 0.0), 1),
+        "e2e_tok_per_s": round(B * NEW / (decode_s + prefill_s), 1),
+        "prefill_s": round(prefill_s, 4),
+        "prefill_TFLOPs": round(
+            2 * (param_bytes / 2) * B * PREFIX_CTX / prefill_s / 1e12, 1
+        ),
+        "bandwidth_utilization": round(bw_util, 3),
+        "ms_per_decode_step": round(step_s * 1e3, 3),
+        "batch": B, "prefix_ctx": PREFIX_CTX, "new_tokens": NEW,
+        "visual_prefix": "real CLIP-257 tower + adapter",
+        "p50_image_to_svg64_latency_s": round(lat, 4) if lat else None,
+        "param_init_s": round(init_s, 1),
+    }
+
+
+def bench_8b_int8(jax, jnp, np):
+    """StarCoder2-7B geometry, int8 weight-only, decode steady state."""
+    from starvector_tpu.models import starcoder2 as sc2
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    cfg = sc2.starcoder2_7b_config(attn_impl="mixed")
+    B, PREFIX, NEW = 8, 1024, 128
+    total = PREFIX + NEW
+
+    # int8 weights built directly (bf16 init + quantize would transiently
+    # need model-plus-half in HBM); synthetic values, real geometry
+    import jax.tree_util as jtu
+
+    shapes = jax.eval_shape(
+        lambda: sc2.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    )
+    def int8_leaf(k, shape):
+        # chunked per-layer randint with sync: a whole-leaf randint would
+        # enqueue a uint32 random-bits transient 4x the int8 size (10.9 GB
+        # for the stacked c_fc) and OOM the chip
+        rows = []
+        for li in range(shape[0]):
+            r = jax.random.randint(
+                jax.random.fold_in(k, li), shape[1:], -127, 128, jnp.int8
+            )
+            jax.block_until_ready(r)
+            rows.append(r)
+        out = jnp.stack(rows)
+        jax.block_until_ready(out)
+        return out
+
+    flat, treedef = jtu.tree_flatten_with_path(shapes)
+    leaves = []
+    for i, (path, sh) in enumerate(flat):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        k = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        if name == "kernel" and len(sh.shape) == 3:
+            leaves.append({
+                "kernel_q": int8_leaf(k, sh.shape),
+                "scale": jnp.full((sh.shape[0], sh.shape[2]), 2e-4, jnp.float32),
+            })
+        else:
+            leaves.append(jax.random.normal(k, sh.shape, jnp.bfloat16) * 0.02)
+    params = jtu.tree_unflatten(treedef, leaves)
+
+    def fix(node):
+        if isinstance(node, dict):
+            if "kernel" in node and isinstance(node["kernel"], dict):
+                out = dict(node["kernel"])
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    params = fix(params)
+
+    prefix = jax.random.normal(jax.random.PRNGKey(1),
+                               (B, PREFIX, cfg.hidden_size), jnp.bfloat16)
+    mask = jnp.ones((B, PREFIX), jnp.int32)
+
+    @jax.jit
+    def prefill(params, prefix, mask):
+        cache = sc2.init_cache(cfg, B, total, dtype=policy.compute_dtype)
+        lg, cache = sc2.forward(params, cfg, prefix, attention_mask=mask,
+                                cache=cache, policy=policy,
+                                last_logits_only=True)
+        return jnp.argmax(lg[:, -1], -1).astype(jnp.int32), cache
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def decode_loop(params, cache, tok, n):
+        def body(state, _):
+            tok, cache = state
+            e = sc2.embed_tokens(params, tok[:, None]).astype(
+                policy.compute_dtype
+            )
+            lg, cache = sc2.forward(
+                params, cfg, e, attention_mask=jnp.ones((B, 1), jnp.int32),
+                cache=cache, policy=policy,
+            )
+            return (jnp.argmax(lg[:, -1], -1).astype(jnp.int32), cache), None
+
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), None, length=n)
+        return tok
+
+    tok, cache = prefill(params, prefix, mask)
+    np.asarray(tok)
+    prefill_s = _median_time(lambda: np.asarray(prefill(params, prefix, mask)[0]), 2)
+    np.asarray(decode_loop(params, cache, tok, NEW))
+    decode_s = _median_time(
+        lambda: np.asarray(decode_loop(params, cache, tok, NEW)), 2
+    )
+    qbytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
+    )
+    L, Hkv, D = cfg.num_hidden_layers, cfg.kv_heads, cfg.head_dim
+    kv_read = 2 * L * B * (PREFIX + NEW / 2) * Hkv * D * 2
+    step_s = decode_s / NEW
+    return {
+        "8b_decode_tok_per_s": round(B * NEW / decode_s, 1),
+        "8b_ms_per_decode_step": round(step_s * 1e3, 2),
+        "8b_prefill_s": round(prefill_s, 3),
+        "8b_bandwidth_utilization": round(
+            ((qbytes + kv_read) / step_s) / (HBM_ROOF_GBPS * 1e9), 3
+        ),
+        "8b_batch": B, "8b_prefix_ctx": PREFIX,
+        "8b_quant": "int8 weight-only (fused dequant Pallas matmul)",
+    }
 
 
 def main():
     import jax
     import jax.numpy as jnp
-
-    from starvector_tpu.generation.engine import GenerationConfig, generate
-    from starvector_tpu.models import gpt_bigcode as gbc
-    from starvector_tpu.ops.layers import DTypePolicy
-
-    on_tpu = jax.default_backend() != "cpu"
-    policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-
-    if on_tpu:
-        llm = gbc.GPTBigCodeConfig()  # real 1B geometry
-        # realistic serving point: SVG-Stack sequences average ~1.8k tokens
-        # (BASELINE.md), so measure decode against a ~1k-deep KV cache.
-        # NEW is large to amortize the fixed per-call dispatch overhead of
-        # the tunneled TPU runtime (~30ms/call measured).
-        B, PREFIX, NEW = 64, 1024, 256
-        reps = 2
-    else:
-        llm = gbc.tiny_config()
-        B, PREFIX, NEW = 2, 20, 16
-        reps = 1
-
-    rng = jax.random.PRNGKey(0)
-    t0 = time.time()
-    params = gbc.init_params(llm, rng, dtype=jnp.bfloat16)
-    params = jax.tree_util.tree_map(lambda x: jax.device_put(x), params)
-    init_s = time.time() - t0
-
-    prefix = jax.random.normal(
-        jax.random.PRNGKey(1), (B, PREFIX, llm.hidden_size), jnp.bfloat16
-    )
-    mask = jnp.ones((B, PREFIX), jnp.int32)
-    gen = GenerationConfig(
-        max_new_tokens=NEW, do_sample=False, pad_token_id=0, min_new_tokens=NEW
-    )
-
     import numpy as np
 
-    def run(cfg, key=2):
-        toks, _ = generate(
-            params, cfg_llm, "gpt_bigcode", prefix, mask, gen,
-            jax.random.PRNGKey(key), policy=policy,
-        )
-        # fetch to host: on the tunneled TPU backend block_until_ready does
-        # not reliably synchronize; a host transfer is a true data dependency
-        return np.asarray(toks)
+    on_tpu = jax.default_backend() != "cpu"
+    detail = bench_1b(jax, jnp, np, on_tpu)
 
-    results = {}
-    for impl in (["mixed", "xla"] if on_tpu else ["xla"]):
-        cfg_llm = dataclasses.replace(llm, attn_impl=impl)
-        run(cfg_llm)  # compile + warm
-        times = []
-        for i in range(reps):
-            t0 = time.time()
-            run(cfg_llm, key=i)
-            times.append(time.time() - t0)
-        dt = statistics.median(times)
-        results[impl] = (B * NEW) / dt
-        if impl == "mixed":
-            # single-image latency: prefill + 64 tokens, batch 1
-            p1 = prefix[:1]
-            m1 = mask[:1]
-            g1 = dataclasses.replace(gen, max_new_tokens=64, min_new_tokens=64)
-            lat_ts = []
-            np.asarray(generate(params, cfg_llm, "gpt_bigcode", p1, m1, g1,
-                                jax.random.PRNGKey(3), policy=policy)[0])
-            for i in range(3):
-                t0 = time.time()
-                np.asarray(generate(params, cfg_llm, "gpt_bigcode", p1, m1, g1,
-                                    jax.random.PRNGKey(10 + i), policy=policy)[0])
-                lat_ts.append(time.time() - t0)
-            results["p50_latency_s"] = statistics.median(lat_ts)
+    if on_tpu and os.environ.get("STARVECTOR_BENCH_8B", "1") != "0":
+        try:
+            detail.update(bench_8b_int8(jax, jnp, np))
+        except Exception as e:  # noqa: BLE001 — 8B section is best-effort
+            detail["8b_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
-    main_impl = "mixed" if on_tpu else "xla"
-    toks_per_sec = results[main_impl]
-    vs = toks_per_sec / results["xla"] if "xla" in results and results["xla"] else 1.0
+    value = detail["decode_tok_per_s"]
+    xla = detail.get("xla_decode_tok_per_s") or 0.0
+    vs = value / xla if xla else 1.0
+    detail["vs_baseline_meaning"] = (
+        "decode throughput vs this repo's XLA-attention path on the same "
+        "chip (reference publishes no throughput numbers)"
+    )
+    detail["backend"] = jax.default_backend()
     print(json.dumps({
         "metric": "SVG tokens/sec/chip (1B im2svg batched decode @1k ctx, bf16)",
-        "value": round(toks_per_sec, 1),
+        "value": value,
         "unit": "tokens/s/chip",
         "vs_baseline": round(vs, 3),
-        "detail": {
-            "batch": B,
-            "prefix_len": PREFIX,
-            "new_tokens": NEW,
-            "xla_tokens_per_sec": round(results.get("xla", 0.0), 1),
-            "p50_image_to_svg64_latency_s": round(
-                results.get("p50_latency_s", float("nan")), 4
-            ) if "p50_latency_s" in results else None,
-            "param_init_s": round(init_s, 1),
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }))
 
 

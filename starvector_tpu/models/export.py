@@ -81,6 +81,66 @@ def starcoder2_to_hf(params: dict, cfg: StarCoder2Config,
     return sd
 
 
+def vision_to_hf(params: dict, cfg) -> dict:
+    """Inverse of the checkpoint-load converters for the vision tower +
+    adapter: emits the reference's state-dict naming
+    (model.image_encoder.visual_encoder.* / model.image_projection.*,
+    starvector_base.py:23-48) so an exported checkpoint round-trips through
+    load_hf_starvector_checkpoint. CLIP (1B) tower supported; other towers
+    are converted from their own modules' converters' inverse when needed."""
+    if cfg.image_encoder_type != "clip":
+        raise NotImplementedError(
+            f"vision export for {cfg.image_encoder_type!r} not implemented; "
+            "clip (the 1B tower) is"
+        )
+    enc = params["image_encoder"]["visual_encoder"]
+    pfx = "model.image_encoder.visual_encoder."
+    sd: dict = {}
+    # patch_embed (C*P*P, W) → conv1.weight (W, 3, P, P)
+    pe = np.asarray(enc["patch_embed"])
+    W = pe.shape[1]
+    p2 = int(np.sqrt(pe.shape[0] // 3))
+    sd[pfx + "conv1.weight"] = np.ascontiguousarray(
+        pe.T.reshape(W, 3, p2, p2)
+    )
+    sd[pfx + "class_embedding"] = np.asarray(enc["class_embedding"])
+    sd[pfx + "positional_embedding"] = np.asarray(enc["positional_embedding"])
+    sd[pfx + "ln_pre.weight"] = np.asarray(enc["ln_pre"]["scale"])
+    sd[pfx + "ln_pre.bias"] = np.asarray(enc["ln_pre"]["bias"])
+    layers = enc["layers"]
+    L = layers["ln_1"]["scale"].shape[0]
+    for i in range(L):
+        base = pfx + f"transformer.resblocks.{i}."
+        for ln in ("ln_1", "ln_2"):
+            sd[base + ln + ".weight"] = np.asarray(layers[ln]["scale"][i])
+            sd[base + ln + ".bias"] = np.asarray(layers[ln]["bias"][i])
+        sd[base + "attn.in_proj_weight"] = _t(layers["attn"]["in_proj"]["kernel"][i])
+        sd[base + "attn.in_proj_bias"] = np.asarray(layers["attn"]["in_proj"]["bias"][i])
+        sd[base + "attn.out_proj.weight"] = _t(layers["attn"]["out_proj"]["kernel"][i])
+        sd[base + "attn.out_proj.bias"] = np.asarray(layers["attn"]["out_proj"]["bias"][i])
+        for mm in ("c_fc", "c_proj"):
+            sd[base + f"mlp.{mm}.weight"] = _t(layers["mlp"][mm]["kernel"][i])
+            sd[base + f"mlp.{mm}.bias"] = np.asarray(layers["mlp"][mm]["bias"][i])
+    sd["model.image_encoder.ln_vision.weight"] = np.asarray(
+        params["image_encoder"]["ln_vision"]["scale"]
+    )
+    sd["model.image_encoder.ln_vision.bias"] = np.asarray(
+        params["image_encoder"]["ln_vision"]["bias"]
+    )
+
+    ad = params["image_projection"]
+    apfx = "model.image_projection."
+    for mm in ("c_fc", "c_proj"):
+        sd[apfx + mm + ".weight"] = _t(ad[mm]["kernel"])
+        sd[apfx + mm + ".bias"] = np.asarray(ad[mm]["bias"])
+    sd[apfx + "norm.weight"] = np.asarray(ad["norm"]["scale"])
+    sd[apfx + "norm.bias"] = np.asarray(ad["norm"]["bias"])
+    if "running_mean" in ad["norm"]:
+        sd[apfx + "norm.running_mean"] = np.asarray(ad["norm"]["running_mean"])
+        sd[apfx + "norm.running_var"] = np.asarray(ad["norm"]["running_var"])
+    return sd
+
+
 def save_safetensors(sd: dict, path: str):
     from safetensors.numpy import save_file
 

@@ -61,15 +61,18 @@ def _quantize_stacked(w):
     return jax.lax.map(one, w)
 
 
-def quantize_tree(params, min_elems: int = 1 << 16):
+def quantize_tree(params, min_elems: int = 1 << 16, *, consume: bool = True):
     """Quantize every {'kernel': ...} dict with enough elements; leaves the
     rest (LN, small projections) untouched. Works on stacked (L, K, N)
-    layer weights too (per-layer, per-channel scales).
+    layer weights too (per-layer, per-channel scales via lax.map — one
+    layer's fp32 transient, not the whole stack).
 
-    Memory-safe for models near the HBM limit: the tree is rewritten leaf by
-    leaf with the source kernel DONATED to the quantization kernel, so the
-    bf16 weights free as the int8 ones appear (never 1.5x the model in HBM).
-    The input tree's kernel arrays are consumed."""
+    Memory-safe for models near the HBM limit (`consume=True`, default):
+    each source kernel's device buffer is EXPLICITLY freed as soon as its
+    int8 replacement materializes. JAX dispatch is async — without the
+    per-leaf sync+delete, a 7B bf16 tree (14.4 GB) and its int8 copy
+    (7.3 GB) coexist in HBM and OOM a 16 GB chip even though the Python
+    references look clean. The input tree's kernels become unusable."""
 
     def rec(node):
         if isinstance(node, dict):
@@ -80,6 +83,12 @@ def quantize_tree(params, min_elems: int = 1 << 16):
                     node = dict(node)
                     w = node.pop("kernel")  # drop the tree's reference
                     q, scale = quant(w)
+                    if consume and hasattr(w, "delete"):
+                        jax.block_until_ready(q)
+                        try:
+                            w.delete()
+                        except Exception:  # noqa: BLE001 — e.g. np.ndarray input
+                            pass
                     out = {"kernel_q": q, "scale": scale}
                     if "bias" in node:
                         out["bias"] = node["bias"]

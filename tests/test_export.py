@@ -68,3 +68,48 @@ def test_safetensors_write(tmp_path):
 
     loaded = load_file(path)
     assert set(loaded) == set(sd)
+
+
+def test_vision_export_roundtrip():
+    """vision_to_hf emits the reference naming; converting back reproduces
+    the encoder + adapter outputs exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from starvector_tpu.models import adapter as adapter_mod
+    from starvector_tpu.models import starvector as sv
+    from starvector_tpu.models.vision import clip_vit
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    cfg = sv.tiny_config()
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    sd = export.vision_to_hf(params, cfg)
+    assert "model.image_encoder.visual_encoder.conv1.weight" in sd
+    assert "model.image_projection.c_fc.weight" in sd
+
+    # strip the 'model.' prefix like the checkpoint loader does
+    sd = {k[len("model."):]: v for k, v in sd.items()}
+    tower_cfg = clip_vit.CLIPViTConfig(
+        image_size=cfg.image_size, patch_size=7, width=32, layers=2, heads=4
+    )
+    enc2 = clip_vit.from_torch_state_dict(
+        sd, tower_cfg, prefix="image_encoder.visual_encoder."
+    )
+    f32 = DTypePolicy(compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 28, 28, 3))
+    out1 = clip_vit.forward(params["image_encoder"]["visual_encoder"],
+                            tower_cfg, x, policy=f32)
+    out2 = clip_vit.forward(enc2, tower_cfg, x, policy=f32)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               rtol=1e-5, atol=1e-6)
+
+    ad_cfg = sv._adapter_cfg_for(cfg, params)
+    ad2 = adapter_mod.from_torch_state_dict(
+        sd, ad_cfg, prefix="image_projection."
+    )
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, ad_cfg.query_length,
+                                                    ad_cfg.input_size))
+    a1 = adapter_mod.forward(params["image_projection"], ad_cfg, emb, policy=f32)
+    a2 = adapter_mod.forward(ad2, ad_cfg, emb, policy=f32)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                               rtol=1e-5, atol=1e-6)
