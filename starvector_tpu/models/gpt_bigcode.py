@@ -248,7 +248,8 @@ def compute_position_ids(attention_mask: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "policy", "remat", "return_hidden", "last_logits_only"),
+    static_argnames=("cfg", "policy", "remat", "return_hidden",
+                     "last_logits_only", "fast_path"),
 )
 def forward(
     params: dict,
@@ -262,6 +263,7 @@ def forward(
     remat: bool = False,
     return_hidden: bool = False,
     last_logits_only: bool = False,
+    fast_path: bool = True,   # False = naive scan-ys decode (bench baseline)
 ) -> tuple[jax.Array, dict | None]:
     """Run the decoder. Without `cache`: full-sequence (training) forward.
     With `cache`: writes the S new tokens at cache.index and attends over the
@@ -334,7 +336,7 @@ def forward(
         body_fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(body_fn, x, params["layers"])
         new_cache = None
-    elif S == 1:
+    elif S == 1 and fast_path:
         # decode fast path (ALL attn impls — the analytic softmax merge
         # beats both the Pallas decode kernel and the scan-ys rewrite for a
         # single token): layers emit only their NEW k/v token; the big cache

