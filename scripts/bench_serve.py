@@ -47,13 +47,17 @@ def main():
     )
     engine.start()
 
-    # warm the compile caches (one bucket per prompt length + the tick step)
-    warm = Request(
-        prefix_embeds=jnp.zeros((1, prompt_lens[0], llm.hidden_size),
-                                jnp.bfloat16),
-        max_new_tokens=4, temperature=0.0, do_sample=False,
-    )
-    engine.generate_sync(warm, timeout=600)
+    # warm the compile caches: one request per DISTINCT prefill bucket plus
+    # the fused tick step — compiles must not land in the measured window
+    from starvector_tpu.serve.engine import _bucket_len
+
+    for P in sorted({_bucket_len(p) for p in prompt_lens}):
+        warm = Request(
+            prefix_embeds=jnp.zeros((1, min(P, MAX_LEN - NEW - 8),
+                                     llm.hidden_size), jnp.bfloat16),
+            max_new_tokens=4, temperature=0.0, do_sample=False,
+        )
+        engine.generate_sync(warm, timeout=600)
 
     reqs: list[Request] = []
     t_submit: dict[str, float] = {}

@@ -116,7 +116,7 @@ def _prefill_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dec_name", "cfg", "policy", "max_top_k"),
+    static_argnames=("dec_name", "cfg", "policy", "max_top_k", "n_steps"),
     donate_argnames=("cache",),
 )
 def _fused_ragged_step(
@@ -134,22 +134,34 @@ def _fused_ragged_step(
     cfg: Any,
     policy: DTypePolicy,
     max_top_k: int,
+    n_steps: int = 1,
 ):
-    """ONE dispatch per engine tick: ragged decode + per-slot sampling fused.
-    Folding the tick counter into the base key on device avoids a separate
-    jax.random.split dispatch per tick (~30 ms each on the tunneled runtime)."""
+    """ONE dispatch per engine tick: `n_steps` ragged decode steps with
+    per-slot sampling fused (lax.scan). Multi-step ticks amortize the fixed
+    per-dispatch runtime overhead (~30 ms on the tunneled TPU runtime) over
+    several tokens; admissions join between ticks. Folding the tick counter
+    into the base key on device avoids a separate jax.random.split dispatch.
+    Returns ((B, n_steps) tokens, cache)."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
-    logits, cache = dec.forward_ragged_decode(
-        params, cfg, tokens, cache, active, policy=policy
+
+    def body(state, i):
+        tokens, cache = state
+        logits, cache = dec.forward_ragged_decode(
+            params, cfg, tokens, cache, active, policy=policy
+        )
+        rng = jax.random.fold_in(base_rng, step * n_steps + i)
+        nxt = sample_token(
+            rng, logits, do_sample=True,
+            temperature=temps, top_p=top_ps, top_k=top_ks, max_top_k=max_top_k,
+        )
+        return (nxt, cache), nxt
+
+    (_, cache), toks = jax.lax.scan(
+        body, (tokens, cache), jnp.arange(n_steps)
     )
-    rng = jax.random.fold_in(base_rng, step)
-    nxt = sample_token(
-        rng, logits, do_sample=True,
-        temperature=temps, top_p=top_ps, top_k=top_ks, max_top_k=max_top_k,
-    )
-    return nxt, cache
+    return toks.T, cache  # (B, n_steps)
 
 
 class ServeEngine:
@@ -166,6 +178,7 @@ class ServeEngine:
         ),
         seed: int = 0,
         max_top_k: int = 64,
+        steps_per_tick: int = 4,
     ):
         from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -182,6 +195,10 @@ class ServeEngine:
         self.max_batch = max_batch
         self.max_len = max_len
         self.max_top_k = max_top_k
+        # tokens decoded per dispatch: >1 amortizes the fixed per-dispatch
+        # overhead; admissions join between ticks (latency granularity =
+        # steps_per_tick tokens). Tokens past a stop/eos are discarded.
+        self.steps_per_tick = max(1, steps_per_tick)
         self.cache = self.dec.init_ragged_cache(
             llm_cfg, max_batch, max_len, dtype=policy.compute_dtype
         )
@@ -199,11 +216,13 @@ class ServeEngine:
     # -- public API ----------------------------------------------------------
     def submit(self, req: Request) -> Request:
         P = int(req.prefix_embeds.shape[1])
-        if P + req.max_new_tokens > self.max_len:
+        # steps_per_tick - 1 slack: a multi-step tick may overshoot a stop
+        if P + req.max_new_tokens + self.steps_per_tick - 1 > self.max_len:
             req.out_queue.put((
                 "error",
                 f"prompt ({P}) + max_new_tokens ({req.max_new_tokens}) "
-                f"exceeds engine max_len ({self.max_len})",
+                f"exceeds engine max_len ({self.max_len}, incl. "
+                f"{self.steps_per_tick - 1} multi-step slack)",
             ))
             return req
         self.pending.put(req)
@@ -296,8 +315,9 @@ class ServeEngine:
             self._emit(slot_idx)
 
     # -- decode tick -----------------------------------------------------------
-    def _emit(self, slot_idx: int):
-        """Push the latest token; finish the request if stopped."""
+    def _emit(self, slot_idx: int) -> bool:
+        """Push the latest token; finish the request if stopped. Returns
+        True when the slot was released."""
         slot = self.slots[slot_idx]
         req = slot.req
         tok = slot.generated[-1]
@@ -314,11 +334,13 @@ class ServeEngine:
         if done:
             req.out_queue.put(("done", list(slot.generated)))
             self.slots[slot_idx] = _Slot()
+        return done
 
     def _tick(self) -> bool:
         reqs = [s.req for s in self.slots]
         if not any(r is not None for r in reqs):
             return False
+        K = self.steps_per_tick
         active = np.array([1 if r is not None else 0 for r in reqs], np.int32)
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         temps = np.array(
@@ -336,16 +358,19 @@ class ServeEngine:
             self.base_rng, jnp.asarray(self._step, jnp.int32),
             jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(top_ks),
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
-            max_top_k=self.max_top_k,
+            max_top_k=self.max_top_k, n_steps=K,
         )
-        nxt = np.asarray(nxt)
-        for i, slot in enumerate(self.slots):
-            if slot.req is None:
+        nxt = np.asarray(nxt)  # (B, K)
+        for i in range(len(self.slots)):
+            if self.slots[i].req is None:
                 continue
-            tok = int(nxt[i])
-            slot.generated.append(tok)
-            slot.last_token = tok
-            self._emit(i)
+            for j in range(K):
+                tok = int(nxt[i, j])
+                slot = self.slots[i]
+                slot.generated.append(tok)
+                slot.last_token = tok
+                if self._emit(i):
+                    break  # tokens past the stop are discarded
         return True
 
     def _decode_loop(self):
