@@ -2,16 +2,22 @@
 
 The reference exposes `num_beams` (default 2) through HF `generate`
 (reference: starvector_base.py:223-241, UI slider gradio_web_server.py).
-This is a TPU-shaped implementation: beams live as extra batch rows with a
-shared preallocated KV cache; each step scores K*V continuations, keeps the
-top K, and reorders the cache by beam parentage with a gather.
+This is a TPU-shaped implementation of HF's beam-search semantics
+(HF BeamSearchScorer + the decoder's `_reorder_cache`,
+reference modeling_gpt_bigcode.py:1282-1291):
 
-Semantics (documented deltas from HF):
-  * finished beams (eos or stop sequence) freeze — they propose only a
-    pad continuation at unchanged score
-  * final hypothesis = best score / len**length_penalty over beams at the
-    end (HF additionally keeps a per-slot pool of finished hypotheses;
-    with early stopping on greedy beams the argmax coincides in practice)
+  * beams live as extra batch rows over a shared preallocated KV cache
+  * each step scores 2K candidate continuations; candidates that hit
+    eos/a stop sequence move into a per-slot FINISHED-HYPOTHESIS POOL
+    (top-K by length-penalized score), and the live beams are refilled
+    with the best K unfinished candidates — matching HF's pool behavior
+    instead of freezing finished beams in place
+  * the cache is reordered by beam parentage with a gather
+  * termination follows HF early_stopping=False: a slot is done when its
+    pool is full and the best attainable live score cannot beat the worst
+    pooled hypothesis
+  * the final hypothesis is the pool's best, with still-live beams
+    considered at their current normalized score when the pool is short
 """
 
 from __future__ import annotations
@@ -50,12 +56,14 @@ def beam_search(
     length_penalty: float = 1.0,
     policy: DTypePolicy = DTypePolicy(),
 ):
-    """Returns (tokens (B, max_new_tokens), lengths (B,)) — the best beam."""
+    """Returns (tokens (B, max_new_tokens), lengths (B,)) — the best
+    hypothesis per batch row."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
     B, P, E = inputs_embeds.shape
     K = num_beams
+    K2 = 2 * K
     V = llm_cfg.vocab_size
     total = P + max_new_tokens
 
@@ -74,10 +82,13 @@ def beam_search(
         jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
     ).astype(jnp.float32).repeat(B, axis=0).reshape(B, K)
     tokens = jnp.full((B, K, max_new_tokens), pad_token_id, jnp.int32)
-    done = jnp.zeros((B, K), bool)
-    lengths = jnp.full((B, K), max_new_tokens, jnp.int32)
 
-    def check_stop(tokens_bk, t, new_tok):
+    pool_scores = jnp.full((B, K), NEG_INF, jnp.float32)
+    pool_tokens = jnp.full((B, K, max_new_tokens), pad_token_id, jnp.int32)
+    pool_lengths = jnp.full((B, K), max_new_tokens, jnp.int32)
+
+    def check_stop(parent_tokens, t, new_tok):
+        """(B, K2) — does [parent history ‖ new_tok] end in a stop / eos?"""
         hit = jnp.zeros(new_tok.shape, bool)
         for stop in stop_sequences:
             L = len(stop)
@@ -89,7 +100,7 @@ def beam_search(
             else:
                 start = jnp.maximum(t - (L - 1), 0)
                 window = jax.lax.dynamic_slice(
-                    tokens_bk, (0, 0, start), (B, K, L - 1)
+                    parent_tokens, (0, 0, start), (B, K2, L - 1)
                 )
                 m = jnp.all(window == s[None, None, : L - 1], axis=-1)
                 m &= new_tok == s[L - 1]
@@ -99,41 +110,66 @@ def beam_search(
             hit |= new_tok == eos_token_id
         return hit
 
+    def slot_done(pool_scores, scores, t):
+        """HF early_stopping=False: done when the pool is full and the best
+        attainable live continuation can't beat the worst pooled score."""
+        pool_full = jnp.all(pool_scores > NEG_INF / 2, axis=1)       # (B,)
+        attainable = jnp.max(scores, axis=1) / jnp.maximum(
+            t.astype(jnp.float32) + 1.0, 1.0
+        ) ** length_penalty
+        worst_pool = jnp.min(pool_scores, axis=1)
+        return pool_full & (attainable <= worst_pool)
+
     def cond(state):
-        t, done = state[0], state[6]
-        return jnp.logical_and(t < max_new_tokens, ~jnp.all(done))
+        t, scores, pool_scores = state[0], state[3], state[5]
+        return jnp.logical_and(
+            t < max_new_tokens, ~jnp.all(slot_done(pool_scores, scores, t))
+        )
 
     def body(state):
-        t, cache, last_logp, scores, tokens, lengths, done = state
-        # finished beams may only continue with pad at zero added score
-        step_scores = jnp.where(
-            done[..., None],
-            jnp.where(
-                jnp.arange(V)[None, None, :] == pad_token_id, 0.0, NEG_INF
-            ),
-            last_logp,
-        )
-        total_scores = scores[..., None] + step_scores       # (B, K, V)
+        (t, cache, last_logp, scores, tokens,
+         pool_scores, pool_tokens, pool_lengths) = state
+
+        total_scores = scores[..., None] + last_logp          # (B, K, V)
         flat = total_scores.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, K)         # (B, K)
-        parent = (top_idx // V).astype(jnp.int32)            # (B, K)
-        new_tok = (top_idx % V).astype(jnp.int32)
+        cand_scores, cand_idx = jax.lax.top_k(flat, K2)       # (B, 2K)
+        parent = (cand_idx // V).astype(jnp.int32)
+        new_tok = (cand_idx % V).astype(jnp.int32)
 
-        # reorder beam state by parentage
         batch_idx = jnp.arange(B)[:, None]
-        tokens = tokens[batch_idx, parent]                   # (B, K, max_new)
-        done_p = done[batch_idx, parent]
-        lengths = lengths[batch_idx, parent]
+        parent_tokens = tokens[batch_idx, parent]             # (B, 2K, max_new)
+        finished = check_stop(parent_tokens, t, new_tok)      # (B, 2K)
 
-        newly = check_stop(tokens, t, new_tok) & ~done_p
-        lengths = jnp.where(newly, t + 1, lengths)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, new_tok[..., None], (0, 0, t)
+        # candidate token buffers with the new token written at position t
+        cand_tokens = jax.lax.dynamic_update_slice(
+            parent_tokens, new_tok[..., None], (0, 0, t)
         )
-        done_new = done_p | newly
 
-        # reorder the cache rows: flat index b*K + parent
-        flat_parent = (batch_idx * K + parent).reshape(-1)   # (B*K,)
+        # ---- pool update: finished candidates compete on normalized score
+        norm = cand_scores / jnp.maximum(
+            t.astype(jnp.float32) + 1.0, 1.0
+        ) ** length_penalty
+        cand_pool_scores = jnp.where(finished, norm, NEG_INF)
+        all_scores = jnp.concatenate([pool_scores, cand_pool_scores], 1)
+        all_tokens = jnp.concatenate([pool_tokens, cand_tokens], 1)
+        all_lengths = jnp.concatenate(
+            [pool_lengths, jnp.full((B, K2), t + 1, jnp.int32)], 1
+        )
+        top_pool, pool_sel = jax.lax.top_k(all_scores, K)     # (B, K)
+        pool_scores = top_pool
+        pool_tokens = all_tokens[batch_idx, pool_sel]
+        pool_lengths = all_lengths[batch_idx, pool_sel]
+
+        # ---- live refill: best K UNFINISHED candidates keep searching
+        live_scores_cand = jnp.where(finished, NEG_INF, cand_scores)
+        live_top, live_sel = jax.lax.top_k(live_scores_cand, K)  # (B, K)
+        live_parent = parent[batch_idx, live_sel]
+        live_tok = new_tok[batch_idx, live_sel]
+        tokens = cand_tokens[batch_idx, live_sel]
+        scores = live_top
+
+        # reorder cache rows to the live parents: flat index b*K + parent
+        flat_parent = (batch_idx * K + live_parent).reshape(-1)   # (B*K,)
         cache = {
             "k": cache["k"][:, flat_parent],
             "v": cache["v"][:, flat_parent],
@@ -141,7 +177,7 @@ def beam_search(
             "kv_mask": cache["kv_mask"][flat_parent],
         }
 
-        embeds = dec.embed_tokens(params, new_tok.reshape(-1)[:, None]).astype(
+        embeds = dec.embed_tokens(params, live_tok.reshape(-1)[:, None]).astype(
             policy.compute_dtype
         )
         logits, cache = dec.forward(
@@ -151,18 +187,26 @@ def beam_search(
         )
         lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
         return (
-            t + 1, cache, lp.reshape(B, K, V), top_scores, tokens, lengths,
-            done_new,
+            t + 1, cache, lp.reshape(B, K, V), scores, tokens,
+            pool_scores, pool_tokens, pool_lengths,
         )
 
     state = (jnp.zeros((), jnp.int32), cache, last_logp, scores, tokens,
-             lengths, done)
-    _, _, _, scores, tokens, lengths, done = jax.lax.while_loop(
+             pool_scores, pool_tokens, pool_lengths)
+    (t, _, _, scores, tokens,
+     pool_scores, pool_tokens, pool_lengths) = jax.lax.while_loop(
         cond, body, state
     )
 
-    # select best beam per batch by length-penalized score (HF convention)
-    norm = scores / jnp.maximum(lengths.astype(jnp.float32), 1.0) ** length_penalty
-    best = jnp.argmax(norm, axis=1)                          # (B,)
+    # short pools: still-live beams compete at their final normalized score
+    live_norm = scores / jnp.maximum(
+        t.astype(jnp.float32), 1.0
+    ) ** length_penalty
+    final_scores = jnp.concatenate([pool_scores, live_norm], 1)   # (B, 2K)
+    final_tokens = jnp.concatenate([pool_tokens, tokens], 1)
+    final_lengths = jnp.concatenate(
+        [pool_lengths, jnp.broadcast_to(t.astype(jnp.int32), (B, K))], 1
+    )
+    best = jnp.argmax(final_scores, axis=1)                       # (B,)
     bi = jnp.arange(B)
-    return tokens[bi, best], lengths[bi, best]
+    return final_tokens[bi, best], final_lengths[bi, best]

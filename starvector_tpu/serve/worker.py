@@ -79,6 +79,12 @@ class ModelWorker:
             prefix = jnp.concatenate(
                 [cond, self.model.policy.cast(pe)], axis=1
             )
+            # id-aligned view for prompt-lookup drafting: visual prefix = -1
+            Q = cond.shape[1]
+            ids_aligned = jnp.concatenate(
+                [jnp.full((1, Q), -1, jnp.int32), ids.astype(jnp.int32)], axis=1
+            )
+            self._last_ids_aligned = ids_aligned
             return prefix, prompt
         caption = payload.get("prompt", "")
         text = caption + tok.svg_start_token
@@ -87,6 +93,7 @@ class ModelWorker:
         prefix = self.model.policy.cast(
             dec.embed_tokens(self.model.params["svg_transformer"], ids)
         )
+        self._last_ids_aligned = ids.astype(jnp.int32)
         return prefix, ""
 
     def make_request(self, payload: dict) -> tuple[Request, str]:
@@ -103,6 +110,31 @@ class ModelWorker:
             eos_token_id=tok.eos_token_id,
         )
         return req, prompt_text
+
+    def generate_speculative(self, payload: dict) -> str:
+        """Prompt-lookup speculative decoding (greedy, single stream) —
+        exact same tokens as greedy in several-x fewer decoder forwards on
+        repetitive SVG output. Routed by `use_speculative` in the payload."""
+        from starvector_tpu.generation.speculative import (
+            generate_greedy_speculative,
+        )
+
+        prefix, prompt_text = self._prefix_for(payload)
+        tok = self.model.tokenizer
+        ids_aligned = self._last_ids_aligned
+        tokens, lengths, _ = generate_greedy_speculative(
+            self.model.params["svg_transformer"], prefix,
+            jnp.ones((1, P), jnp.int32), ids_aligned,
+            dec_name=self.model.cfg.decoder, llm_cfg=self.model.cfg.llm,
+            max_new_tokens=int(payload.get("max_new_tokens", 512)),
+            draft_len=int(payload.get("draft_len", 8)),
+            stop_sequences=(tok.stop_sequence_ids("</svg>"),),
+            eos_token_id=tok.eos_token_id,
+            pad_token_id=tok.pad_token_id,
+            policy=self.model.policy,
+        )
+        row = np.asarray(tokens[0][: int(lengths[0])])
+        return prompt_text + tok.decode(row)
 
     def generate_beam(self, payload: dict) -> str:
         """Beam-search path (reference exposes num_beams through the UI
@@ -196,11 +228,14 @@ def build_app(worker: ModelWorker) -> web.Application:
             resp = web.StreamResponse()
             await resp.prepare(request)
             loop = asyncio.get_running_loop()
+            special = None
             if int(payload.get("num_beams", 1)) > 1:
+                special = worker.generate_beam
+            elif payload.get("use_speculative"):
+                special = worker.generate_speculative
+            if special is not None:
                 try:
-                    text = await loop.run_in_executor(
-                        None, worker.generate_beam, payload
-                    )
+                    text = await loop.run_in_executor(None, special, payload)
                     chunk = json.dumps({"text": text, "error_code": 0})
                 except Exception as e:  # noqa: BLE001
                     chunk = json.dumps({"text": str(e), "error_code": 1})

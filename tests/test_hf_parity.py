@@ -145,3 +145,42 @@ def test_starcoder2_sliding_window():
         np.asarray(win[:, :4]), np.asarray(full[:, :4]), rtol=1e-4, atol=1e-4
     )
     assert np.abs(np.asarray(win[:, -1]) - np.asarray(full[:, -1])).max() > 1e-3
+
+
+def test_beam_search_matches_hf_generate(hf_gbc):
+    """Beam tokens match HF generate(num_beams=2) — exercises the
+    finished-hypothesis pool semantics (reference relies on HF's
+    BeamSearchScorer + _reorder_cache, modeling_gpt_bigcode.py:1282-1291)."""
+    from starvector_tpu.generation.beam import beam_search
+
+    model, cfg, params = hf_gbc
+    B, P, NEW = 2, 6, 24
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, cfg.vocab_size, size=(B, P))
+    eos = 7
+
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids), max_new_tokens=NEW, num_beams=2,
+            do_sample=False, eos_token_id=eos, pad_token_id=0,
+            length_penalty=1.0, early_stopping=False,
+        ).numpy()[:, P:]
+
+    embeds = gbc.embed_tokens(params, jnp.asarray(ids))
+    tokens, lengths = beam_search(
+        params, embeds.astype(jnp.float32), jnp.ones((B, P), jnp.int32),
+        dec_name="gpt_bigcode", llm_cfg=cfg, num_beams=2,
+        max_new_tokens=NEW, eos_token_id=eos, pad_token_id=0,
+        length_penalty=1.0, policy=F32,
+    )
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+    for b in range(B):
+        L_hf = hf_out.shape[1]
+        hf_row = hf_out[b]
+        # HF pads after eos; compare up to our reported length
+        L = int(lengths[b])
+        np.testing.assert_array_equal(
+            tokens[b, :L], hf_row[:L],
+            err_msg=f"row {b}: ours {tokens[b, :L]} vs hf {hf_row[:L]}",
+        )
