@@ -140,8 +140,8 @@ def flash_prefill(
     causal: bool = True,
     window: int | None = None,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,   # tuned on v5e at B=64/S=1024/MQA: 512/1024 runs
+    block_k: int = 1024,  # 74 vs 59 TFLOP/s for the old 256/256
     interpret: bool | None = None,
 ) -> jax.Array:
     """Flash attention; returns (B, S, H, D). `q_offset` is the absolute
@@ -252,7 +252,7 @@ def _flash_lse_kernel(
 def flash_prefill_with_lse(
     q, k, v, kv_mask, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
-    block_q: int = 256, block_k: int = 256, interpret: bool | None = None,
+    block_q: int = 512, block_k: int = 1024, interpret: bool | None = None,
 ):
     """flash_prefill that also returns the per-row logsumexp (B, S, H) fp32 —
     the only residual the recompute-based backward needs beyond the inputs."""
