@@ -70,13 +70,44 @@ def _bucket_len(n: int, lo: int = 64) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dec_name", "cfg", "policy", "max_top_k")
+    jax.jit,
+    static_argnames=("dec_name", "cfg", "policy"),
+    donate_argnames=("cache",),
 )
-def _prefill_step(
+def _prefill_chunk(
     params: dict,
-    embeds: jax.Array,        # (1, Pb, E) right-padded to the bucket
-    mask: jax.Array,          # (1, Pb)
-    last_idx: jax.Array,      # scalar: index of the last REAL token (P-1)
+    embeds: jax.Array,        # (1, C, E) one prompt chunk
+    mask: jax.Array,          # (1, C)
+    cache: dict,              # bucket-sized B=1 cache, filled so far
+    *,
+    dec_name: str,
+    cfg: Any,
+    policy: DTypePolicy,
+):
+    """One prompt chunk into the cache (non-final chunks; hidden discarded).
+    Chunking bounds how long a single admission dispatch can occupy the
+    device, so running decodes stall by at most one chunk."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    _, cache = dec.forward(
+        params, cfg, embeds, attention_mask=mask, cache=cache,
+        policy=policy, return_hidden=True,
+    )
+    return cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dec_name", "cfg", "policy", "max_top_k"),
+    donate_argnames=("cache",),
+)
+def _prefill_last_chunk(
+    params: dict,
+    embeds: jax.Array,        # (1, C, E) final chunk (right-padded)
+    mask: jax.Array,          # (1, C)
+    cache: dict,
+    last_idx: jax.Array,      # scalar: CHUNK-LOCAL index of the last token
     base_rng: jax.Array,
     step: jax.Array,
     temp: jax.Array,
@@ -88,14 +119,11 @@ def _prefill_step(
     policy: DTypePolicy,
     max_top_k: int,
 ):
-    """Admission prefill in ONE dispatch: build the bucket-sized B=1 cache,
-    run the cached forward, project ONLY the last real position through the
-    LM head (no (Pb, V) materialization), and sample the first token."""
+    """Final prefill chunk: project ONLY the last real position through the
+    LM head (no (Pb, V) materialization) and sample the first token."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
-    Pb = embeds.shape[1]
-    cache = dec.init_cache(cfg, 1, Pb, dtype=policy.compute_dtype)
     hidden, cache = dec.forward(
         params, cfg, embeds, attention_mask=mask, cache=cache,
         policy=policy, return_hidden=True,
@@ -179,6 +207,7 @@ class ServeEngine:
         seed: int = 0,
         max_top_k: int = 64,
         steps_per_tick: int = 4,
+        prefill_chunk: int = 1024,
     ):
         from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -199,6 +228,12 @@ class ServeEngine:
         # overhead; admissions join between ticks (latency granularity =
         # steps_per_tick tokens). Tokens past a stop/eos are discarded.
         self.steps_per_tick = max(1, steps_per_tick)
+        # admission prefill chunk: bounds device occupancy per dispatch so
+        # a long prompt never stalls running decodes for its full length.
+        # Default 1024 keeps typical prompts single-dispatch (each extra
+        # chunk costs one fixed dispatch overhead) while 2k-8k prompts
+        # still interleave with decode ticks.
+        self.prefill_chunk = max(64, prefill_chunk)
         self.cache = self.dec.init_ragged_cache(
             llm_cfg, max_batch, max_len, dtype=policy.compute_dtype
         )
@@ -291,9 +326,24 @@ class ServeEngine:
         if Pb > P:
             embeds = jnp.pad(embeds, ((0, 0), (0, Pb - P), (0, 0)))
         mask = (jnp.arange(Pb) < P).astype(jnp.int32)[None]
+        small = self.dec.init_cache(
+            self.llm_cfg, 1, Pb, dtype=self.policy.compute_dtype
+        )
+        C = self.prefill_chunk
+        n_chunks = max(Pb // C, 1)
+        C = Pb // n_chunks
+        for ci in range(n_chunks - 1):
+            small = _prefill_chunk(
+                self.params, embeds[:, ci * C:(ci + 1) * C],
+                mask[:, ci * C:(ci + 1) * C], small,
+                dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
+            )
         self._step += 1
-        first_arr, small = _prefill_step(
-            self.params, embeds, mask, jnp.asarray(P - 1, jnp.int32),
+        last_local = (P - 1) - (n_chunks - 1) * C
+        first_arr, small = _prefill_last_chunk(
+            self.params, embeds[:, (n_chunks - 1) * C:],
+            mask[:, (n_chunks - 1) * C:], small,
+            jnp.asarray(last_local, jnp.int32),
             self.base_rng, jnp.asarray(self._step, jnp.int32),
             jnp.asarray(req.temperature if req.do_sample else 0.0, jnp.float32),
             jnp.asarray(req.top_p, jnp.float32),
