@@ -205,9 +205,41 @@ class StarVectorForCausalLM:
         return texts
 
     def generate_im2svg_grpo(self, batch: dict, **kwargs) -> dict:
-        """reference generate_im2svg_grpo (starvector_base.py:261-286)."""
-        raw = self.generate_im2svg(batch, **kwargs)
-        return {"raw_svg": raw}
+        """reference generate_im2svg_grpo (starvector_base.py:261-286):
+        returns raw_svg + full output ids (prompt-prefixed, repeated per
+        return sequence) + the conditioning inputs_embeds for RL scoring."""
+        from starvector_tpu.models import starvector as sv_mod
+
+        images = jnp.asarray(batch["image"])
+        prompt = kwargs.get("prompt") or self.tokenizer.prompt
+        B = images.shape[0]
+        enc = self.tokenizer([prompt] * B, add_special_tokens=False)
+        prompt_ids = jnp.asarray(enc["input_ids"])
+        gen = self._gen_config(kwargs)
+        # reference: >1 return sequences forces sampling, beams off
+        tokens, lengths = generate_im2svg(
+            self.params, self.cfg, images, prompt_ids, gen,
+            self._next_rng(), policy=self.policy,
+        )
+        n = gen.num_return_sequences
+        full_prompt = jnp.repeat(prompt_ids, n, axis=0) if n > 1 else prompt_ids
+        outputs = jnp.concatenate([full_prompt, tokens], axis=1)
+        raw_svg = [
+            self.tokenizer.decode(row[: full_prompt.shape[1] + int(L)])
+            for row, L in zip(np.asarray(outputs), np.asarray(lengths))
+        ]
+        cond = sv_mod.encode_image(self.params, self.cfg, images,
+                                   policy=self.policy)
+        pe = self.cfg.decoder_module.embed_tokens(
+            self.params["svg_transformer"], prompt_ids
+        )
+        inputs_embeds = jnp.concatenate([cond, self.policy.cast(pe)], axis=1)
+        return {
+            "raw_svg": raw_svg,
+            "outputs": outputs,
+            "lengths": lengths,
+            "inputs_embeds": inputs_embeds,
+        }
 
     def generate_text2svg(self, batch: dict, **kwargs) -> list[str]:
         """reference generate_text2svg (starvector_base.py:297-330):

@@ -154,6 +154,35 @@ class SVGValidator(ABC):
                 json.dump(meta, f, indent=4, sort_keys=True)
             res["gen_im"] = gen_raster
             res["gt_im"] = gt_raster
+            if sweep:
+                self._save_sweep_grid(sample_dir, sample_id, res_all, gt_raster)
+
+    def _save_sweep_grid(self, sample_dir, sample_id, res_all, gt_raster):
+        """Per-temperature rasters + the comparison grid (reference
+        temperature-sweep plots, svg_validator_base.py:276-296, 436-451)."""
+        from starvector_tpu.metrics.l2 import L2DistanceCalculator
+        from starvector_tpu.utils import plots
+
+        l2 = L2DistanceCalculator()
+        samples, metrics = {}, {}
+        for temp, r in res_all.items():
+            tdir = os.path.join(sample_dir, f"temp_{temp:g}")
+            os.makedirs(tdir, exist_ok=True)
+            raster = rasterize_svg(r["svg"], resolution=512, dpi=100, scale=1)
+            raster.save(os.path.join(tdir, f"{sample_id}.png"))
+            samples[temp] = {"gen_im": raster, "gt_im": gt_raster}
+            try:
+                metrics[temp] = {
+                    "mse": l2.l2_distance(gt_im=gt_raster, gen_im=raster)
+                }
+            except Exception:  # noqa: BLE001 — plot survives metric failure
+                metrics[temp] = {}
+        try:
+            plots.plot_images_side_by_side_temperatures(
+                samples, metrics, sample_dir, sample_id
+            )
+        except Exception as e:  # noqa: BLE001 — matplotlib quirks non-fatal
+            print(f"sweep grid plot failed for {sample_id}: {e}")
 
     def _save_svg_files(self, sample_dir, name, res):
         with open(os.path.join(sample_dir, f"{name}.svg"), "w", encoding="utf-8") as f:
