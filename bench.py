@@ -147,6 +147,24 @@ def bench_1b(jax, jnp, np, on_tpu):
         results[key] = B * NEW / dt
     decode_s = B * NEW / results["mixed"]
 
+    # int8 weight-only on the same decode loop (the production serving
+    # config: per-channel symmetric, XLA fused dequant-einsum). Weights are
+    # ~2/3 of the step's HBM bytes at this shape, so halving them wins ~35%.
+    int8_tok_s = None
+    if on_tpu:
+        from starvector_tpu.ops.quantization import quantize_tree
+
+        qdec = quantize_tree(dec_params, consume=False)
+        np.asarray(decode_loop(qdec, cache, tok, NEW, "mixed", True))
+        dt_q = _median_time(
+            lambda: np.asarray(
+                decode_loop(qdec, cache, tok, NEW, "mixed", True)
+            ),
+            reps,
+        )
+        int8_tok_s = B * NEW / dt_q
+        del qdec
+
     # speed-of-light accounting for the decode step
     L, Hkv, D = llm.n_layer, llm.kv_heads, llm.head_dim
     kv_read = 2 * L * B * (PREFIX_CTX + NEW / 2) * Hkv * D * 2
@@ -193,6 +211,7 @@ def bench_1b(jax, jnp, np, on_tpu):
 
     return {
         "decode_tok_per_s": round(results["mixed"], 1),
+        "int8_decode_tok_per_s": round(int8_tok_s, 1) if int8_tok_s else None,
         "naive_decode_tok_per_s": round(results.get("naive", 0.0), 1),
         "e2e_tok_per_s": round(B * NEW / (decode_s + prefill_s), 1),
         "prefill_s": round(prefill_s, 4),

@@ -38,7 +38,7 @@ from starvector_tpu.ops.layers import (
     normal_init,
 )
 from starvector_tpu.ops.attention import make_attention_bias, multihead_attention
-from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain
+from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain, seq_spec
 from jax.sharding import PartitionSpec as P
 
 
@@ -206,7 +206,7 @@ def _attention_block(
         impl = "xla" if is_decode else "flash"
     if impl == "flash":
         from starvector_tpu.ops.flash_attention import (
-            flash_prefill, flash_prefill_trainable,
+            flash_prefill,
             gqa_decode_batched as gqa_decode,
         )
 
@@ -215,8 +215,11 @@ def _attention_block(
                 q[:, 0], k, v, ctx["kv_mask"], ctx["q_offset"] + 1
             )[:, None]
         elif layer_cache is None:
-            # training path: differentiable wrapper (q_offset is 0)
-            out = flash_prefill_trainable(q, k, v, ctx["kv_mask"])
+            # training path: differentiable wrapper; sequence-parallel when
+            # the ambient mesh has a `sequence` axis (no-op otherwise)
+            from starvector_tpu.parallel.sequence import sp_flash_attention
+
+            out = sp_flash_attention(q, k, v, ctx["kv_mask"])
         else:
             out = flash_prefill(
                 q, k, v, ctx["kv_mask"], q_offset=ctx["q_offset"]
@@ -326,7 +329,12 @@ def forward(
     wpe_full = maybe_constrain(params["wpe"], P(None, None))
     pe = wpe_full[position_ids]
     x = x + policy.cast(pe)
-    x = maybe_constrain(x, batch_spec(extra_dims=2))
+    # training activations also shard S over the `sequence` axis (context
+    # parallelism); cached/decode calls keep the batch-only layout so the
+    # Pallas prefill/decode kernels see sequence-local shapes
+    x = maybe_constrain(
+        x, seq_spec(1) if cache is None else batch_spec(extra_dims=2)
+    )
 
     if cache is None:
         def body(h, layer_p):

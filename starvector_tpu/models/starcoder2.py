@@ -35,7 +35,7 @@ from starvector_tpu.ops.layers import (
     normal_init,
 )
 from starvector_tpu.ops.rotary import apply_rope, rope_frequencies
-from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain
+from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain, seq_spec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,7 +179,7 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
         impl = "xla" if is_decode else "flash"
     if impl == "flash":
         from starvector_tpu.ops.flash_attention import (
-            flash_prefill, flash_prefill_trainable,
+            flash_prefill,
             gqa_decode_batched as gqa_decode,
         )
 
@@ -194,8 +194,11 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
                 q[:, 0], k, v, ctx["kv_mask"], cache_len, win_start
             )[:, None]
         elif layer_cache is None:
-            out = flash_prefill_trainable(
-                q, k, v, ctx["kv_mask"], True, cfg.sliding_window
+            from starvector_tpu.parallel.sequence import sp_flash_attention
+
+            out = sp_flash_attention(
+                q, k, v, ctx["kv_mask"], causal=True,
+                window=cfg.sliding_window,
             )
         else:
             out = flash_prefill(
@@ -244,7 +247,11 @@ def forward(
     cfg.sliding_window is set (HF semantics: key within [q-window+1, q])."""
     B, S, E = inputs_embeds.shape
     x = policy.cast(inputs_embeds)
-    x = maybe_constrain(x, batch_spec(extra_dims=2))
+    # training activations shard S over the `sequence` axis too (context
+    # parallelism); cached calls keep the batch-only layout
+    x = maybe_constrain(
+        x, seq_spec(1) if cache is None else batch_spec(extra_dims=2)
+    )
 
     # bias is only needed where the XLA attention path will run
     is_decode_call = cache is not None and inputs_embeds.shape[1] == 1

@@ -446,6 +446,13 @@ def loss_fn(
         attention_mask=attention_mask, policy=policy, remat=remat,
         return_hidden=True,
     )
+    # Under sequence parallelism the decoder leaves hidden sharded over S;
+    # gather it to the batch layout before the chunked LM-head loss (a
+    # (B, S, E) bf16 all-gather — tiny next to the per-layer compute) so the
+    # loss's chunk scan doesn't reshard every step.
+    from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain
+
+    hidden = maybe_constrain(hidden, batch_spec(extra_dims=2))
     return gpt_bigcode.causal_lm_loss_fused(
         dec.lm_head_table(params["svg_transformer"], cfg.llm), hidden,
         targets, policy=policy,

@@ -250,12 +250,15 @@ def _flash_lse_kernel(
                      "window"),
 )
 def flash_prefill_with_lse(
-    q, k, v, kv_mask, *,
+    q, k, v, kv_mask, q_offset: jax.Array | int = 0, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
     block_q: int = 512, block_k: int = 1024, interpret: bool | None = None,
 ):
     """flash_prefill that also returns the per-row logsumexp (B, S, H) fp32 —
-    the only residual the recompute-based backward needs beyond the inputs."""
+    the only residual the recompute-based backward needs beyond the inputs.
+    `q_offset` is the absolute position of q[:, 0] in the KV window (used by
+    the sequence-parallel training path, where each device holds a query
+    chunk against the all-gathered K/V)."""
     if interpret is None:
         interpret = _interpret_default()
     B, S, H, D = q.shape
@@ -312,7 +315,7 @@ def flash_prefill_with_lse(
             jax.ShapeDtypeStruct((B, H, Sp, _LSE_LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.zeros((1,), jnp.int32), qh, kh, vh,
+    )(jnp.asarray([q_offset], jnp.int32), qh, kh, vh,
       kv_mask.astype(jnp.int32)[:, None, :])
     return jnp.moveaxis(out, 1, 2)[:, :S], lse[:, :, :S, 0]
 
@@ -322,6 +325,7 @@ def flash_prefill_with_lse(
 # ---------------------------------------------------------------------------
 
 def _flash_dq_kernel(
+    q_offset_ref,    # (1,) absolute position of query row 0
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
     dq_ref,
     dq_scr,          # (bq, D) fp32 accumulator
@@ -330,6 +334,7 @@ def _flash_dq_kernel(
     i = pl.program_id(2)
     j = pl.program_id(3)
     nj = pl.num_programs(3)
+    q_off = q_offset_ref[0]
 
     @pl.when(j == 0)
     def _init():
@@ -337,7 +342,7 @@ def _flash_dq_kernel(
 
     run = True
     if causal:
-        first_q = i * block_q
+        first_q = q_off + i * block_q
         first_k = j * block_k
         run = first_k <= first_q + block_q - 1
         if window is not None:
@@ -354,7 +359,7 @@ def _flash_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                        # (bq, bk)
-        q_pos = i * block_q + jax.lax.broadcasted_iota(
+        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
         )
         k_pos = j * block_k + jax.lax.broadcasted_iota(
@@ -383,6 +388,7 @@ def _flash_dq_kernel(
 
 
 def _flash_dkv_kernel(
+    q_offset_ref,    # (1,) absolute position of query row 0
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,  # (bk, D) fp32 accumulators
@@ -392,6 +398,7 @@ def _flash_dkv_kernel(
     u = pl.program_id(3)      # combined (group, q block) inner axis
     nu = pl.num_programs(3)
     i = jax.lax.rem(u, n_i)
+    q_off = q_offset_ref[0]
 
     @pl.when(u == 0)
     def _init():
@@ -400,7 +407,7 @@ def _flash_dkv_kernel(
 
     run = True
     if causal:
-        first_q = i * block_q
+        first_q = q_off + i * block_q
         first_k = j * block_k
         run = first_k <= first_q + block_q - 1
         if window is not None:
@@ -420,7 +427,7 @@ def _flash_dkv_kernel(
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_k, block_q), 0
         )
-        q_pos = i * block_q + jax.lax.broadcasted_iota(
+        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_k, block_q), 1
         )
         mask = kvmask_ref[0, 0, :][:, None] > 0
@@ -456,14 +463,16 @@ def _flash_dkv_kernel(
                      "interpret"),
 )
 def flash_backward(
-    q, k, v, kv_mask, out, lse, g, *,
+    q, k, v, kv_mask, out, lse, g, q_offset: jax.Array | int = 0, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
     block_q: int = 128, block_k: int = 128, interpret: bool | None = None,
 ):
     """Fused flash-attention backward: dq/dk/dv with recomputed P blocks and
     fp32 accumulation — nothing O(S·T) ever materializes (the reference gets
     this from the flash_attn CUDA backward, modeling_gpt_bigcode.py:288-503).
-    `lse` is the forward's logsumexp (B, H, S); `g` the output cotangent."""
+    `lse` is the forward's logsumexp (B, H, S); `g` the output cotangent;
+    `q_offset` the absolute position of q[:, 0] in the KV window (sequence-
+    parallel chunks)."""
     if interpret is None:
         interpret = _interpret_default()
     B, S, H, D = q.shape
@@ -503,68 +512,86 @@ def flash_backward(
     common = dict(scale=scale, block_q=block_q, block_k=block_k,
                   causal=causal, window=window)
 
+    q_off_arr = jnp.asarray([q_offset], jnp.int32)
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, **common),
-        grid=(B, H, ni, nj),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, i, j, G=G: (b, h // G, j, 0)),
-            pl.BlockSpec((1, 1, block_k, D),
-                         lambda b, h, i, j, G=G: (b, h // G, j, 0)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, _LSE_LANES),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, _LSE_LANES),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, ni, nj),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, _LSE_LANES),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, _LSE_LANES),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, *_: (b, 0, j)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         ),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
         interpret=interpret,
-    )(qh, kh, vh, doh, lse, delta, kvm)
+    )(q_off_arr, qh, kh, vh, doh, lse, delta, kvm)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, **common, n_i=ni),
-        grid=(B, Hkv, nj, G * ni),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, D),
-                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
-            ),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
-            pl.BlockSpec(
-                (1, 1, block_q, D),
-                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_q, _LSE_LANES),
-                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_q, _LSE_LANES),
-                lambda b, hk, j, u, G=G, ni=ni: (b, hk * G + u // ni, u % ni, 0),
-            ),
-            pl.BlockSpec((1, 1, block_k), lambda b, hk, j, u: (b, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, u: (b, hk, j, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, D), jnp.float32),
-            pltpu.VMEM((block_k, D), jnp.float32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, Hkv, nj, G * ni),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, D),
+                    lambda b, hk, j, u, *_, G=G, ni=ni:
+                        (b, hk * G + u // ni, u % ni, 0),
+                ),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, hk, j, u, *_: (b, hk, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, hk, j, u, *_: (b, hk, j, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_q, D),
+                    lambda b, hk, j, u, *_, G=G, ni=ni:
+                        (b, hk * G + u // ni, u % ni, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, _LSE_LANES),
+                    lambda b, hk, j, u, *_, G=G, ni=ni:
+                        (b, hk * G + u // ni, u % ni, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, _LSE_LANES),
+                    lambda b, hk, j, u, *_, G=G, ni=ni:
+                        (b, hk * G + u // ni, u % ni, 0),
+                ),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda b, hk, j, u, *_: (b, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, hk, j, u, *_: (b, hk, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, hk, j, u, *_: (b, hk, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Tp, D), k.dtype),
             jax.ShapeDtypeStruct((B, Hkv, Tp, D), v.dtype),
         ],
         interpret=interpret,
-    )(qh, kh, vh, doh, lse, delta, kvm)
+    )(q_off_arr, qh, kh, vh, doh, lse, delta, kvm)
 
     dq = jnp.moveaxis(dq, 1, 2)[:, :S]
     dk = jnp.moveaxis(dk, 1, 2)[:, :T]
@@ -576,31 +603,32 @@ def flash_backward(
 # trainable flash prefill (custom VJP: Pallas forward AND backward)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_prefill_trainable(q, k, v, kv_mask, causal=True, window=None,
-                            scale=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_prefill_trainable(q, k, v, kv_mask, q_offset=0, causal=True,
+                            window=None, scale=None):
     """flash_prefill with a fused Pallas backward (dq/dk/dv recompute-based,
     fp32 accumulation): at the 8k/16k training contexts (SURVEY §6) nothing
-    O(S²) materializes in either pass. Signature restricted to the training
-    case (q_offset=0)."""
-    return flash_prefill(q, k, v, kv_mask, 0, causal=causal, window=window,
-                         scale=scale)
+    O(S²) materializes in either pass. `q_offset` (traced int) is the
+    absolute position of q[:, 0] — 0 in plain training, the device's chunk
+    offset under sequence parallelism."""
+    return flash_prefill(q, k, v, kv_mask, q_offset, causal=causal,
+                         window=window, scale=scale)
 
 
-def _fp_fwd(q, k, v, kv_mask, causal, window, scale):
+def _fp_fwd(q, k, v, kv_mask, q_offset, causal, window, scale):
     out, lse = flash_prefill_with_lse(
-        q, k, v, kv_mask, causal=causal, window=window, scale=scale
+        q, k, v, kv_mask, q_offset, causal=causal, window=window, scale=scale
     )
-    return out, (q, k, v, kv_mask, out, lse)
+    return out, (q, k, v, kv_mask, q_offset, out, lse)
 
 
 def _fp_bwd(causal, window, scale, residuals, g):
-    q, k, v, kv_mask, out, lse = residuals
+    q, k, v, kv_mask, q_offset, out, lse = residuals
     dq, dk, dv = flash_backward(
-        q, k, v, kv_mask, out, lse, g,
+        q, k, v, kv_mask, out, lse, g, q_offset,
         causal=causal, window=window, scale=scale,
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 flash_prefill_trainable.defvjp(_fp_fwd, _fp_bwd)

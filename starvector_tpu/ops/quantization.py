@@ -38,16 +38,14 @@ def quantize_dense(p: dict) -> dict:
     return out
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _quantize_2d(w):
+def _quantize_2d_impl(w):
     w32 = jnp.asarray(w, jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=0) / 127.0, 1e-12)
     q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _quantize_stacked(w):
+def _quantize_stacked_impl(w):
     """(L, K, N) → per-layer per-channel int8. lax.map over the layer axis
     keeps the fp32 transient to ONE layer's (K, N) — a stacked 7B c_fc is
     5.4 GB bf16, so a whole-leaf fp32 cast (10.9 GB) OOMs a 16 GB chip."""
@@ -59,6 +57,16 @@ def _quantize_stacked(w):
         return q, scale.astype(jnp.float32)
 
     return jax.lax.map(one, w)
+
+
+# donating variants reuse the source kernel's HBM (required near the limit);
+# the non-donating ones keep it valid for callers that still need bf16
+# (consume=False) — donation alone would invalidate the input buffer even
+# though Python kept a reference.
+_quantize_2d = jax.jit(_quantize_2d_impl, donate_argnums=(0,))
+_quantize_stacked = jax.jit(_quantize_stacked_impl, donate_argnums=(0,))
+_quantize_2d_keep = jax.jit(_quantize_2d_impl)
+_quantize_stacked_keep = jax.jit(_quantize_stacked_impl)
 
 
 def quantize_tree(params, min_elems: int = 1 << 16, *, consume: bool = True):
@@ -79,7 +87,11 @@ def quantize_tree(params, min_elems: int = 1 << 16, *, consume: bool = True):
             if "kernel" in node and hasattr(node["kernel"], "shape"):
                 w = node["kernel"]
                 if w.size >= min_elems and w.ndim in (2, 3):
-                    quant = _quantize_2d if w.ndim == 2 else _quantize_stacked
+                    if consume:
+                        quant = _quantize_2d if w.ndim == 2 else _quantize_stacked
+                    else:
+                        quant = (_quantize_2d_keep if w.ndim == 2
+                                 else _quantize_stacked_keep)
                     node = dict(node)
                     w = node.pop("kernel")  # drop the tree's reference
                     q, scale = quant(w)

@@ -35,9 +35,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS_REPLICA = "replica"  # DCN / cross-slice axis (HSDP outer)
 AXIS_DATA = "data"        # plain data-parallel axis
 AXIS_FSDP = "fsdp"        # parameter/optimizer sharding axis (ZeRO-3 style)
+AXIS_SEQUENCE = "sequence"  # context-parallel axis (training activations)
 AXIS_TENSOR = "tensor"    # tensor-parallel axis (heads / mlp columns)
 
-MESH_AXES = (AXIS_REPLICA, AXIS_DATA, AXIS_FSDP, AXIS_TENSOR)
+MESH_AXES = (AXIS_REPLICA, AXIS_DATA, AXIS_FSDP, AXIS_SEQUENCE, AXIS_TENSOR)
 
 # Batch dims shard over every non-tensor axis, so any mix of replica/data/fsdp
 # sizes yields a fully data-parallel batch layout.
@@ -49,10 +50,12 @@ class MeshConfig:
     replica: int = 1
     data: int = 1
     fsdp: int = -1  # -1: absorb all remaining devices
+    sequence: int = 1
     tensor: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
-        sizes = [self.replica, self.data, self.fsdp, self.tensor]
+    def resolve(self, n_devices: int) -> tuple[int, ...]:
+        sizes = [self.replica, self.data, self.fsdp, self.sequence,
+                 self.tensor]
         if sizes.count(-1) > 1:
             raise ValueError("at most one mesh axis may be -1")
         known = math.prod(s for s in sizes if s != -1)
@@ -92,7 +95,8 @@ def create_mesh(
             # (HSDP semantics of the reference's HYBRID_SHARD,
             # train/util.py:224-241)
             dev_array = mesh_utils.create_hybrid_device_mesh(
-                (1, *shape[1:]), (shape[0], 1, 1, 1), devices=devices
+                (1, *shape[1:]), (shape[0],) + (1,) * (len(shape) - 1),
+                devices=devices,
             ).reshape(shape)
         else:
             dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
@@ -104,6 +108,14 @@ def create_mesh(
 def batch_spec(extra_dims: int = 0) -> P:
     """PartitionSpec for a [batch, ...] array: batch over all DP axes."""
     return P(BATCH_AXES, *([None] * extra_dims))
+
+
+def seq_spec(extra_dims: int = 0) -> P:
+    """PartitionSpec for a [batch, seq, ...] activation: batch over the DP
+    axes AND sequence over the context-parallel axis. On meshes without a
+    `sequence` axis (or size 1) this constrains identically to
+    `batch_spec(extra_dims + 1)`."""
+    return P(BATCH_AXES, AXIS_SEQUENCE, *([None] * extra_dims))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -64,12 +64,20 @@ def validate(eval_step, params, val_loader, mesh, max_batches: int = 16):
 
 def _to_device(batch: dict, mesh) -> dict:
     from jax.sharding import NamedSharding
-    from starvector_tpu.parallel.mesh import batch_spec, sanitize_for_mesh
+    from starvector_tpu.parallel.mesh import (
+        batch_spec, sanitize_for_mesh, seq_spec,
+    )
 
     out = {}
-    for key, dims in (("image", 3), ("svg_ids", 1), ("svg_mask", 1)):
+    # token arrays also shard S over the `sequence` axis (context
+    # parallelism); sanitize drops the axis on meshes without one
+    for key, spec0 in (
+        ("image", batch_spec(extra_dims=3)),
+        ("svg_ids", seq_spec()),
+        ("svg_mask", seq_spec()),
+    ):
         arr = jnp.asarray(batch[key])
-        spec = sanitize_for_mesh(batch_spec(extra_dims=dims), arr.shape, mesh)
+        spec = sanitize_for_mesh(spec0, arr.shape, mesh)
         out[key] = jax.device_put(arr, NamedSharding(mesh, spec))
     return out
 
@@ -84,6 +92,7 @@ def main(config: ConfigNode):
             replica=config.get_path("mesh.replica", 1),
             data=config.get_path("mesh.data", 1),
             fsdp=config.get_path("mesh.fsdp", -1),
+            sequence=config.get_path("mesh.sequence", 1),
             tensor=config.get_path("mesh.tensor", 1),
         )
     )
