@@ -104,6 +104,7 @@ def bench_1b(jax, jnp, np, on_tpu):
     @functools.partial(jax.jit, static_argnames=("n", "attn", "fast"))
     def decode_loop(dec_params, cache, tok, n, attn, fast=True):
         dcfg = dataclasses.replace(llm, attn_impl=attn)
+        nb = tok.shape[0]
 
         def body(state, _):
             tok, cache = state
@@ -112,7 +113,7 @@ def bench_1b(jax, jnp, np, on_tpu):
             )
             lg, cache = gbc.forward(
                 dec_params, dcfg, e,
-                attention_mask=jnp.ones((B, 1), jnp.int32),
+                attention_mask=jnp.ones((nb, 1), jnp.int32),
                 cache=cache, policy=policy, fast_path=fast,
             )
             nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
@@ -151,6 +152,7 @@ def bench_1b(jax, jnp, np, on_tpu):
     # config: per-channel symmetric, XLA fused dequant-einsum). Weights are
     # ~2/3 of the step's HBM bytes at this shape, so halving them wins ~35%.
     int8_tok_s = None
+    int8_b128_tok_s = None
     if on_tpu:
         from starvector_tpu.ops.quantization import quantize_tree
 
@@ -163,7 +165,25 @@ def bench_1b(jax, jnp, np, on_tpu):
             reps,
         )
         int8_tok_s = B * NEW / dt_q
-        del qdec
+
+        # throughput mode: B=128 amortizes the int8 weights over 2x tokens
+        # (synthetic prefilled cache — decode timing is data-independent)
+        B2 = 128
+        cache2 = gbc.init_cache(llm, B2, total, dtype=policy.compute_dtype)
+        cache2["index"] = jnp.asarray(PREFIX_CTX, jnp.int32)
+        cache2["kv_mask"] = (
+            jnp.zeros((B2, total), jnp.int32).at[:, :PREFIX_CTX].set(1)
+        )
+        tok2 = jnp.full((B2,), 27, jnp.int32)
+        np.asarray(decode_loop(qdec, cache2, tok2, NEW, "mixed", True))
+        dt_q2 = _median_time(
+            lambda: np.asarray(
+                decode_loop(qdec, cache2, tok2, NEW, "mixed", True)
+            ),
+            reps,
+        )
+        int8_b128_tok_s = B2 * NEW / dt_q2
+        del qdec, cache2
 
     # speed-of-light accounting for the decode step
     L, Hkv, D = llm.n_layer, llm.kv_heads, llm.head_dim
@@ -212,6 +232,9 @@ def bench_1b(jax, jnp, np, on_tpu):
     return {
         "decode_tok_per_s": round(results["mixed"], 1),
         "int8_decode_tok_per_s": round(int8_tok_s, 1) if int8_tok_s else None,
+        "int8_b128_decode_tok_per_s": (
+            round(int8_b128_tok_s, 1) if int8_b128_tok_s else None
+        ),
         "naive_decode_tok_per_s": round(results.get("naive", 0.0), 1),
         "e2e_tok_per_s": round(B * NEW / (decode_s + prefill_s), 1),
         "prefill_s": round(prefill_s, 4),

@@ -134,15 +134,15 @@ def partition_rules() -> list[tuple[str, P]]:
         # miscompilation when gathered/contracted against fsdp-sharded batch
         # (reproduced on the CPU backend, mesh (2,2,2)).
         (r"wte$|wpe$", P("fsdp", None)),
-        (r"layers/.*c_attn/kernel", P(None, "fsdp", "tensor")),
-        (r"layers/.*c_attn/bias", P(None, "tensor")),
-        (r"layers/.*attn/c_proj/kernel", P(None, "tensor", "fsdp")),
-        (r"layers/.*attn/c_proj/bias", P(None, None)),
-        (r"layers/.*c_fc/kernel", P(None, "fsdp", "tensor")),
-        (r"layers/.*c_fc/bias", P(None, "tensor")),
-        (r"layers/.*mlp/c_proj/kernel", P(None, "tensor", "fsdp")),
-        (r"layers/.*mlp/c_proj/bias", P(None, None)),
-        (r"layers/.*ln_[12]/", P(None, None)),
+        (r"layers/.*c_attn/kernel", P("stage", "fsdp", "tensor")),
+        (r"layers/.*c_attn/bias", P("stage", "tensor")),
+        (r"layers/.*attn/c_proj/kernel", P("stage", "tensor", "fsdp")),
+        (r"layers/.*attn/c_proj/bias", P("stage", None)),
+        (r"layers/.*c_fc/kernel", P("stage", "fsdp", "tensor")),
+        (r"layers/.*c_fc/bias", P("stage", "tensor")),
+        (r"layers/.*mlp/c_proj/kernel", P("stage", "tensor", "fsdp")),
+        (r"layers/.*mlp/c_proj/bias", P("stage", None)),
+        (r"layers/.*ln_[12]/", P("stage", None)),
         (r"ln_f/", P(None)),
     ]
 
@@ -337,12 +337,18 @@ def forward(
     )
 
     if cache is None:
-        def body(h, layer_p):
-            h, _ = _block(layer_p, cfg, h, ctx, None, 0, policy)
-            return h, None
+        from starvector_tpu.parallel.pipeline import pp_layer_scan
 
-        body_fn = jax.checkpoint(body) if remat else body
-        x, _ = jax.lax.scan(body_fn, x, params["layers"])
+        def pp_body(h, layer_p, arrays):
+            h, _ = _block(
+                layer_p, cfg, h, {**arrays, "q_offset": 0}, None, 0, policy
+            )
+            return h
+
+        # batch-aligned ctx arrays travel with their microbatch; pipelined
+        # over the `stage` mesh axis when present (plain scan otherwise)
+        arrays = {k: v for k, v in ctx.items() if k != "q_offset"}
+        x = pp_layer_scan(params["layers"], x, arrays, pp_body, remat=remat)
         new_cache = None
     elif S == 1 and fast_path:
         # decode fast path (ALL attn impls — the analytic softmax merge

@@ -126,15 +126,15 @@ def partition_rules() -> list[tuple[str, P]]:
     return [
         # single-axis sharding for tables (see gpt_bigcode.partition_rules)
         (r"embed_tokens$|lm_head$", P("fsdp", None)),
-        (r"layers/.*(q_proj|k_proj|v_proj)/kernel", P(None, "fsdp", "tensor")),
-        (r"layers/.*(q_proj|k_proj|v_proj)/bias", P(None, "tensor")),
-        (r"layers/.*o_proj/kernel", P(None, "tensor", "fsdp")),
-        (r"layers/.*o_proj/bias", P(None, None)),
-        (r"layers/.*c_fc/kernel", P(None, "fsdp", "tensor")),
-        (r"layers/.*c_fc/bias", P(None, "tensor")),
-        (r"layers/.*mlp/c_proj/kernel", P(None, "tensor", "fsdp")),
-        (r"layers/.*mlp/c_proj/bias", P(None, None)),
-        (r"layers/.*layernorm/", P(None, None)),
+        (r"layers/.*(q_proj|k_proj|v_proj)/kernel", P("stage", "fsdp", "tensor")),
+        (r"layers/.*(q_proj|k_proj|v_proj)/bias", P("stage", "tensor")),
+        (r"layers/.*o_proj/kernel", P("stage", "tensor", "fsdp")),
+        (r"layers/.*o_proj/bias", P("stage", None)),
+        (r"layers/.*c_fc/kernel", P("stage", "fsdp", "tensor")),
+        (r"layers/.*c_fc/bias", P("stage", "tensor")),
+        (r"layers/.*mlp/c_proj/kernel", P("stage", "tensor", "fsdp")),
+        (r"layers/.*mlp/c_proj/bias", P("stage", None)),
+        (r"layers/.*layernorm/", P("stage", None)),
         (r"norm/", P(None)),
     ]
 
@@ -297,12 +297,19 @@ def forward(
     positions = jnp.clip(position_ids, 0, cfg.max_position_embeddings - 1)
 
     if cache is None:
-        def body(h, layer_p):
-            h, _ = _block(layer_p, cfg, h, ctx, positions, None, 0, policy)
-            return h, None
+        from starvector_tpu.parallel.pipeline import pp_layer_scan
 
-        body_fn = jax.checkpoint(body) if remat else body
-        x, _ = jax.lax.scan(body_fn, x, params["layers"])
+        def pp_body(h, layer_p, arrays):
+            arrs = dict(arrays)
+            pos = arrs.pop("positions")
+            h, _ = _block(
+                layer_p, cfg, h, {**arrs, "q_offset": 0}, pos, None, 0, policy
+            )
+            return h
+
+        arrays = {k: v for k, v in ctx.items() if k != "q_offset"}
+        arrays["positions"] = positions
+        x = pp_layer_scan(params["layers"], x, arrays, pp_body, remat=remat)
         new_cache = None
     elif S == 1 and fast_path:
         # decode fast path for ALL attn impls (see gpt_bigcode.forward)

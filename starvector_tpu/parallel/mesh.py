@@ -36,9 +36,11 @@ AXIS_REPLICA = "replica"  # DCN / cross-slice axis (HSDP outer)
 AXIS_DATA = "data"        # plain data-parallel axis
 AXIS_FSDP = "fsdp"        # parameter/optimizer sharding axis (ZeRO-3 style)
 AXIS_SEQUENCE = "sequence"  # context-parallel axis (training activations)
+AXIS_STAGE = "stage"      # pipeline-parallel axis (stacked decoder layers)
 AXIS_TENSOR = "tensor"    # tensor-parallel axis (heads / mlp columns)
 
-MESH_AXES = (AXIS_REPLICA, AXIS_DATA, AXIS_FSDP, AXIS_SEQUENCE, AXIS_TENSOR)
+MESH_AXES = (AXIS_REPLICA, AXIS_DATA, AXIS_FSDP, AXIS_SEQUENCE, AXIS_STAGE,
+             AXIS_TENSOR)
 
 # Batch dims shard over every non-tensor axis, so any mix of replica/data/fsdp
 # sizes yields a fully data-parallel batch layout.
@@ -51,11 +53,12 @@ class MeshConfig:
     data: int = 1
     fsdp: int = -1  # -1: absorb all remaining devices
     sequence: int = 1
+    stage: int = 1
     tensor: int = 1
 
     def resolve(self, n_devices: int) -> tuple[int, ...]:
         sizes = [self.replica, self.data, self.fsdp, self.sequence,
-                 self.tensor]
+                 self.stage, self.tensor]
         if sizes.count(-1) > 1:
             raise ValueError("at most one mesh axis may be -1")
         known = math.prod(s for s in sizes if s != -1)

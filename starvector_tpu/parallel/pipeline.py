@@ -1,0 +1,145 @@
+"""Pipeline parallelism over the stacked decoder layers (training path).
+
+The reference has no pipeline parallelism (SURVEY §2.7: PP absent, "not
+required for parity; optional") — this is a TPU-first extension that
+completes the dp/fsdp/tp/sp/pp parallelism set.
+
+Because the decoders already stack their layers on a leading axis and run
+them with `lax.scan`, pipelining falls out naturally: shard the LAYER axis
+over a `stage` mesh axis (each device holds L/P contiguous layers), split
+the local batch into microbatches, and run the classic GPipe schedule as a
+`lax.scan` over `T = n_micro + P - 1` ticks inside a `jax.shard_map`:
+
+  tick t: stage 0 ingests microbatch t; every stage runs its layer block on
+          its current buffer; `ppermute` rotates buffers stage i -> i+1;
+          the last stage's outputs from ticks P-1..T-1 are microbatches
+          0..n_micro-1 in order.
+
+SPMD makes the bubble explicit: inactive stages execute the same layer
+block on garbage and the result is masked out — the (P-1)/T idle fraction
+is the usual GPipe bubble, shrunk by raising `n_micro`. The backward pass
+needs no hand-written schedule: `lax.scan` reverses the ticks and
+`ppermute` transposes to the reverse rotation, which IS the backward
+pipeline.
+
+The region is manual over (stage, batch) so the Pallas flash kernel sees
+local shapes; fsdp/tensor stay auto (GSPMD partitions the dense matmuls
+inside as usual). Falls back to the plain layer scan when the mesh has no
+stage axis, when L doesn't divide, or when the batch can't microbatch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from starvector_tpu.parallel.mesh import (
+    AXIS_SEQUENCE, AXIS_STAGE, BATCH_AXES,
+)
+
+
+def _plain_scan(layers, x, arrays, body_fn, remat):
+    def sbody(h, layer_p):
+        return body_fn(h, layer_p, arrays), None
+
+    f = jax.checkpoint(sbody) if remat else sbody
+    h, _ = jax.lax.scan(f, x, layers)
+    return h
+
+
+def pp_layer_scan(
+    layers,            # stacked layer params, every leaf (L, ...)
+    x: jax.Array,      # (B, S, E) activations
+    arrays: dict,      # batch-aligned context arrays, every leaf (B, ...)
+    body_fn,           # (h, layer_params, arrays) -> h
+    *,
+    remat: bool = False,
+    n_micro: int | None = None,
+) -> jax.Array:
+    """Run `body_fn` over the stacked layers — pipelined over the `stage`
+    mesh axis when present, the plain `lax.scan` otherwise. Numerically
+    identical to the plain scan."""
+    mesh = jax.sharding.get_abstract_mesh()
+    n_stages = (
+        1 if mesh is None or mesh.empty else mesh.shape.get(AXIS_STAGE, 1)
+    )
+    if n_stages <= 1:
+        return _plain_scan(layers, x, arrays, body_fn, remat)
+    if mesh.shape.get(AXIS_SEQUENCE, 1) > 1:
+        raise ValueError(
+            "mesh has both stage > 1 and sequence > 1 — pipeline and "
+            "sequence parallelism cannot nest; pick one"
+        )
+
+    L = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    b_shards = math.prod(mesh.shape.get(a, 1) for a in BATCH_AXES)
+    B = x.shape[0]
+    batch_axes = BATCH_AXES if B % b_shards == 0 else ()
+    B_local = B // b_shards if batch_axes else B
+    nm = n_micro or min(n_stages * 2, B_local)
+    while nm > 1 and B_local % nm:
+        nm -= 1
+    if L % n_stages or nm < 2:
+        return _plain_scan(layers, x, arrays, body_fn, remat)
+
+    layer_specs = jax.tree_util.tree_map(lambda _: P(AXIS_STAGE), layers)
+    x_spec = P(batch_axes) if batch_axes else P()
+    arr_specs = jax.tree_util.tree_map(lambda _: x_spec, arrays)
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def inner(layers_local, x, arrays):
+        idx = jax.lax.axis_index(AXIS_STAGE)
+        Bl = x.shape[0]
+        bm = Bl // nm
+        micro = x.reshape(nm, bm, *x.shape[1:])
+        arr_micro = jax.tree_util.tree_map(
+            lambda a: a.reshape(nm, bm, *a.shape[1:]), arrays
+        )
+
+        def stage_block(h, c):
+            def sbody(hh, layer_p):
+                return body_fn(hh, layer_p, c), None
+
+            h, _ = jax.lax.scan(sbody, h, layers_local)
+            return h
+
+        if remat:
+            stage_block = jax.checkpoint(stage_block)
+
+        T = nm + n_stages - 1
+
+        def tick(buf, t):
+            m_in = jnp.clip(t, 0, nm - 1)
+            ingest = jax.lax.dynamic_index_in_dim(micro, m_in, 0, False)
+            buf = jnp.where((idx == 0) & (t < nm), ingest, buf)
+            m_proc = jnp.clip(t - idx, 0, nm - 1)
+            c = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, m_proc, 0, False),
+                arr_micro,
+            )
+            active = (t >= idx) & (t - idx < nm)
+            y = stage_block(buf, c)
+            y = jnp.where(active, y, buf)
+            nxt = jax.lax.ppermute(y, AXIS_STAGE, perm)
+            return nxt, y
+
+        buf0 = jnp.zeros_like(micro[0])
+        _, ys = jax.lax.scan(tick, buf0, jnp.arange(T))
+        # last stage's ticks P-1..T-1 hold microbatches 0..nm-1 in order;
+        # mask + psum broadcasts them to every stage
+        outs = ys[n_stages - 1:]
+        outs = outs * (idx == n_stages - 1).astype(outs.dtype)
+        outs = jax.lax.psum(outs, AXIS_STAGE)
+        return outs.reshape(Bl, *x.shape[1:])
+
+    manual = set(batch_axes) | {AXIS_STAGE}
+    return jax.shard_map(
+        inner,
+        in_specs=(layer_specs, x_spec, arr_specs),
+        out_specs=x_spec,
+        axis_names=manual,
+        check_vma=False,
+    )(layers, x, arrays)

@@ -93,6 +93,7 @@ def main(config: ConfigNode):
             data=config.get_path("mesh.data", 1),
             fsdp=config.get_path("mesh.fsdp", -1),
             sequence=config.get_path("mesh.sequence", 1),
+            stage=config.get_path("mesh.stage", 1),
             tensor=config.get_path("mesh.tensor", 1),
         )
     )

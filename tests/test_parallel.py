@@ -30,7 +30,10 @@ def test_partition_rules_on_decoder_params():
     mesh = create_mesh(MeshConfig(fsdp=4, tensor=2))
     specs = apply_partition_rules(params, gbc.partition_rules(), mesh)
     assert specs["wte"] == P("fsdp", None)
-    assert specs["layers"]["attn"]["c_proj"]["kernel"] == P(None, "tensor", "fsdp")
+    # leading layer axis shards over the (size-1 here) pipeline `stage` axis
+    assert specs["layers"]["attn"]["c_proj"]["kernel"] == P(
+        "stage", "tensor", "fsdp"
+    )
     # small/indivisible dims fall back to replicated entries
     flat = jax.tree_util.tree_leaves(specs)
     assert all(isinstance(s, P) for s in flat)
