@@ -115,3 +115,26 @@ def test_streaming_tokens_arrive_incrementally(setup):
             break
     engine.stop()
     assert seen == 4
+
+
+def test_int8_engine_serves(setup):
+    """The worker's --quantize path: engine over an int8 weight-only tree
+    still decodes (greedy outputs may differ from bf16 within quantization
+    error, so assert structure + determinism, not token equality)."""
+    from starvector_tpu.ops.quantization import quantize_tree
+
+    cfg, params = setup
+    qparams = quantize_tree(params, min_elems=1 << 10, consume=False)
+    engine = make_engine(cfg, qparams)
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    req = Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=False)
+    out = engine.generate_sync(req, timeout=120)
+    out2 = engine.generate_sync(
+        Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=False),
+        timeout=120,
+    )
+    engine.stop()
+    assert len(out) == 6
+    assert all(0 <= t < cfg.vocab_size for t in out)
+    assert out == out2
