@@ -38,7 +38,7 @@ from starvector_tpu.ops.layers import (
     normal_init,
 )
 from starvector_tpu.ops.attention import make_attention_bias, multihead_attention
-from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain, seq_spec
+from starvector_tpu.parallel.mesh import BATCH_AXES, batch_spec, maybe_constrain, seq_spec
 from jax.sharding import PartitionSpec as P
 
 
@@ -288,7 +288,12 @@ def forward(
             attention_mask = jnp.ones((B, S), jnp.int32)
         if position_ids is None:
             position_ids = compute_position_ids(attention_mask)
-        ctx = {"kv_mask": attention_mask.astype(jnp.int32), "q_offset": 0}
+        # key mask replicated over `sequence` ONCE here — every layer's SP
+        # attention region declares it replicated, so no per-layer gather
+        kv_mask_full = maybe_constrain(
+            attention_mask.astype(jnp.int32), P(BATCH_AXES, None)
+        )
+        ctx = {"kv_mask": kv_mask_full, "q_offset": 0}
         if not use_flash:
             ctx["bias"] = make_attention_bias(attention_mask, S, S, causal=True)
         new_index = None
@@ -346,9 +351,11 @@ def forward(
             return h
 
         # batch-aligned ctx arrays travel with their microbatch; pipelined
-        # over the `stage` mesh axis when present (plain scan otherwise)
+        # over the `stage` mesh axis when present (plain scan otherwise);
+        # partition rules keep layer weights fsdp-sharded through the region
         arrays = {k: v for k, v in ctx.items() if k != "q_offset"}
-        x = pp_layer_scan(params["layers"], x, arrays, pp_body, remat=remat)
+        x = pp_layer_scan(params["layers"], x, arrays, pp_body, remat=remat,
+                          rules=partition_rules())
         new_cache = None
     elif S == 1 and fast_path:
         # decode fast path (ALL attn impls — the analytic softmax merge

@@ -35,7 +35,7 @@ from starvector_tpu.ops.layers import (
     normal_init,
 )
 from starvector_tpu.ops.rotary import apply_rope, rope_frequencies
-from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain, seq_spec
+from starvector_tpu.parallel.mesh import BATCH_AXES, batch_spec, maybe_constrain, seq_spec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -263,7 +263,11 @@ def forward(
             attention_mask = jnp.ones((B, S), jnp.int32)
         if position_ids is None:
             position_ids = compute_position_ids(attention_mask)
-        ctx = {"kv_mask": attention_mask.astype(jnp.int32), "q_offset": 0}
+        # key mask replicated over `sequence` ONCE (see gpt_bigcode.forward)
+        kv_mask_full = maybe_constrain(
+            attention_mask.astype(jnp.int32), P(BATCH_AXES, None)
+        )
+        ctx = {"kv_mask": kv_mask_full, "q_offset": 0}
         if not use_flash:
             ctx["bias"] = make_attention_bias(
                 attention_mask, S, S, causal=True, window=cfg.sliding_window
@@ -309,7 +313,8 @@ def forward(
 
         arrays = {k: v for k, v in ctx.items() if k != "q_offset"}
         arrays["positions"] = positions
-        x = pp_layer_scan(params["layers"], x, arrays, pp_body, remat=remat)
+        x = pp_layer_scan(params["layers"], x, arrays, pp_body, remat=remat,
+                          rules=partition_rules())
         new_cache = None
     elif S == 1 and fast_path:
         # decode fast path for ALL attn impls (see gpt_bigcode.forward)

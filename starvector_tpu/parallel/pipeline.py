@@ -13,7 +13,8 @@ the local batch into microbatches, and run the classic GPipe schedule as a
   tick t: stage 0 ingests microbatch t; every stage runs its layer block on
           its current buffer; `ppermute` rotates buffers stage i -> i+1;
           the last stage's outputs from ticks P-1..T-1 are microbatches
-          0..n_micro-1 in order.
+          0..n_micro-1 in order (masked + psum'd back to every stage — the
+          psum moves exactly one output-sized tensor, the broadcast cost).
 
 SPMD makes the bubble explicit: inactive stages execute the same layer
 block on garbage and the result is masked out — the (P-1)/T idle fraction
@@ -23,9 +24,15 @@ needs no hand-written schedule: `lax.scan` reverses the ticks and
 pipeline.
 
 The region is manual over (stage, batch) so the Pallas flash kernel sees
-local shapes; fsdp/tensor stay auto (GSPMD partitions the dense matmuls
-inside as usual). Falls back to the plain layer scan when the mesh has no
-stage axis, when L doesn't divide, or when the batch can't microbatch.
+local shapes; the `tensor` axis stays auto (GSPMD partitions the dense
+matmuls inside as usual). ZeRO/FSDP is preserved THROUGH the manual
+region: when the caller passes its partition rules, stage-local weights
+enter the region still fsdp-sharded and each layer's shard is all-gathered
+only at use inside the scan body (gather transposes to reduce-scatter on
+the grads) — one layer's full weights live at a time, exactly like the
+plain GSPMD scan. Falls back to the plain layer scan when the mesh has no
+stage axis, when L or the batch doesn't divide, or when microbatching is
+impossible.
 """
 
 from __future__ import annotations
@@ -37,7 +44,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from starvector_tpu.parallel.mesh import (
-    AXIS_SEQUENCE, AXIS_STAGE, BATCH_AXES,
+    AXIS_SEQUENCE, AXIS_STAGE, AXIS_TENSOR, BATCH_AXES,
 )
 
 
@@ -50,6 +57,46 @@ def _plain_scan(layers, x, arrays, body_fn, remat):
     return h
 
 
+def _manual_weight_specs(layers, rules, mesh, manual):
+    """Per-leaf (in_spec restricted to manual axes, gather plan).
+
+    The in_spec keeps `stage` plus any manual axis the partition rules put
+    on the leaf (fsdp), so weights enter the region without resharding;
+    the gather plan says which dims to all-gather inside, at use. Axes not
+    in the manual set (tensor) are dropped from the spec — they stay auto.
+    """
+    from starvector_tpu.parallel.sharding import apply_partition_rules
+
+    specs = apply_partition_rules({"layers": layers}, rules, mesh)["layers"]
+
+    def strip(spec, leaf):
+        in_entries = []
+        gathers = []  # (dim_in_scan_slice, axis_name)
+        for dim, entry in enumerate(tuple(spec)):
+            names = ((entry,) if isinstance(entry, str) else tuple(entry or ()))
+            kept = tuple(n for n in names if n in manual)
+            in_entries.append(kept if kept else None)
+            for n in kept:
+                if n != AXIS_STAGE:
+                    # dim 0 is the stacked-layer axis consumed by the scan
+                    gathers.append((dim - 1, n))
+        # every stacked leaf MUST enter stage-sharded on dim 0 — a leaf the
+        # rules left unsharded would otherwise arrive with all L entries
+        # and break the local scan's shape agreement
+        while len(in_entries) < getattr(leaf, "ndim", 1):
+            in_entries.append(None)
+        if not in_entries or AXIS_STAGE not in (in_entries[0] or ()):
+            in_entries = [(AXIS_STAGE,)] + list(in_entries[1:])
+        return P(*in_entries), tuple(gathers)
+
+    flat_specs, treedef = jax.tree_util.tree_flatten(specs, is_leaf=lambda s: isinstance(s, P))
+    flat_layers = jax.tree_util.tree_leaves(layers)
+    stripped = [strip(s, w) for s, w in zip(flat_specs, flat_layers)]
+    in_specs = jax.tree_util.tree_unflatten(treedef, [s for s, _ in stripped])
+    gather_plan = jax.tree_util.tree_unflatten(treedef, [g for _, g in stripped])
+    return in_specs, gather_plan
+
+
 def pp_layer_scan(
     layers,            # stacked layer params, every leaf (L, ...)
     x: jax.Array,      # (B, S, E) activations
@@ -58,6 +105,7 @@ def pp_layer_scan(
     *,
     remat: bool = False,
     n_micro: int | None = None,
+    rules=None,        # the model's partition_rules() — preserves ZeRO/FSDP
 ) -> jax.Array:
     """Run `body_fn` over the stacked layers — pipelined over the `stage`
     mesh axis when present, the plain `lax.scan` otherwise. Numerically
@@ -77,18 +125,31 @@ def pp_layer_scan(
     L = jax.tree_util.tree_leaves(layers)[0].shape[0]
     b_shards = math.prod(mesh.shape.get(a, 1) for a in BATCH_AXES)
     B = x.shape[0]
-    batch_axes = BATCH_AXES if B % b_shards == 0 else ()
-    B_local = B // b_shards if batch_axes else B
+    if B % b_shards:
+        # don't silently replicate the batch across the dp axes
+        return _plain_scan(layers, x, arrays, body_fn, remat)
+    batch_axes = BATCH_AXES
+    B_local = B // b_shards
     nm = n_micro or min(n_stages * 2, B_local)
     while nm > 1 and B_local % nm:
         nm -= 1
     if L % n_stages or nm < 2:
         return _plain_scan(layers, x, arrays, body_fn, remat)
 
-    layer_specs = jax.tree_util.tree_map(lambda _: P(AXIS_STAGE), layers)
-    x_spec = P(batch_axes) if batch_axes else P()
+    manual = set(a for a in batch_axes if a in mesh.shape) | {AXIS_STAGE}
+    if rules is not None:
+        layer_specs, gather_plan = _manual_weight_specs(
+            layers, rules, mesh, manual
+        )
+    else:
+        layer_specs = jax.tree_util.tree_map(lambda _: P(AXIS_STAGE), layers)
+        gather_plan = jax.tree_util.tree_map(lambda _: (), layers)
+    x_spec = P(batch_axes)
     arr_specs = jax.tree_util.tree_map(lambda _: x_spec, arrays)
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    gather_leaves = jax.tree_util.tree_leaves(
+        gather_plan, is_leaf=lambda g: isinstance(g, tuple)
+    )
 
     def inner(layers_local, x, arrays):
         idx = jax.lax.axis_index(AXIS_STAGE)
@@ -99,9 +160,20 @@ def pp_layer_scan(
             lambda a: a.reshape(nm, bm, *a.shape[1:]), arrays
         )
 
+        def gather_layer(layer_p):
+            # ZeRO: materialize ONE layer's full weights from their fsdp
+            # shards, at use (all-gather -> reduce-scatter on grads)
+            flat, tdef = jax.tree_util.tree_flatten(layer_p)
+            out = []
+            for w, plan in zip(flat, gather_leaves):
+                for dim, ax in plan:
+                    w = jax.lax.all_gather(w, ax, axis=dim, tiled=True)
+                out.append(w)
+            return jax.tree_util.tree_unflatten(tdef, out)
+
         def stage_block(h, c):
             def sbody(hh, layer_p):
-                return body_fn(hh, layer_p, c), None
+                return body_fn(hh, gather_layer(layer_p), c), None
 
             h, _ = jax.lax.scan(sbody, h, layers_local)
             return h
@@ -135,7 +207,6 @@ def pp_layer_scan(
         outs = jax.lax.psum(outs, AXIS_STAGE)
         return outs.reshape(Bl, *x.shape[1:])
 
-    manual = set(batch_axes) | {AXIS_STAGE}
     return jax.shard_map(
         inner,
         in_specs=(layer_specs, x_spec, arr_specs),

@@ -77,10 +77,12 @@ def sp_flash_attention(
     kvspec = sanitize_for_mesh(
         P(BATCH_AXES, AXIS_SEQUENCE, AXIS_TENSOR, None), k.shape, mesh
     )
-    mspec = sanitize_for_mesh(P(BATCH_AXES, AXIS_SEQUENCE), kv_mask.shape,
-                              mesh)
+    # the key mask is layer-invariant: declare it sequence-REPLICATED in the
+    # region (the one reshard hoists out of the layer scan) instead of
+    # re-all-gathering it inside every layer's call
+    mspec = sanitize_for_mesh(P(BATCH_AXES, None), kv_mask.shape, mesh)
     if AXIS_SEQUENCE not in jax.tree_util.tree_leaves(
-        [list(qspec), list(kvspec), list(mspec)]
+        [list(qspec), list(kvspec)]
     ):
         # sanitize dropped the axis (indivisible S) — run unsharded
         return flash_prefill_trainable(q, k, v, kv_mask, 0, causal, window,
@@ -89,18 +91,17 @@ def sp_flash_attention(
     def inner(q, k, v, m):
         k_full = jax.lax.all_gather(k, AXIS_SEQUENCE, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, AXIS_SEQUENCE, axis=1, tiled=True)
-        m_full = jax.lax.all_gather(m, AXIS_SEQUENCE, axis=1, tiled=True)
         off = jax.lax.axis_index(AXIS_SEQUENCE) * q.shape[1]
-        return flash_prefill_trainable(q, k_full, v_full, m_full, off,
+        return flash_prefill_trainable(q, k_full, v_full, m, off,
                                        causal, window, scale)
 
     manual = {
         ax
-        for spec in (qspec, kvspec, mspec)
+        for spec in (qspec, kvspec)
         for entry in spec
         for ax in ((entry,) if isinstance(entry, str)
                    else (entry or ()))
-    }
+    } | {AXIS_SEQUENCE}
     return jax.shard_map(
         inner,
         in_specs=(qspec, kvspec, kvspec, mspec),

@@ -144,3 +144,23 @@ def test_pp_sequence_conflict_raises():
                 lambda p, e, m: gbc.forward(p, cfg, e, attention_mask=m,
                                             policy=F32)
             )(params, embeds, mask)
+
+
+def test_pp_with_fsdp_matches_single_device():
+    """stage=2 x fsdp=2 x data=2: layer weights stay fsdp-sharded through
+    the manual region (gathered per layer at use — ZeRO semantics), and the
+    numerics still match the unsharded forward."""
+    cfg, params, embeds, mask = _model(n_layer=4)
+    ref_logits, _ = gbc.forward(params, cfg, embeds, attention_mask=mask,
+                                policy=F32)
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, stage=2, tensor=1))
+    shardings = make_param_shardings(params, gbc.partition_rules(), mesh)
+    pp = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    pe = jax.device_put(embeds, batch_sharding(mesh, extra_dims=2))
+    with jax.set_mesh(mesh):
+        logits, _ = jax.jit(
+            lambda p, e, m: gbc.forward(p, cfg, e, attention_mask=m,
+                                        policy=F32)
+        )(pp, pe, mask)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
