@@ -12,6 +12,7 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_serve.py
 from __future__ import annotations
 
 import json
+import os
 import queue
 import sys
 import threading
@@ -44,6 +45,7 @@ def main():
     engine = ServeEngine(
         params, llm, "gpt_bigcode", max_batch=MAX_BATCH, max_len=MAX_LEN,
         policy=policy,
+        steps_per_tick=int(os.environ.get("STARVECTOR_STEPS_PER_TICK", "4")),
     )
     engine.start()
 

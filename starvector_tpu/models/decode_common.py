@@ -56,6 +56,36 @@ def init_ragged_cache(
     }
 
 
+def insert_prefill_rows(
+    ragged_cache: dict, small_cache: dict, slots: jax.Array, lengths: jax.Array
+) -> dict:
+    """Admit a prefilled B=k linear cache into k slots of a ragged cache in
+    ONE scatter per array (batched admission: k same-bucket prompts prefill
+    together, then land together)."""
+    T = ragged_cache["k"].shape[2]
+    Ts = small_cache["k"].shape[2]
+    pad = T - Ts
+    k, v, mask = small_cache["k"], small_cache["v"], small_cache["kv_mask"]
+    if pad > 0:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    else:
+        k, v, mask = k[:, :, :T], v[:, :, :T], mask[:, :T]
+    slots = slots.astype(jnp.int32)
+    new_k = ragged_cache["k"].at[:, slots].set(
+        k.astype(ragged_cache["k"].dtype)
+    )
+    new_v = ragged_cache["v"].at[:, slots].set(
+        v.astype(ragged_cache["v"].dtype)
+    )
+    new_mask = ragged_cache["kv_mask"].at[slots].set(mask.astype(jnp.int32))
+    new_len = ragged_cache["lengths"].at[slots].set(
+        lengths.astype(jnp.int32)
+    )
+    return {"k": new_k, "v": new_v, "lengths": new_len, "kv_mask": new_mask}
+
+
 def insert_prefill(ragged_cache: dict, small_cache: dict, slot, length) -> dict:
     """Admit a prefilled B=1 linear cache into slot `slot` of a ragged cache."""
     T = ragged_cache["k"].shape[2]

@@ -494,6 +494,20 @@ def forward_ragged_decode(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def insert_prefill_rows(
+    cfg: GPTBigCodeConfig,
+    ragged_cache: dict,
+    small_cache: dict,   # a B=k cache from a batched admission prefill
+    slots: jax.Array,    # (k,) slot indices
+    lengths: jax.Array,  # (k,) valid token counts
+):
+    """Admit k same-bucket prefilled requests in one scatter."""
+    from starvector_tpu.models import decode_common as dc
+
+    return dc.insert_prefill_rows(ragged_cache, small_cache, slots, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def insert_prefill(
     cfg: GPTBigCodeConfig,
     ragged_cache: dict,

@@ -104,23 +104,24 @@ def _prefill_chunk(
 )
 def _prefill_last_chunk(
     params: dict,
-    embeds: jax.Array,        # (1, C, E) final chunk (right-padded)
-    mask: jax.Array,          # (1, C)
+    embeds: jax.Array,        # (k, C, E) final chunk (right-padded)
+    mask: jax.Array,          # (k, C)
     cache: dict,
-    last_idx: jax.Array,      # scalar: CHUNK-LOCAL index of the last token
+    last_idx: jax.Array,      # (k,) CHUNK-LOCAL index of each last token
     base_rng: jax.Array,
     step: jax.Array,
-    temp: jax.Array,
-    top_p: jax.Array,
-    top_k: jax.Array,
+    temp: jax.Array,          # (k,) fp32; 0 = greedy
+    top_p: jax.Array,         # (k,)
+    top_k: jax.Array,         # (k,)
     *,
     dec_name: str,
     cfg: Any,
     policy: DTypePolicy,
     max_top_k: int,
 ):
-    """Final prefill chunk: project ONLY the last real position through the
-    LM head (no (Pb, V) materialization) and sample the first token."""
+    """Final prefill chunk: project ONLY each row's last real position
+    through the LM head (no (Pb, V) materialization) and sample the first
+    tokens. Batched: k same-bucket prompts admit in one dispatch."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
@@ -128,7 +129,9 @@ def _prefill_last_chunk(
         params, cfg, embeds, attention_mask=mask, cache=cache,
         policy=policy, return_hidden=True,
     )
-    h_last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
+    h_last = jnp.take_along_axis(
+        hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
+    )  # (k, 1, E)
     logits = jnp.einsum(
         "bse,ve->bsv", policy.cast(h_last),
         policy.cast(dec.lm_head_table(params, cfg)),
@@ -302,32 +305,79 @@ class ServeEngine:
     def _admit_loop(self):
         while not self._stop.is_set():
             try:
-                req = self.pending.get(timeout=0.05)
+                first = self.pending.get(timeout=0.05)
             except queue.Empty:
                 continue
-            slot_idx = self._reserve_slot()
-            while slot_idx is None and not self._stop.is_set():
-                time.sleep(self._idle_wait)
-                slot_idx = self._reserve_slot()
-            if slot_idx is None:
-                return
-            try:
-                self._admit_one(req, slot_idx)
-            except Exception as e:  # noqa: BLE001 — fail the request, not the loop
-                with self._lock:
-                    self.slots[slot_idx] = _Slot()
-                req.out_queue.put(("error", f"{type(e).__name__}: {e}"))
+            # opportunistically drain the queue and group SAME-BUCKET
+            # requests: k prompts prefill as one (k, Pb) batch — better MXU
+            # occupancy than k B=1 prefills and 1/k the dispatches. Group
+            # sizes are capped at powers of two (bounded compile cache).
+            batch = [first]
+            while len(batch) < 2 * self.max_batch:
+                try:
+                    batch.append(self.pending.get_nowait())
+                except queue.Empty:
+                    break
+            groups: dict[int, list[Request]] = {}
+            for r in batch:
+                Pb = min(_bucket_len(int(r.prefix_embeds.shape[1])),
+                         self.max_len)
+                groups.setdefault(Pb, []).append(r)
+            for Pb, reqs in groups.items():
+                while reqs and not self._stop.is_set():
+                    # size the group by slots that are free RIGHT NOW (never
+                    # hold reserved slots idle waiting for more to drain —
+                    # that would starve running decodes of admission slots)
+                    idxs = [i for i in (self._reserve_slot(),) if i is not None]
+                    if not idxs:
+                        time.sleep(self._idle_wait)
+                        continue
+                    k = 1
+                    while k < min(len(reqs), self.max_batch):
+                        nxt = self._reserve_slot()
+                        if nxt is None:
+                            break
+                        idxs.append(nxt)
+                        k += 1
+                    # round DOWN to a power of two (bounded compile cache)
+                    k2 = 1
+                    while k2 * 2 <= k:
+                        k2 *= 2
+                    with self._lock:
+                        for i in idxs[k2:]:
+                            self.slots[i].reserved = False
+                    idxs = idxs[:k2]
+                    chunk_reqs = reqs[:k2]
+                    reqs = reqs[k2:]
+                    try:
+                        self._admit_group(chunk_reqs, idxs, Pb)
+                    except Exception as e:  # noqa: BLE001 — fail the reqs, not the loop
+                        with self._lock:
+                            for i in idxs:
+                                self.slots[i] = _Slot()
+                        for r in chunk_reqs:
+                            r.out_queue.put(
+                                ("error", f"{type(e).__name__}: {e}")
+                            )
+                # engine stopped with requests still queued: fail them
+                for r in reqs:
+                    r.out_queue.put(("error", "engine stopped"))
 
-    def _admit_one(self, req: Request, slot_idx: int):
-        """Bucketed prefill (no lock held) + locked cache insertion."""
-        embeds = jnp.asarray(req.prefix_embeds, self.policy.compute_dtype)
-        P = embeds.shape[1]
-        Pb = min(_bucket_len(P), self.max_len)
-        if Pb > P:
-            embeds = jnp.pad(embeds, ((0, 0), (0, Pb - P), (0, 0)))
-        mask = (jnp.arange(Pb) < P).astype(jnp.int32)[None]
+    def _admit_group(self, reqs: list[Request], slot_idxs: list[int], Pb: int):
+        """Bucketed batch prefill (no lock held) + one locked scatter."""
+        k = len(reqs)
+        lens = [int(r.prefix_embeds.shape[1]) for r in reqs]
+        rows = []
+        for r, P in zip(reqs, lens):
+            e = jnp.asarray(r.prefix_embeds, self.policy.compute_dtype)
+            if Pb > P:
+                e = jnp.pad(e, ((0, 0), (0, Pb - P), (0, 0)))
+            rows.append(e[:, :Pb])
+        embeds = jnp.concatenate(rows, axis=0)          # (k, Pb, E)
+        mask = (jnp.arange(Pb)[None, :]
+                < jnp.asarray(lens)[:, None]).astype(jnp.int32)
         small = self.dec.init_cache(
-            self.llm_cfg, 1, Pb, dtype=self.policy.compute_dtype
+            self.llm_cfg, k, Pb, dtype=self.policy.compute_dtype
         )
         C = self.prefill_chunk
         n_chunks = max(Pb // C, 1)
@@ -339,30 +389,36 @@ class ServeEngine:
                 dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             )
         self._step += 1
-        last_local = (P - 1) - (n_chunks - 1) * C
-        first_arr, small = _prefill_last_chunk(
+        last_local = jnp.asarray(
+            [(P - 1) - (n_chunks - 1) * C for P in lens], jnp.int32
+        )
+        temps = jnp.asarray(
+            [r.temperature if r.do_sample else 0.0 for r in reqs], jnp.float32
+        )
+        firsts_arr, small = _prefill_last_chunk(
             self.params, embeds[:, (n_chunks - 1) * C:],
             mask[:, (n_chunks - 1) * C:], small,
-            jnp.asarray(last_local, jnp.int32),
+            last_local,
             self.base_rng, jnp.asarray(self._step, jnp.int32),
-            jnp.asarray(req.temperature if req.do_sample else 0.0, jnp.float32),
-            jnp.asarray(req.top_p, jnp.float32),
-            jnp.asarray(req.top_k, jnp.int32),
+            temps,
+            jnp.asarray([r.top_p for r in reqs], jnp.float32),
+            jnp.asarray([r.top_k for r in reqs], jnp.int32),
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             max_top_k=self.max_top_k,
         )
-        first = int(first_arr[0])
+        firsts = [int(t) for t in np.asarray(firsts_arr)]
         with self._lock:
-            self.cache = self.dec.insert_prefill(
-                self.llm_cfg, self.cache, small, jnp.asarray(slot_idx),
-                jnp.asarray(P),
+            self.cache = self.dec.insert_prefill_rows(
+                self.llm_cfg, self.cache, small, jnp.asarray(slot_idxs),
+                jnp.asarray(lens),
             )
-            slot = self.slots[slot_idx]
-            slot.req = req
-            slot.generated = [first]
-            slot.last_token = first
-            slot.reserved = False
-            self._emit(slot_idx)
+            for r, i, tok in zip(reqs, slot_idxs, firsts):
+                slot = self.slots[i]
+                slot.req = r
+                slot.generated = [tok]
+                slot.last_token = tok
+                slot.reserved = False
+                self._emit(i)
 
     # -- decode tick -----------------------------------------------------------
     def _emit(self, slot_idx: int) -> bool:

@@ -138,3 +138,38 @@ def test_int8_engine_serves(setup):
     assert len(out) == 6
     assert all(0 <= t < cfg.vocab_size for t in out)
     assert out == out2
+
+
+def test_batched_admission_group(setup):
+    """Several same-bucket requests submitted at once admit as ONE batched
+    prefill (k=4): outputs still match per-request offline greedy decode."""
+    cfg, params = setup
+    engine = ServeEngine(
+        params, cfg, "gpt_bigcode", max_batch=4, max_len=64, policy=F32
+    )
+    engine.start()
+    prefixes = []
+    refs = []
+    for i in range(4):
+        ids = jnp.array([[3 + i, 1, 4, 1 + i]])
+        prefix = gbc.embed_tokens(params, ids)
+        prefixes.append(prefix)
+        refs.append(offline_greedy(params, cfg, prefix, 5))
+    reqs = [
+        engine.submit(Request(prefix_embeds=p, max_new_tokens=5,
+                              do_sample=False))
+        for p in prefixes
+    ]
+    outs = []
+    for r in reqs:
+        toks = []
+        while True:
+            kind, payload = r.out_queue.get(timeout=120)
+            if kind == "done":
+                outs.append(payload)
+                break
+            if kind == "error":
+                raise AssertionError(payload)
+            toks.append(payload)
+    engine.stop()
+    assert outs == refs
