@@ -59,7 +59,9 @@ def main():
                                      llm.hidden_size), jnp.bfloat16),
             max_new_tokens=4, temperature=0.0, do_sample=False,
         )
-        engine.generate_sync(warm, timeout=600)
+        t0w = time.time()
+        engine.generate_sync(warm, timeout=2400)
+        print(f"warm bucket done in {time.time()-t0w:.1f}s", flush=True)
 
     reqs: list[Request] = []
     t_submit: dict[str, float] = {}

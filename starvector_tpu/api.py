@@ -108,7 +108,14 @@ class StarVectorForCausalLM:
             temperature=float(kwargs.get("temperature", 1.0)),
             top_p=float(kwargs.get("top_p", 0.9)),
             top_k=int(kwargs.get("top_k", 0)),
+            min_p=float(kwargs.get("min_p", 0.0)),
             repetition_penalty=float(kwargs.get("repetition_penalty", 1.0)),
+            frequency_penalty=float(kwargs.get("frequency_penalty", 0.0)),
+            presence_penalty=float(kwargs.get("presence_penalty", 0.0)),
+            logit_bias=tuple(
+                (int(t), float(b))
+                for t, b in dict(kwargs.get("logit_bias") or {}).items()
+            ),
             num_return_sequences=int(kwargs.get("num_return_sequences", 1)),
             stop_sequences=stop,
             eos_token_id=self.tokenizer.eos_token_id if text2svg else None,

@@ -34,7 +34,13 @@ class GenerationConfig:
     temperature: float = 1.0
     top_p: float = 0.9
     top_k: int = 0
+    min_p: float = 0.0
     repetition_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    # sparse additive bias ((token_id, bias), ...) — reference biases the
+    # `</svg>` id (starvector_vllm_api_svg_validator.py:60)
+    logit_bias: tuple[tuple[int, float], ...] = ()
     num_return_sequences: int = 1
     stop_sequences: tuple[tuple[int, ...], ...] = ()
     eos_token_id: int | None = None
@@ -58,7 +64,7 @@ class GenerationConfig:
     static_argnames=(
         "dec_name", "llm_cfg", "max_new_tokens", "min_new_tokens",
         "stop_sequences", "eos_token_id", "pad_token_id", "max_top_k",
-        "policy", "do_sample", "use_rep_penalty",
+        "policy", "do_sample", "use_rep_penalty", "use_freq_penalty",
     ),
 )
 def _generate_jit(
@@ -80,6 +86,7 @@ def _generate_jit(
     policy: DTypePolicy,
     do_sample: bool,
     use_rep_penalty: bool = True,
+    use_freq_penalty: bool = False,
 ):
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -125,11 +132,11 @@ def _generate_jit(
         return hit
 
     def cond(state):
-        t, _, _, done, _, _, _, _ = state
+        t, _, _, done, _, _, _, _, _ = state
         return jnp.logical_and(t < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        t, cache, last_logits, done, tokens, lengths, presence, rng = state
+        t, cache, last_logits, done, tokens, lengths, presence, counts, rng = state
         rng, step_rng = jax.random.split(rng)
         lg = last_logits
         if eos_token_id is not None and min_new_tokens > 0:
@@ -141,15 +148,26 @@ def _generate_jit(
                 NEG_INF,
                 lg,
             )
+        has_bias = knobs["bias_ids"].shape[-1] > 0
         nxt = sample_token(
             step_rng, lg,
             do_sample=do_sample,
             temperature=knobs["temperature"],
             top_p=knobs["top_p"],
             top_k=knobs["top_k"],
+            min_p=knobs["min_p"],
             presence=presence if use_rep_penalty else None,
             repetition_penalty=knobs["repetition_penalty"]
             if use_rep_penalty else None,
+            counts=counts if use_freq_penalty else None,
+            frequency_penalty=knobs["frequency_penalty"],
+            presence_penalty=knobs["presence_penalty"],
+            bias_ids=jnp.broadcast_to(
+                knobs["bias_ids"][None], (B, knobs["bias_ids"].shape[0])
+            ) if has_bias else None,
+            bias_vals=jnp.broadcast_to(
+                knobs["bias_vals"][None], (B, knobs["bias_vals"].shape[0])
+            ) if has_bias else None,
             max_top_k=max_top_k,
         )
         nxt = jnp.where(done, pad_token_id, nxt)
@@ -158,6 +176,11 @@ def _generate_jit(
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
         if use_rep_penalty:
             presence = presence.at[jnp.arange(B), nxt].set(1)
+        if use_freq_penalty:
+            # vLLM counts OUTPUT tokens only; done rows emit pads — skip them
+            counts = counts.at[jnp.arange(B), nxt].add(
+                jnp.where(done, 0, 1).astype(counts.dtype)
+            )
         done = done | newly_done
 
         embeds = dec.embed_tokens(params, nxt[:, None]).astype(
@@ -168,13 +191,17 @@ def _generate_jit(
             attention_mask=jnp.ones((B, 1), jnp.int32),
             cache=cache, policy=policy,
         )
-        return (t + 1, cache, step_logits[:, -1], done, tokens, lengths, presence, rng)
+        return (t + 1, cache, step_logits[:, -1], done, tokens, lengths,
+                presence, counts, rng)
 
+    counts0 = jnp.zeros((B, V) if use_freq_penalty else (B, 1), jnp.int32)
     state = (
         jnp.zeros((), jnp.int32), cache, last_logits, done, tokens, lengths,
-        prompt_presence, rng,
+        prompt_presence, counts0, rng,
     )
-    _, _, _, done, tokens, lengths, _, _ = jax.lax.while_loop(cond, body, state)
+    _, _, _, done, tokens, lengths, _, _, _ = jax.lax.while_loop(
+        cond, body, state
+    )
     return tokens, lengths
 
 
@@ -214,11 +241,17 @@ def generate(
         presence = presence.at[
             jnp.arange(B)[:, None], jnp.asarray(prompt_ids)
         ].set(1)
+    bias = tuple(gen.logit_bias)
     knobs = {
         "temperature": jnp.asarray(gen.temperature, jnp.float32),
         "top_p": jnp.asarray(gen.top_p, jnp.float32),
         "top_k": jnp.asarray(gen.top_k, jnp.int32),
+        "min_p": jnp.asarray(gen.min_p, jnp.float32),
         "repetition_penalty": jnp.asarray(gen.repetition_penalty, jnp.float32),
+        "frequency_penalty": jnp.asarray(gen.frequency_penalty, jnp.float32),
+        "presence_penalty": jnp.asarray(gen.presence_penalty, jnp.float32),
+        "bias_ids": jnp.asarray([t for t, _ in bias], jnp.int32),
+        "bias_vals": jnp.asarray([v for _, v in bias], jnp.float32),
     }
     return _generate_jit(
         params, inputs_embeds, attention_mask, presence, knobs, rng,
@@ -232,6 +265,8 @@ def generate(
         policy=policy,
         do_sample=gen.do_sample,
         use_rep_penalty=gen.repetition_penalty != 1.0,
+        use_freq_penalty=(gen.frequency_penalty != 0.0
+                          or gen.presence_penalty != 0.0),
     )
 
 

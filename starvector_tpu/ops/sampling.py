@@ -1,7 +1,10 @@
-"""On-device token sampling: greedy, temperature, top-k, top-p, repetition
-penalty — the HF sampling semantics the reference relies on
-(reference: starvector_base.py:223-241 passes do_sample/top_p/temperature/
-repetition_penalty to HF `generate`).
+"""On-device token sampling: greedy, temperature, top-k, top-p, min-p,
+repetition/frequency/presence penalties, logit bias — the HF sampling
+semantics the reference relies on (reference: starvector_base.py:223-241
+passes do_sample/top_p/temperature/repetition_penalty to HF `generate`)
+plus the vLLM SamplingParams surface its vLLM validators use (reference:
+starvector_vllm_svg_validator.py:35-44 min_p/frequency/presence penalties,
+starvector_vllm_api_svg_validator.py:60 logit_bias toward `</svg>`).
 
 All ops are jit-safe with static shapes; masking uses -inf logits.
 """
@@ -64,6 +67,47 @@ def apply_top_p(logits: jax.Array, p: jax.Array) -> jax.Array:
     return jnp.where(mask, logits, NEG_INF)
 
 
+def apply_min_p(logits: jax.Array, min_p: jax.Array) -> jax.Array:
+    """vLLM min-p: keep tokens whose probability >= min_p * max-probability.
+    Applied after temperature scaling (vLLM order). min_p <= 0 disables."""
+    min_p = _rowwise(min_p, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    threshold = min_p * jnp.max(probs, axis=-1, keepdims=True)
+    keep = probs >= threshold
+    keep = jnp.where(min_p <= 0.0, jnp.ones_like(keep), keep)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def apply_frequency_presence(
+    logits: jax.Array,        # (B, V)
+    counts: jax.Array,        # (B, V) int — OUTPUT-token occurrence counts
+    frequency_penalty: jax.Array,
+    presence_penalty: jax.Array,
+) -> jax.Array:
+    """OpenAI/vLLM additive penalties over generated-token counts:
+    logits - frequency_penalty*count - presence_penalty*(count > 0)."""
+    fp = _rowwise(frequency_penalty, logits)
+    pp = _rowwise(presence_penalty, logits)
+    counts = counts.astype(logits.dtype)
+    return logits - fp * counts - pp * (counts > 0)
+
+
+def apply_logit_bias(
+    logits: jax.Array,        # (B, V)
+    bias_ids: jax.Array,      # (B, K) int32 token ids; negative = inactive
+    bias_vals: jax.Array,     # (B, K) additive bias
+) -> jax.Array:
+    """Sparse additive logit bias (OpenAI `logit_bias`; the reference biases
+    the `</svg>` token id). K is a small static bound; unused entries carry
+    a negative id and scatter onto a dead row."""
+    B, V = logits.shape
+    active = bias_ids >= 0
+    ids = jnp.where(active, bias_ids, 0)
+    vals = jnp.where(active, bias_vals.astype(logits.dtype), 0.0)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], ids.shape)
+    return logits.at[rows, ids].add(vals)
+
+
 def apply_repetition_penalty(
     logits: jax.Array,        # (B, V)
     presence: jax.Array,      # (B, V) 1 where token has appeared
@@ -87,17 +131,34 @@ def sample_token(
     top_k: jax.Array,
     presence: jax.Array | None = None,
     repetition_penalty: jax.Array | None = None,
+    counts: jax.Array | None = None,
+    frequency_penalty: jax.Array | None = None,
+    presence_penalty: jax.Array | None = None,
+    min_p: jax.Array | None = None,
+    bias_ids: jax.Array | None = None,
+    bias_vals: jax.Array | None = None,
     max_top_k: int = 64,
 ) -> jax.Array:
     """Returns (B,) int32 next tokens. Greedy when do_sample is False
-    (statically) or temperature == 0 (runtime)."""
+    (statically) or temperature == 0 (runtime). Processor order follows
+    vLLM: bias → penalties → temperature → top-k → top-p → min-p."""
+    if bias_ids is not None and bias_vals is not None:
+        logits = apply_logit_bias(logits, bias_ids, bias_vals)
     if presence is not None and repetition_penalty is not None:
         logits = apply_repetition_penalty(logits, presence, repetition_penalty)
+    if counts is not None:
+        logits = apply_frequency_presence(
+            logits, counts,
+            frequency_penalty if frequency_penalty is not None else 0.0,
+            presence_penalty if presence_penalty is not None else 0.0,
+        )
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if not do_sample:
         return greedy
     filtered = apply_temperature(logits, temperature)
     filtered = apply_top_k(filtered, top_k, max_top_k)
     filtered = apply_top_p(filtered, top_p)
+    if min_p is not None:
+        filtered = apply_min_p(filtered, min_p)
     sampled = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)

@@ -44,6 +44,16 @@ class Request:
     temperature: float = 0.8
     top_p: float = 0.9
     top_k: int = 0
+    min_p: float = 0.0                 # vLLM min-p (0 disables)
+    repetition_penalty: float = 1.0    # over prompt∪output tokens (HF/vLLM)
+    frequency_penalty: float = 0.0     # OpenAI, over output-token counts
+    presence_penalty: float = 0.0      # OpenAI, over output-token presence
+    # sparse additive bias {token_id: bias} — the reference nudges `</svg>`
+    # (starvector_vllm_api_svg_validator.py:60); bounded by engine.max_bias
+    logit_bias: dict[int, float] | None = None
+    # optional prompt token ids (repetition-penalty presence seeding; the
+    # engine only sees embeddings otherwise)
+    prompt_token_ids: Any = None
     do_sample: bool = True
     stop_sequences: tuple[tuple[int, ...], ...] = ()
     eos_token_id: int | None = None
@@ -113,6 +123,11 @@ def _prefill_last_chunk(
     temp: jax.Array,          # (k,) fp32; 0 = greedy
     top_p: jax.Array,         # (k,)
     top_k: jax.Array,         # (k,)
+    min_p: jax.Array,         # (k,)
+    rep_pen: jax.Array,       # (k,) 1.0 = off
+    prompt_ids: jax.Array,    # (k, C*n_chunks bucketed) int32; -1 padding
+    bias_ids: jax.Array,      # (k, KB) int32; -1 inactive
+    bias_vals: jax.Array,     # (k, KB) fp32
     *,
     dec_name: str,
     cfg: Any,
@@ -138,17 +153,30 @@ def _prefill_last_chunk(
         preferred_element_type=jnp.float32,
     )[:, 0]
     rng = jax.random.fold_in(base_rng, 1_000_000 + step)
+    presence = _presence_from_ids(prompt_ids, cfg.vocab_size)
     first = sample_token(
         rng, logits, do_sample=True,
-        temperature=temp, top_p=top_p, top_k=top_k, max_top_k=max_top_k,
+        temperature=temp, top_p=top_p, top_k=top_k, min_p=min_p,
+        presence=presence, repetition_penalty=rep_pen,
+        bias_ids=bias_ids, bias_vals=bias_vals, max_top_k=max_top_k,
     )
-    return first, cache
+    return first, cache, presence
+
+
+def _presence_from_ids(ids: jax.Array, vocab: int) -> jax.Array:
+    """(k, P) token ids with -1 padding → (k, V) 0/1 presence. Scattered on
+    device: shipping padded ids costs KBs where a dense table costs MBs."""
+    k = ids.shape[0]
+    real = (ids >= 0).astype(jnp.int32)
+    safe = jnp.where(ids >= 0, ids, 0)
+    rows = jnp.broadcast_to(jnp.arange(k)[:, None], ids.shape)
+    return jnp.zeros((k, vocab), jnp.int32).at[rows, safe].max(real)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("dec_name", "cfg", "policy", "max_top_k", "n_steps"),
-    donate_argnames=("cache",),
+    donate_argnames=("cache", "counts"),
 )
 def _fused_ragged_step(
     params: dict,
@@ -160,6 +188,14 @@ def _fused_ragged_step(
     temps: jax.Array,         # (B,) fp32; 0 = greedy
     top_ps: jax.Array,        # (B,) fp32
     top_ks: jax.Array,        # (B,) int32; 0 = disabled
+    min_ps: jax.Array,        # (B,) fp32; 0 = disabled
+    rep_pens: jax.Array,      # (B,) fp32; 1 = off
+    freq_pens: jax.Array,     # (B,) fp32; 0 = off
+    pres_pens: jax.Array,     # (B,) fp32; 0 = off
+    counts: jax.Array,        # (B, V) int32 output-token counts (donated)
+    prompt_presence: jax.Array,  # (B, V) 0/1 prompt tokens (read-only)
+    bias_ids: jax.Array,      # (B, KB) int32; -1 inactive
+    bias_vals: jax.Array,     # (B, KB) fp32
     *,
     dec_name: str,
     cfg: Any,
@@ -172,27 +208,53 @@ def _fused_ragged_step(
     per-dispatch runtime overhead (~30 ms on the tunneled TPU runtime) over
     several tokens; admissions join between ticks. Folding the tick counter
     into the base key on device avoids a separate jax.random.split dispatch.
-    Returns ((B, n_steps) tokens, cache)."""
+    Returns ((B, n_steps) tokens, cache, counts)."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B = tokens.shape[0]
 
     def body(state, i):
-        tokens, cache = state
+        tokens, cache, counts = state
         logits, cache = dec.forward_ragged_decode(
             params, cfg, tokens, cache, active, policy=policy
         )
         rng = jax.random.fold_in(base_rng, step * n_steps + i)
         nxt = sample_token(
             rng, logits, do_sample=True,
-            temperature=temps, top_p=top_ps, top_k=top_ks, max_top_k=max_top_k,
+            temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
+            presence=jnp.maximum((counts > 0).astype(jnp.int32),
+                                 prompt_presence),
+            repetition_penalty=rep_pens,
+            counts=counts, frequency_penalty=freq_pens,
+            presence_penalty=pres_pens,
+            bias_ids=bias_ids, bias_vals=bias_vals,
+            max_top_k=max_top_k,
         )
-        return (nxt, cache), nxt
+        counts = counts.at[jnp.arange(B), nxt].add(active)
+        return (nxt, cache, counts), nxt
 
-    (_, cache), toks = jax.lax.scan(
-        body, (tokens, cache), jnp.arange(n_steps)
+    (_, cache, counts), toks = jax.lax.scan(
+        body, (tokens, cache, counts), jnp.arange(n_steps)
     )
-    return toks.T, cache  # (B, n_steps)
+    return toks.T, cache, counts  # (B, n_steps)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _admit_sampling_state(
+    counts: jax.Array,            # (B, V) int32, donated
+    prompt_presence: jax.Array,   # (B, V) int32, donated
+    slots: jax.Array,             # (k,)
+    firsts: jax.Array,            # (k,) first sampled token per admitted row
+    presence_rows: jax.Array,     # (k, V) prompt presence of admitted rows
+):
+    """Reset the admitted slots' sampling state: counts row = one-hot of the
+    first output token; prompt presence row = the admitted prompt's table."""
+    k, V = presence_rows.shape
+    fresh = jnp.zeros((k, V), jnp.int32).at[jnp.arange(k), firsts].set(1)
+    counts = counts.at[slots].set(fresh)
+    prompt_presence = prompt_presence.at[slots].set(presence_rows)
+    return counts, prompt_presence
 
 
 class ServeEngine:
@@ -240,6 +302,14 @@ class ServeEngine:
         self.cache = self.dec.init_ragged_cache(
             llm_cfg, max_batch, max_len, dtype=policy.compute_dtype
         )
+        # sampling-state tables: output-token counts (frequency/presence
+        # penalties; mutated in the tick scan) and prompt-token presence
+        # (repetition penalty; written at admission). (B, V) int32 ≈ 1.5 MB
+        # at B=8/V=49k — negligible next to the KV cache.
+        V = llm_cfg.vocab_size
+        self._counts = jnp.zeros((max_batch, V), jnp.int32)
+        self._prompt_presence = jnp.zeros((max_batch, V), jnp.int32)
+        self.max_bias = 4                 # static bound on logit_bias entries
         self.slots = [_Slot() for _ in range(max_batch)]
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._ready: "queue.Queue" = queue.Queue()   # admission → tick handoff
@@ -261,6 +331,13 @@ class ServeEngine:
                 f"prompt ({P}) + max_new_tokens ({req.max_new_tokens}) "
                 f"exceeds engine max_len ({self.max_len}, incl. "
                 f"{self.steps_per_tick - 1} multi-step slack)",
+            ))
+            return req
+        if req.logit_bias and len(req.logit_bias) > self.max_bias:
+            req.out_queue.put((
+                "error",
+                f"logit_bias has {len(req.logit_bias)} entries; the engine's "
+                f"static bound is max_bias={self.max_bias}",
             ))
             return req
         self.pending.put(req)
@@ -395,7 +472,15 @@ class ServeEngine:
         temps = jnp.asarray(
             [r.temperature if r.do_sample else 0.0 for r in reqs], jnp.float32
         )
-        firsts_arr, small = _prefill_last_chunk(
+        # prompt ids bucketed like the embeds (-1 padding); empty when no
+        # request supplies them (repetition penalty then sees output only)
+        pid_rows = np.full((k, Pb), -1, np.int32)
+        for row, r in enumerate(reqs):
+            if r.prompt_token_ids is not None:
+                ids = np.asarray(r.prompt_token_ids, np.int32).reshape(-1)
+                pid_rows[row, : min(len(ids), Pb)] = ids[:Pb]
+        bias_ids, bias_vals = self._bias_arrays(reqs)
+        firsts_arr, small, presence_rows = _prefill_last_chunk(
             self.params, embeds[:, (n_chunks - 1) * C:],
             mask[:, (n_chunks - 1) * C:], small,
             last_local,
@@ -403,6 +488,10 @@ class ServeEngine:
             temps,
             jnp.asarray([r.top_p for r in reqs], jnp.float32),
             jnp.asarray([r.top_k for r in reqs], jnp.int32),
+            jnp.asarray([r.min_p for r in reqs], jnp.float32),
+            jnp.asarray([r.repetition_penalty for r in reqs], jnp.float32),
+            jnp.asarray(pid_rows),
+            bias_ids, bias_vals,
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             max_top_k=self.max_top_k,
         )
@@ -412,6 +501,10 @@ class ServeEngine:
                 self.llm_cfg, self.cache, small, jnp.asarray(slot_idxs),
                 jnp.asarray(lens),
             )
+            self._counts, self._prompt_presence = _admit_sampling_state(
+                self._counts, self._prompt_presence,
+                jnp.asarray(slot_idxs, jnp.int32), firsts_arr, presence_rows,
+            )
             for r, i, tok in zip(reqs, slot_idxs, firsts):
                 slot = self.slots[i]
                 slot.req = r
@@ -419,6 +512,20 @@ class ServeEngine:
                 slot.last_token = tok
                 slot.reserved = False
                 self._emit(i)
+
+    def _bias_arrays(self, reqs):
+        """Per-row logit_bias as (B, max_bias) id/value arrays (-1 = off)."""
+        n = len(reqs)
+        ids = np.full((n, self.max_bias), -1, np.int32)
+        vals = np.zeros((n, self.max_bias), np.float32)
+        for row, r in enumerate(reqs):
+            if r is not None and r.logit_bias:
+                for j, (tid, b) in enumerate(
+                    list(r.logit_bias.items())[: self.max_bias]
+                ):
+                    ids[row, j] = int(tid)
+                    vals[row, j] = float(b)
+        return jnp.asarray(ids), jnp.asarray(vals)
 
     # -- decode tick -----------------------------------------------------------
     def _emit(self, slot_idx: int) -> bool:
@@ -458,11 +565,25 @@ class ServeEngine:
         )
         top_ps = np.array([(r.top_p if r else 1.0) for r in reqs], np.float32)
         top_ks = np.array([(r.top_k if r else 0) for r in reqs], np.int32)
+        min_ps = np.array([(r.min_p if r else 0.0) for r in reqs], np.float32)
+        rep_ps = np.array(
+            [(r.repetition_penalty if r else 1.0) for r in reqs], np.float32
+        )
+        frq_ps = np.array(
+            [(r.frequency_penalty if r else 0.0) for r in reqs], np.float32
+        )
+        prs_ps = np.array(
+            [(r.presence_penalty if r else 0.0) for r in reqs], np.float32
+        )
+        bias_ids, bias_vals = self._bias_arrays(reqs)
         self._step += 1
-        nxt, self.cache = _fused_ragged_step(
+        nxt, self.cache, self._counts = _fused_ragged_step(
             self.params, jnp.asarray(tokens), self.cache, jnp.asarray(active),
             self.base_rng, jnp.asarray(self._step, jnp.int32),
             jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(top_ks),
+            jnp.asarray(min_ps), jnp.asarray(rep_ps), jnp.asarray(frq_ps),
+            jnp.asarray(prs_ps), self._counts, self._prompt_presence,
+            bias_ids, bias_vals,
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             max_top_k=self.max_top_k, n_steps=K,
         )
@@ -492,11 +613,16 @@ class ServeEngine:
                                 ("error", f"{type(e).__name__}: {e}")
                             )
                             self.slots[i] = _Slot()
-                    # the failed step may have consumed the donated cache
-                    # buffer; rebuild it so the engine stays serviceable
+                    # the failed step may have consumed the donated cache /
+                    # counts buffers; rebuild so the engine stays serviceable
                     self.cache = self.dec.init_ragged_cache(
                         self.llm_cfg, self.max_batch, self.max_len,
                         dtype=self.policy.compute_dtype,
+                    )
+                    V = self.llm_cfg.vocab_size
+                    self._counts = jnp.zeros((self.max_batch, V), jnp.int32)
+                    self._prompt_presence = jnp.zeros(
+                        (self.max_batch, V), jnp.int32
                     )
                 worked = False
             if not worked:

@@ -99,12 +99,22 @@ class ModelWorker:
     def make_request(self, payload: dict) -> tuple[Request, str]:
         prefix, prompt_text = self._prefix_for(payload)
         tok = self.model.tokenizer
+        # OpenAI/vLLM sampling surface (reference vLLM validators:
+        # starvector_vllm_svg_validator.py:35-44, ..._api_...py:50-60)
+        logit_bias = payload.get("logit_bias") or None
+        if logit_bias:
+            logit_bias = {int(k): float(v) for k, v in logit_bias.items()}
         req = Request(
             prefix_embeds=prefix,
             max_new_tokens=int(payload.get("max_new_tokens", 512)),
             temperature=float(payload.get("temperature", 0.8)),
             top_p=float(payload.get("top_p", 0.9)),
             top_k=int(payload.get("top_k", 0)),
+            min_p=float(payload.get("min_p", 0.0)),
+            repetition_penalty=float(payload.get("repetition_penalty", 1.0)),
+            frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
+            presence_penalty=float(payload.get("presence_penalty", 0.0)),
+            logit_bias=logit_bias,
             do_sample=float(payload.get("temperature", 0.8)) > 0,
             stop_sequences=(tok.stop_sequence_ids("</svg>"),),
             eos_token_id=tok.eos_token_id,

@@ -74,6 +74,15 @@ class StarVectorServeValidator(SVGValidator):
                 "temperature": float(generate_config.get("temperature", 0.0)),
                 "top_p": float(generate_config.get("top_p", 0.9)),
             }
+            # full vLLM sampling surface (reference SamplingParams,
+            # starvector_vllm_svg_validator.py:35-44; logit_bias toward
+            # `</svg>`, ..._api_svg_validator.py:60)
+            for knob in ("top_k", "min_p", "repetition_penalty",
+                         "frequency_penalty", "presence_penalty"):
+                if knob in generate_config:
+                    payload[knob] = float(generate_config[knob])
+            if generate_config.get("logit_bias"):
+                payload["logit_bias"] = dict(generate_config["logit_bias"])
             if self.task == "text2svg":
                 payload["prompt"] = batch["caption"][i]
             outputs.append(self._stream_one(payload))

@@ -177,3 +177,68 @@ def test_sampling_respects_distribution():
         draws.append(int(t[0]))
     counts = np.bincount(draws, minlength=3) / len(draws)
     assert counts[0] > 0.5 and counts[2] < 0.25
+
+
+def test_min_p_filter():
+    # probs ≈ [0.659, 0.242, 0.089, 0.009]; min_p=0.2 keeps p >= 0.132
+    logits = jnp.log(jnp.array([[0.66, 0.2425, 0.089, 0.0089]]))
+    out = sampling.apply_min_p(logits, jnp.asarray(0.2))
+    kept = np.asarray(out)[0] > -1e9
+    assert kept.tolist() == [True, True, False, False]
+    # min_p <= 0 disables
+    out = sampling.apply_min_p(logits, jnp.asarray(0.0))
+    assert (np.asarray(out)[0] > -1e9).all()
+
+
+def test_frequency_presence_penalties():
+    logits = jnp.array([[1.0, 1.0, 1.0]])
+    counts = jnp.array([[3, 1, 0]])
+    out = sampling.apply_frequency_presence(
+        logits, counts, jnp.asarray(0.5), jnp.asarray(0.25)
+    )
+    np.testing.assert_allclose(np.asarray(out)[0], [-0.75, 0.25, 1.0])
+
+
+def test_logit_bias_scatter():
+    logits = jnp.zeros((2, 4))
+    bias_ids = jnp.array([[2, -1], [0, 3]])
+    bias_vals = jnp.array([[5.0, 9.0], [-3.0, 2.0]])
+    out = sampling.apply_logit_bias(logits, bias_ids, bias_vals)
+    np.testing.assert_allclose(
+        np.asarray(out), [[0, 0, 5.0, 0], [-3.0, 0, 0, 2.0]]
+    )
+
+
+def test_generate_logit_bias_forces_token(model):
+    """A huge positive bias on one token makes greedy emit it immediately
+    (the reference's logit_bias-toward-</svg> mechanism)."""
+    cfg, params = model
+    prompt = jnp.array([[5, 9, 2]])
+    embeds = gbc.embed_tokens(params, prompt)
+    gen = GenerationConfig(
+        max_new_tokens=4, do_sample=False, pad_token_id=0,
+        logit_bias=((7, 1e9),), eos_token_id=None,
+    )
+    toks, _ = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(1), policy=F32,
+    )
+    assert list(np.asarray(toks[0])) == [7, 7, 7, 7]
+
+
+def test_generate_presence_penalty_blocks_repeats(model):
+    """An overwhelming presence penalty forbids re-emitting any generated
+    token: all sampled tokens are distinct."""
+    cfg, params = model
+    prompt = jnp.array([[3, 1, 4]])
+    embeds = gbc.embed_tokens(params, prompt)
+    gen = GenerationConfig(
+        max_new_tokens=8, do_sample=True, temperature=1.0, top_p=1.0,
+        presence_penalty=1e9, pad_token_id=0,
+    )
+    toks, _ = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(3), policy=F32,
+    )
+    out = list(np.asarray(toks[0]))
+    assert len(set(out)) == len(out)

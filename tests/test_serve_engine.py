@@ -173,3 +173,61 @@ def test_batched_admission_group(setup):
             toks.append(payload)
     engine.stop()
     assert outs == refs
+
+
+def test_logit_bias_and_min_p_in_engine(setup):
+    """A huge logit_bias forces greedy output to the biased token from the
+    FIRST token on (prefill sampling and tick sampling both apply it)."""
+    cfg, params = setup
+    engine = make_engine(cfg, params)
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    req = Request(prefix_embeds=prefix, max_new_tokens=5, do_sample=False,
+                  logit_bias={7: 1e9})
+    out = engine.generate_sync(req, timeout=120)
+    # min_p=1.0 keeps only the argmax token -> sampling becomes greedy
+    req2 = Request(prefix_embeds=prefix, max_new_tokens=5, do_sample=True,
+                   temperature=5.0, top_p=1.0, min_p=1.0)
+    out2 = engine.generate_sync(req2, timeout=120)
+    ref2 = offline_greedy(params, cfg, prefix, 5)
+    engine.stop()
+    assert out == [7] * 5
+    assert out2 == ref2
+
+
+def test_presence_penalty_in_engine(setup):
+    """Overwhelming presence penalty -> no token repeats within a stream,
+    and the counts table resets between requests on the same slot."""
+    cfg, params = setup
+    engine = ServeEngine(
+        params, cfg, "gpt_bigcode", max_batch=1, max_len=64, policy=F32
+    )
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    outs = []
+    for _ in range(2):  # second request reuses slot 0: state must reset
+        req = Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=True,
+                      temperature=1.0, top_p=1.0, presence_penalty=1e9)
+        outs.append(engine.generate_sync(req, timeout=120))
+    engine.stop()
+    for out in outs:
+        assert len(set(out)) == len(out), out
+    # identical requests, same slot, engine-stepped rng differs is fine;
+    # but the FIRST token (greedy-ish penalty-free) must match across runs
+    # only if sampling rng matched — don't assert equality, just no repeats
+
+
+def test_repetition_penalty_with_prompt_ids(setup):
+    """repetition_penalty=1e9-ish with prompt_token_ids suppresses prompt
+    tokens from being emitted at all."""
+    cfg, params = setup
+    engine = make_engine(cfg, params)
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    ref = offline_greedy(params, cfg, prefix, 6)
+    req = Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=True,
+                  temperature=1.0, top_p=1.0, repetition_penalty=100.0,
+                  prompt_token_ids=np.array([3, 1, 4]))
+    out = engine.generate_sync(req, timeout=120)
+    engine.stop()
+    assert all(t not in (3, 1, 4) for t in out), (out, ref)
