@@ -153,6 +153,7 @@ def bench_1b(jax, jnp, np, on_tpu):
     # ~2/3 of the step's HBM bytes at this shape, so halving them wins ~35%.
     int8_tok_s = None
     int8_b128_tok_s = None
+    int8kv_b128_tok_s = None
     if on_tpu:
         from starvector_tpu.ops.quantization import quantize_tree
 
@@ -183,7 +184,27 @@ def bench_1b(jax, jnp, np, on_tpu):
             reps,
         )
         int8_b128_tok_s = B2 * NEW / dt_q2
-        del qdec, cache2
+        del cache2
+
+        # int8 weights + int8 KV cache: BOTH decode payloads halved (the
+        # per-(position, head) scales fold into score/prob tensors — see
+        # decode_common.merged_decode_attention)
+        cache3 = gbc.init_cache(llm, B2, total, dtype=jnp.int8)
+        cache3["index"] = jnp.asarray(PREFIX_CTX, jnp.int32)
+        cache3["kv_mask"] = (
+            jnp.zeros((B2, total), jnp.int32).at[:, :PREFIX_CTX].set(1)
+        )
+        cache3["k_scale"] = jnp.full_like(cache3["k_scale"], 0.02)
+        cache3["v_scale"] = jnp.full_like(cache3["v_scale"], 0.02)
+        np.asarray(decode_loop(qdec, cache3, tok2, NEW, "mixed", True))
+        dt_q3 = _median_time(
+            lambda: np.asarray(
+                decode_loop(qdec, cache3, tok2, NEW, "mixed", True)
+            ),
+            reps,
+        )
+        int8kv_b128_tok_s = B2 * NEW / dt_q3
+        del qdec, cache3
 
     # speed-of-light accounting for the decode step
     L, Hkv, D = llm.n_layer, llm.kv_heads, llm.head_dim
@@ -234,6 +255,9 @@ def bench_1b(jax, jnp, np, on_tpu):
         "int8_decode_tok_per_s": round(int8_tok_s, 1) if int8_tok_s else None,
         "int8_b128_decode_tok_per_s": (
             round(int8_b128_tok_s, 1) if int8_b128_tok_s else None
+        ),
+        "int8_weights_int8_kv_b128_tok_per_s": (
+            round(int8kv_b128_tok_s, 1) if int8kv_b128_tok_s else None
         ),
         "naive_decode_tok_per_s": round(results.get("naive", 0.0), 1),
         "e2e_tok_per_s": round(B * NEW / (decode_s + prefill_s), 1),
@@ -363,6 +387,11 @@ def bench_8b_int8(jax, jnp, np):
 
 def main():
     import jax
+
+    # the axon TPU plugin registers itself regardless of JAX_PLATFORMS; honor
+    # an explicit env request (e.g. CPU smoke runs) through jax.config
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import numpy as np
 

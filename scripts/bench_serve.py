@@ -21,6 +21,11 @@ import time
 
 def main():
     import jax
+
+    # the axon TPU plugin registers itself regardless of JAX_PLATFORMS; honor
+    # an explicit env request (e.g. CPU smoke runs) through jax.config
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import numpy as np
 
@@ -49,19 +54,11 @@ def main():
     )
     engine.start()
 
-    # warm the compile caches: one request per DISTINCT prefill bucket plus
-    # the fused tick step — compiles must not land in the measured window
-    from starvector_tpu.serve.engine import _bucket_len
-
-    for P in sorted({_bucket_len(p) for p in prompt_lens}):
-        warm = Request(
-            prefix_embeds=jnp.zeros((1, min(P, MAX_LEN - NEW - 8),
-                                     llm.hidden_size), jnp.bfloat16),
-            max_new_tokens=4, temperature=0.0, do_sample=False,
-        )
-        t0w = time.time()
-        engine.generate_sync(warm, timeout=2400)
-        print(f"warm bucket done in {time.time()-t0w:.1f}s", flush=True)
+    # warm the compile caches: every (bucket, admission-group-size) pair
+    # plus the fused tick — compiles must not land in the measured window
+    t0w = time.time()
+    engine.warmup(prompt_lens)
+    print(f"warmup done in {time.time()-t0w:.1f}s", flush=True)
 
     reqs: list[Request] = []
     t_submit: dict[str, float] = {}

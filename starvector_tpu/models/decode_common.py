@@ -27,18 +27,46 @@ from starvector_tpu.ops.attention import NEG_INF
 # caches
 # ---------------------------------------------------------------------------
 
+def quantize_kv(x: jax.Array):
+    """Per-token-per-head symmetric int8: x (..., D) → (int8, fp32 scale
+    (...,)). The scale axis is D, so dequantization folds into the
+    (T)-sized score/probability tensors, never the (T, D) payload."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)
+            ).astype(dtype)
+
+
+def _maybe_scales(shape, dtype) -> dict:
+    """int8 caches carry per-(layer, batch, position, head) fp32 scales —
+    ~1.5% of the int8 payload at D=256."""
+    if dtype == jnp.int8:
+        return {
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+    return {}
+
+
 def init_cache(
     n_layer: int, kv_heads: int, head_dim: int,
     batch: int, max_len: int, dtype=jnp.bfloat16,
 ) -> dict:
     """Linear cache: one shared write index (ragged prefixes via left-padding
-    + kv_mask)."""
+    + kv_mask). dtype=jnp.int8 stores K/V quantized (halved decode-step HBM
+    traffic vs bf16; quality-checked opt-in)."""
     shape = (n_layer, batch, max_len, kv_heads, head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "index": jnp.zeros((), jnp.int32),
         "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
+        **_maybe_scales(shape, dtype),
     }
 
 
@@ -53,6 +81,7 @@ def init_ragged_cache(
         "v": jnp.zeros(shape, dtype),
         "lengths": jnp.zeros((batch,), jnp.int32),
         "kv_mask": jnp.zeros((batch, max_len), jnp.int32),
+        **_maybe_scales(shape, dtype),
     }
 
 
@@ -64,53 +93,61 @@ def insert_prefill_rows(
     together, then land together)."""
     T = ragged_cache["k"].shape[2]
     Ts = small_cache["k"].shape[2]
-    pad = T - Ts
-    k, v, mask = small_cache["k"], small_cache["v"], small_cache["kv_mask"]
-    if pad > 0:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    else:
-        k, v, mask = k[:, :, :T], v[:, :, :T], mask[:, :T]
     slots = slots.astype(jnp.int32)
-    new_k = ragged_cache["k"].at[:, slots].set(
-        k.astype(ragged_cache["k"].dtype)
+    out = {}
+    for key in _payload_keys(ragged_cache):
+        arr = _fit_time_axis(small_cache[key], T, Ts, time_axis=2)
+        out[key] = ragged_cache[key].at[:, slots].set(
+            arr.astype(ragged_cache[key].dtype)
+        )
+    mask = _fit_time_axis(small_cache["kv_mask"], T, Ts, time_axis=1)
+    out["kv_mask"] = ragged_cache["kv_mask"].at[slots].set(
+        mask.astype(jnp.int32)
     )
-    new_v = ragged_cache["v"].at[:, slots].set(
-        v.astype(ragged_cache["v"].dtype)
-    )
-    new_mask = ragged_cache["kv_mask"].at[slots].set(mask.astype(jnp.int32))
-    new_len = ragged_cache["lengths"].at[slots].set(
+    out["lengths"] = ragged_cache["lengths"].at[slots].set(
         lengths.astype(jnp.int32)
     )
-    return {"k": new_k, "v": new_v, "lengths": new_len, "kv_mask": new_mask}
+    return out
 
 
 def insert_prefill(ragged_cache: dict, small_cache: dict, slot, length) -> dict:
     """Admit a prefilled B=1 linear cache into slot `slot` of a ragged cache."""
     T = ragged_cache["k"].shape[2]
     Ts = small_cache["k"].shape[2]
-    pad = T - Ts
-    k, v, mask = small_cache["k"], small_cache["v"], small_cache["kv_mask"]
-    if pad > 0:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    else:
-        k, v, mask = k[:, :, :T], v[:, :, :T], mask[:, :T]
-    new_k = jax.lax.dynamic_update_slice(
-        ragged_cache["k"], k.astype(ragged_cache["k"].dtype), (0, slot, 0, 0, 0)
-    )
-    new_v = jax.lax.dynamic_update_slice(
-        ragged_cache["v"], v.astype(ragged_cache["v"].dtype), (0, slot, 0, 0, 0)
-    )
-    new_mask = jax.lax.dynamic_update_slice(
+    out = {}
+    for key in _payload_keys(ragged_cache):
+        arr = _fit_time_axis(small_cache[key], T, Ts, time_axis=2)
+        start = (0, slot, 0, 0, 0)[: arr.ndim]
+        out[key] = jax.lax.dynamic_update_slice(
+            ragged_cache[key], arr.astype(ragged_cache[key].dtype), start
+        )
+    mask = _fit_time_axis(small_cache["kv_mask"], T, Ts, time_axis=1)
+    out["kv_mask"] = jax.lax.dynamic_update_slice(
         ragged_cache["kv_mask"], mask.astype(jnp.int32), (slot, 0)
     )
-    lengths = jax.lax.dynamic_update_slice(
+    out["lengths"] = jax.lax.dynamic_update_slice(
         ragged_cache["lengths"], length[None].astype(jnp.int32), (slot,)
     )
-    return {"k": new_k, "v": new_v, "lengths": lengths, "kv_mask": new_mask}
+    return out
+
+
+def _payload_keys(cache: dict) -> tuple[str, ...]:
+    """Per-(layer, slot, position) cache arrays, incl. int8 scales."""
+    return tuple(
+        k for k in ("k", "v", "k_scale", "v_scale") if k in cache
+    )
+
+
+def _fit_time_axis(arr: jax.Array, T: int, Ts: int, *, time_axis: int):
+    """Right-pad (or crop) a prefilled array's time axis to the ragged
+    cache's max_len."""
+    if T > Ts:
+        pads = [(0, 0)] * arr.ndim
+        pads[time_axis] = (0, T - Ts)
+        return jnp.pad(arr, pads)
+    idx = [slice(None)] * arr.ndim
+    idx[time_axis] = slice(0, T)
+    return arr[tuple(idx)]
 
 
 # ---------------------------------------------------------------------------
@@ -125,17 +162,26 @@ def merged_decode_attention(
     v_cached: jax.Array,  # (B, T, Hkv, D)
     old_mask: jax.Array,  # (B, T) visibility of cached slots
     scale: float,
+    k_scale: jax.Array | None = None,  # (B, T, Hkv) int8-cache dequant scales
+    v_scale: jax.Array | None = None,  # (B, T, Hkv)
 ) -> jax.Array:
     """One decode step's attention: scores over the cached window are merged
     with the new token's self-score in a single softmax, so the big cache is
     read once and never rewritten inside the layer scan. Returns
-    (B, 1, H*D) in k_cached's compute dtype."""
+    (B, 1, H*D) in k_cached's compute dtype.
+
+    int8 caches: the per-(position, head) scales fold into the (T)-sized
+    score/probability tensors — the (T, D) int8 payload feeds the einsums
+    directly (XLA converts inline as a matmul producer), so the step's HBM
+    traffic really is the int8 bytes."""
     B, Hkv, G, D = qg.shape
     dt = qg.dtype
     s_c = jnp.einsum(
         "bkgd,btkd->bkgt", qg, k_cached.astype(dt),
         preferred_element_type=jnp.float32,
     ).astype(jnp.float32) * scale                     # (B, Hkv, G, T)
+    if k_scale is not None:
+        s_c = s_c * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
     s_c = jnp.where(old_mask[:, None, None, :] > 0, s_c, NEG_INF)
     s_self = jnp.einsum(
         "bkgd,bkd->bkg", qg, k_new.astype(dt),
@@ -145,8 +191,11 @@ def merged_decode_attention(
     p_c = jnp.exp(s_c - m[..., None])
     p_s = jnp.exp(s_self - m)
     denom = jnp.sum(p_c, axis=-1) + p_s
+    pv = p_c
+    if v_scale is not None:
+        pv = p_c * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
     out = jnp.einsum(
-        "bkgt,btkd->bkgd", p_c.astype(dt), v_cached.astype(dt),
+        "bkgt,btkd->bkgd", pv.astype(dt), v_cached.astype(dt),
         preferred_element_type=jnp.float32,
     )
     out = out + p_s[..., None] * v_new[:, :, None].astype(jnp.float32)
@@ -159,37 +208,61 @@ def merged_decode_attention(
 # ---------------------------------------------------------------------------
 
 def decode_scan(layers: dict, cache: dict, x: jax.Array, layer_fn):
-    """Scan `layer_fn(layer_params, h, k_cached, v_cached) -> (h, k_new,
-    v_new)` over the stacked layers. Layers emit only their NEW kv token;
-    callers write the (L, B, Hkv, D) stack back in one small update."""
+    """Scan `layer_fn(layer_params, h, k_cached, v_cached[, k_scale,
+    v_scale]) -> (h, k_new, v_new)` over the stacked layers. Layers emit
+    only their NEW kv token; callers write the (L, B, Hkv, D) stack back in
+    one small update. int8 caches additionally scan the per-layer scale
+    slices and quantize the emitted token. Returns (h, news) where news is
+    a dict of per-key (L, B, ...) new-token stacks."""
+    quant = "k_scale" in cache
+
+    if quant:
+        def body(h, xs):
+            layer_p, lk, lv, lks, lvs = xs
+            h, kn, vn = layer_fn(layer_p, h, lk, lv, lks, lvs)
+            kq, ks = quantize_kv(kn)
+            vq, vs = quantize_kv(vn)
+            return h, {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+
+        return jax.lax.scan(
+            body, x,
+            (layers, cache["k"], cache["v"],
+             cache["k_scale"], cache["v_scale"]),
+        )
+
     def body(h, xs):
         layer_p, lk, lv = xs
         h, kn, vn = layer_fn(layer_p, h, lk, lv)
-        return h, (kn.astype(cache["k"].dtype), vn.astype(cache["v"].dtype))
+        return h, {"k": kn.astype(cache["k"].dtype),
+                   "v": vn.astype(cache["v"].dtype)}
 
     return jax.lax.scan(body, x, (layers, cache["k"], cache["v"]))
 
 
-def write_new_kv_linear(cache: dict, k_news, v_news, idx) -> dict:
-    """Linear cache: one (L, B, 1, Hkv, D) write at the shared index."""
-    new_k = jax.lax.dynamic_update_slice(
-        cache["k"], k_news[:, :, None], (0, 0, idx, 0, 0)
-    )
-    new_v = jax.lax.dynamic_update_slice(
-        cache["v"], v_news[:, :, None], (0, 0, idx, 0, 0)
-    )
-    return {"k": new_k, "v": new_v}
+def write_new_kv_linear(cache: dict, news: dict, idx) -> dict:
+    """Linear cache: one (L, B, 1, Hkv[, D]) write per key at the shared
+    index."""
+    out = {}
+    for key, new in news.items():
+        start = (0, 0, idx, 0, 0)[: new.ndim + 1]
+        out[key] = jax.lax.dynamic_update_slice(
+            cache[key], new[:, :, None].astype(cache[key].dtype), start
+        )
+    return out
 
 
-def write_new_kv_ragged(cache: dict, k_news, v_news, write_pos) -> tuple:
+def write_new_kv_ragged(cache: dict, news: dict, write_pos) -> dict:
     """Ragged cache: per-row scatter at each slot's own length."""
     L = cache["k"].shape[0]
     B = write_pos.shape[0]
     layer_ids = jnp.arange(L)[:, None]
     rows = jnp.arange(B)
-    ks = cache["k"].at[layer_ids, rows[None, :], write_pos[None, :]].set(k_news)
-    vs = cache["v"].at[layer_ids, rows[None, :], write_pos[None, :]].set(v_news)
-    return ks, vs
+    return {
+        key: cache[key]
+        .at[layer_ids, rows[None, :], write_pos[None, :]]
+        .set(new.astype(cache[key].dtype))
+        for key, new in news.items()
+    }
 
 
 def ragged_step_masks(cache: dict, active: jax.Array, window: int | None):

@@ -165,6 +165,7 @@ def cache_partition_rules() -> list[tuple[str, P]]:
     from starvector_tpu.parallel.mesh import BATCH_AXES
 
     return [(r"k$|v$", P(None, BATCH_AXES, None, None, None)),
+            (r"k_scale$|v_scale$", P(None, BATCH_AXES, None, None)),
             (r"kv_mask$", P(BATCH_AXES, None)),
             (r"index$", P())]
 
@@ -191,14 +192,35 @@ def _attention_block(
 
     new_cache = None
     if layer_cache is not None:
-        ck = jax.lax.dynamic_update_slice(
-            layer_cache["k"], k.astype(layer_cache["k"].dtype), (0, cache_index, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            layer_cache["v"], v.astype(layer_cache["v"].dtype), (0, cache_index, 0, 0)
-        )
-        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
-        new_cache = {"k": ck, "v": cv}
+        from starvector_tpu.models import decode_common as dc
+
+        if layer_cache["k"].dtype == jnp.int8:
+            kq, ksc = dc.quantize_kv(k)
+            vq, vsc = dc.quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(
+                layer_cache["k"], kq, (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                layer_cache["v"], vq, (0, cache_index, 0, 0))
+            cks = jax.lax.dynamic_update_slice(
+                layer_cache["k_scale"], ksc, (0, cache_index, 0))
+            cvs = jax.lax.dynamic_update_slice(
+                layer_cache["v_scale"], vsc, (0, cache_index, 0))
+            # prefill attention is compute-bound: dequantize the running
+            # window (keeps past chunks' int8 round-trip consistent)
+            k = dc.dequantize_kv(ck, cks, x.dtype)
+            v = dc.dequantize_kv(cv, cvs, x.dtype)
+            new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs}
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                layer_cache["k"], k.astype(layer_cache["k"].dtype),
+                (0, cache_index, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                layer_cache["v"], v.astype(layer_cache["v"].dtype),
+                (0, cache_index, 0, 0)
+            )
+            k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+            new_cache = {"k": ck, "v": cv}
 
     is_decode = S == 1 and layer_cache is not None
     impl = cfg.attn_impl
@@ -367,15 +389,23 @@ def forward(
         x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, policy)
         new_cache["index"] = new_index
     else:
-        def body(h, xs):
-            layer_p, lk, lv = xs
-            h, upd = _block(
-                layer_p, cfg, h, ctx, {"k": lk, "v": lv}, cache["index"], policy
-            )
-            return h, (upd["k"], upd["v"])
+        cache_keys = tuple(
+            k for k in ("k", "v", "k_scale", "v_scale") if k in cache
+        )
 
-        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-        new_cache = {"k": ks, "v": vs, "index": new_index, "kv_mask": kv_mask}
+        def body(h, xs):
+            layer_p = xs[0]
+            layer_cache = dict(zip(cache_keys, xs[1:]))
+            h, upd = _block(
+                layer_p, cfg, h, ctx, layer_cache, cache["index"], policy
+            )
+            return h, tuple(upd[k] for k in cache_keys)
+
+        x, upds = jax.lax.scan(
+            body, x, (params["layers"], *(cache[k] for k in cache_keys))
+        )
+        new_cache = dict(zip(cache_keys, upds))
+        new_cache.update(index=new_index, kv_mask=kv_mask)
 
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     if return_hidden:
@@ -401,7 +431,7 @@ def _decode_layer_fn(cfg: GPTBigCodeConfig, old_mask, policy):
     G = H // Hkv
     scale = D**-0.5
 
-    def fn(layer_p, h, lk, lv):
+    def fn(layer_p, h, lk, lv, lks=None, lvs=None):
         B = h.shape[0]
         hh = layer_norm(layer_p["ln_1"], h, cfg.layer_norm_epsilon)
         qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
@@ -409,7 +439,8 @@ def _decode_layer_fn(cfg: GPTBigCodeConfig, old_mask, policy):
         k_new = qkv[..., E : E + Hkv * D].reshape(B, Hkv, D)
         v_new = qkv[..., E + Hkv * D :].reshape(B, Hkv, D)
         out = dc.merged_decode_attention(
-            q, k_new, v_new, lk, lv, old_mask, scale
+            q, k_new, v_new, lk, lv, old_mask, scale,
+            k_scale=lks, v_scale=lvs,
         )
         h = h + dense(layer_p["attn"]["c_proj"], out, policy)
         hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
@@ -432,10 +463,10 @@ def _decode_step(params, cfg, x, cache, kv_mask, policy):
     T = cache["k"].shape[2]
     # mask over cached slots only (exclude the new token's slot)
     old_mask = kv_mask & (jnp.arange(T)[None, :] < idx)
-    x, (k_news, v_news) = dc.decode_scan(
+    x, news = dc.decode_scan(
         params["layers"], cache, x, _decode_layer_fn(cfg, old_mask, policy)
     )
-    new_cache = dc.write_new_kv_linear(cache, k_news, v_news, idx)
+    new_cache = dc.write_new_kv_linear(cache, news, idx)
     new_cache["kv_mask"] = kv_mask
     return x, new_cache
 
@@ -475,21 +506,17 @@ def forward_ragged_decode(
     x = x + policy.cast(pe)
 
     write_pos, kv_mask, old_mask = dc.ragged_step_masks(cache, active, None)
-    x, (k_news, v_news) = dc.decode_scan(
+    x, news = dc.decode_scan(
         params["layers"], cache, x, _decode_layer_fn(cfg, old_mask, policy)
     )
-    ks, vs = dc.write_new_kv_ragged(cache, k_news, v_news, write_pos)
+    new_cache = dc.write_new_kv_ragged(cache, news, write_pos)
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     logits = jnp.einsum(
         "bse,ve->bsv", policy.cast(x), policy.cast(params["wte"]),
         preferred_element_type=jnp.float32,
     )[:, 0]
-    new_cache = {
-        "k": ks,
-        "v": vs,
-        "lengths": cache["lengths"] + active.astype(jnp.int32),
-        "kv_mask": kv_mask,
-    }
+    new_cache["lengths"] = cache["lengths"] + active.astype(jnp.int32)
+    new_cache["kv_mask"] = kv_mask
     return logits, new_cache
 
 

@@ -164,14 +164,33 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
 
     new_cache = None
     if layer_cache is not None:
-        ck = jax.lax.dynamic_update_slice(
-            layer_cache["k"], k.astype(layer_cache["k"].dtype), (0, cache_index, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            layer_cache["v"], v.astype(layer_cache["v"].dtype), (0, cache_index, 0, 0)
-        )
-        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
-        new_cache = {"k": ck, "v": cv}
+        from starvector_tpu.models import decode_common as dc
+
+        if layer_cache["k"].dtype == jnp.int8:
+            kq, ksc = dc.quantize_kv(k)
+            vq, vsc = dc.quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(
+                layer_cache["k"], kq, (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                layer_cache["v"], vq, (0, cache_index, 0, 0))
+            cks = jax.lax.dynamic_update_slice(
+                layer_cache["k_scale"], ksc, (0, cache_index, 0))
+            cvs = jax.lax.dynamic_update_slice(
+                layer_cache["v_scale"], vsc, (0, cache_index, 0))
+            k = dc.dequantize_kv(ck, cks, x.dtype)
+            v = dc.dequantize_kv(cv, cvs, x.dtype)
+            new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs}
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                layer_cache["k"], k.astype(layer_cache["k"].dtype),
+                (0, cache_index, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                layer_cache["v"], v.astype(layer_cache["v"].dtype),
+                (0, cache_index, 0, 0)
+            )
+            k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+            new_cache = {"k": ck, "v": cv}
 
     is_decode = S == 1 and layer_cache is not None
     impl = cfg.attn_impl
@@ -321,16 +340,24 @@ def forward(
         x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, positions, policy)
         new_cache["index"] = new_index
     else:
+        cache_keys = tuple(
+            k for k in ("k", "v", "k_scale", "v_scale") if k in cache
+        )
+
         def body(h, xs):
-            layer_p, lk, lv = xs
+            layer_p = xs[0]
+            layer_cache = dict(zip(cache_keys, xs[1:]))
             h, upd = _block(
                 layer_p, cfg, h, ctx, positions,
-                {"k": lk, "v": lv}, cache["index"], policy,
+                layer_cache, cache["index"], policy,
             )
-            return h, (upd["k"], upd["v"])
+            return h, tuple(upd[k] for k in cache_keys)
 
-        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-        new_cache = {"k": ks, "v": vs, "index": new_index, "kv_mask": kv_mask}
+        x, upds = jax.lax.scan(
+            body, x, (params["layers"], *(cache[k] for k in cache_keys))
+        )
+        new_cache = dict(zip(cache_keys, upds))
+        new_cache.update(index=new_index, kv_mask=kv_mask)
 
     x = layer_norm(params["norm"], x, cfg.norm_epsilon)
     if return_hidden:
@@ -366,11 +393,11 @@ def _decode_step(params, cfg, x, cache, kv_mask, positions, policy):
     old_mask = kv_mask & (slot_ids < idx)
     if cfg.sliding_window is not None:
         old_mask = old_mask & (slot_ids > idx - cfg.sliding_window)
-    x, (k_news, v_news) = dc.decode_scan(
+    x, news = dc.decode_scan(
         params["layers"], cache, x,
         _decode_layer_fn(cfg, old_mask, positions, policy),
     )
-    new_cache = dc.write_new_kv_linear(cache, k_news, v_news, idx)
+    new_cache = dc.write_new_kv_linear(cache, news, idx)
     new_cache["kv_mask"] = kv_mask
     return x, new_cache
 
@@ -385,7 +412,7 @@ def _decode_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
     scale = D**-0.5
     inv_freq = rope_frequencies(D, cfg.rope_theta)
 
-    def fn(layer_p, h, lk, lv):
+    def fn(layer_p, h, lk, lv, lks=None, lvs=None):
         B = h.shape[0]
         hh = layer_norm(layer_p["input_layernorm"], h, cfg.norm_epsilon)
         q = dense(layer_p["attn"]["q_proj"], hh, policy).reshape(B, 1, H, D)
@@ -395,7 +422,7 @@ def _decode_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
         k_new = apply_rope(k_new, positions, inv_freq)
         out = dc.merged_decode_attention(
             q.reshape(B, Hkv, G, D), k_new[:, 0], v_new[:, 0],
-            lk, lv, old_mask, scale,
+            lk, lv, old_mask, scale, k_scale=lks, v_scale=lvs,
         )
         h = h + dense(layer_p["attn"]["o_proj"], out, policy)
         hh = layer_norm(layer_p["post_attention_layernorm"], h, cfg.norm_epsilon)
@@ -437,23 +464,19 @@ def forward_ragged_decode(
     write_pos, kv_mask, old_mask = dc.ragged_step_masks(
         cache, active, cfg.sliding_window
     )
-    x, (k_news, v_news) = dc.decode_scan(
+    x, news = dc.decode_scan(
         params["layers"], cache, x,
         _decode_layer_fn(cfg, old_mask, positions, policy),
     )
-    ks, vs = dc.write_new_kv_ragged(cache, k_news, v_news, write_pos)
+    new_cache = dc.write_new_kv_ragged(cache, news, write_pos)
     x = layer_norm(params["norm"], x, cfg.norm_epsilon)
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.einsum(
         "bse,ve->bsv", policy.cast(x), policy.cast(head),
         preferred_element_type=jnp.float32,
     )[:, 0]
-    new_cache = {
-        "k": ks,
-        "v": vs,
-        "lengths": cache["lengths"] + active.astype(jnp.int32),
-        "kv_mask": kv_mask,
-    }
+    new_cache["lengths"] = cache["lengths"] + active.astype(jnp.int32)
+    new_cache["kv_mask"] = kv_mask
     return logits, new_cache
 
 

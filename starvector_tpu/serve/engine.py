@@ -273,6 +273,7 @@ class ServeEngine:
         max_top_k: int = 64,
         steps_per_tick: int = 4,
         prefill_chunk: int = 1024,
+        kv_cache_dtype=None,     # e.g. jnp.int8: halves KV decode traffic
     ):
         from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -299,8 +300,9 @@ class ServeEngine:
         # chunk costs one fixed dispatch overhead) while 2k-8k prompts
         # still interleave with decode ticks.
         self.prefill_chunk = max(64, prefill_chunk)
+        self.kv_dtype = kv_cache_dtype or policy.compute_dtype
         self.cache = self.dec.init_ragged_cache(
-            llm_cfg, max_batch, max_len, dtype=policy.compute_dtype
+            llm_cfg, max_batch, max_len, dtype=self.kv_dtype
         )
         # sampling-state tables: output-token counts (frequency/presence
         # penalties; mutated in the tick scan) and prompt-token presence
@@ -361,6 +363,58 @@ class ServeEngine:
                 t.join(timeout=5)
         self._decode_thread = None
         self._admit_thread = None
+
+    def warmup(self, prompt_lens, group_sizes=None, timeout: float = 2400):
+        """Pre-compile the full admission + tick dispatch chain for every
+        (prompt-length bucket, admission-group-size) pair, so cold-start
+        compiles never land mid-serving. Group sizes default to all powers
+        of two up to max_batch — exactly the sizes `_admit_loop` forms.
+
+        Dummy requests run through the REAL `_admit_group` (deterministic k,
+        unlike racing the admission thread) and decode one multi-step tick.
+        Call on an idle engine."""
+        self.start()
+        if group_sizes is None:
+            group_sizes, g = [], 1
+            while g <= self.max_batch:
+                group_sizes.append(g)
+                g *= 2
+        buckets = sorted({
+            min(_bucket_len(int(p)), self.max_len) for p in prompt_lens
+        })
+        E = self.llm_cfg.hidden_size
+        slack = self.steps_per_tick + 1
+        for Pb in buckets:
+            P = min(Pb, self.max_len - slack - 1)
+            for k in group_sizes:
+                if k > self.max_batch:
+                    continue
+                reqs = [
+                    Request(
+                        prefix_embeds=np.zeros((1, P, E), np.float32),
+                        max_new_tokens=min(self.steps_per_tick + 1, 4),
+                        temperature=0.0, do_sample=False,
+                    )
+                    for _ in range(k)
+                ]
+                idxs = []
+                deadline = time.time() + timeout
+                while len(idxs) < k and time.time() < deadline:
+                    i = self._reserve_slot()
+                    if i is None:
+                        time.sleep(self._idle_wait)
+                    else:
+                        idxs.append(i)
+                if len(idxs) < k:
+                    raise TimeoutError("warmup could not reserve slots")
+                self._admit_group(reqs, idxs, Pb)
+                for r in reqs:
+                    while True:
+                        kind, payload = r.out_queue.get(timeout=timeout)
+                        if kind == "done":
+                            break
+                        if kind == "error":
+                            raise RuntimeError(f"warmup failed: {payload}")
 
     @property
     def num_active(self) -> int:
@@ -454,7 +508,7 @@ class ServeEngine:
         mask = (jnp.arange(Pb)[None, :]
                 < jnp.asarray(lens)[:, None]).astype(jnp.int32)
         small = self.dec.init_cache(
-            self.llm_cfg, k, Pb, dtype=self.policy.compute_dtype
+            self.llm_cfg, k, Pb, dtype=self.kv_dtype
         )
         C = self.prefill_chunk
         n_chunks = max(Pb // C, 1)
@@ -617,7 +671,7 @@ class ServeEngine:
                     # counts buffers; rebuild so the engine stays serviceable
                     self.cache = self.dec.init_ragged_cache(
                         self.llm_cfg, self.max_batch, self.max_len,
-                        dtype=self.policy.compute_dtype,
+                        dtype=self.kv_dtype,
                     )
                     V = self.llm_cfg.vocab_size
                     self._counts = jnp.zeros((self.max_batch, V), jnp.int32)

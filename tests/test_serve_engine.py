@@ -231,3 +231,26 @@ def test_repetition_penalty_with_prompt_ids(setup):
     out = engine.generate_sync(req, timeout=120)
     engine.stop()
     assert all(t not in (3, 1, 4) for t in out), (out, ref)
+
+
+def test_int8_kv_engine(setup):
+    """Engine over an int8 KV cache (kv_cache_dtype=jnp.int8) matches the
+    bf16-cache engine greedy outputs on a tiny model, including warmup."""
+    cfg, params = setup
+    ref_engine = make_engine(cfg, params)
+    engine = ServeEngine(
+        params, cfg, "gpt_bigcode", max_batch=3, max_len=64, policy=F32,
+        kv_cache_dtype=jnp.int8,
+    )
+    engine.warmup([4], group_sizes=[1, 2], timeout=300)
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    req = Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=False)
+    out = engine.generate_sync(req, timeout=120)
+    ref = ref_engine.generate_sync(
+        Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=False),
+        timeout=120,
+    )
+    engine.stop()
+    ref_engine.stop()
+    assert out == ref
