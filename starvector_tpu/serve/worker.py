@@ -43,6 +43,7 @@ class ModelWorker:
         limit_model_concurrency: int = 5,
         max_batch: int = 8,
         max_len: int = 8192,
+        kv_cache_dtype=None,
     ):
         self.model = model
         self.worker_addr = worker_addr
@@ -52,6 +53,7 @@ class ModelWorker:
         self.engine = ServeEngine(
             model.params["svg_transformer"], model.cfg.llm, model.cfg.decoder,
             max_batch=max_batch, max_len=max_len, policy=model.policy,
+            kv_cache_dtype=kv_cache_dtype,
         )
         self.engine.start()
         self._hb_thread: threading.Thread | None = None
@@ -383,6 +385,11 @@ def main():
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--quantize", action="store_true",
                         help="int8 weight-only decoder (halves HBM traffic)")
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="int8 KV cache (halves decode cache traffic)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile prefill/tick chains before serving "
+                             "(visual-prefix and 512/1024/2048 buckets)")
     args = parser.parse_args()
 
     from starvector_tpu.api import StarVectorForCausalLM
@@ -396,7 +403,11 @@ def main():
         controller_addr=args.controller,
         limit_model_concurrency=args.limit_model_concurrency,
         max_batch=args.max_batch,
+        kv_cache_dtype=jnp.int8 if args.kv_int8 else None,
     )
+    if args.warmup:
+        q = model.cfg.query_length
+        worker.engine.warmup([q + 8, 512, 1024, 2048])
     worker.register()
     worker.start_heartbeat()
     web.run_app(build_app(worker), host=args.host, port=args.port)
