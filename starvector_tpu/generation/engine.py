@@ -64,7 +64,7 @@ class GenerationConfig:
     static_argnames=(
         "dec_name", "llm_cfg", "max_new_tokens", "min_new_tokens",
         "stop_sequences", "eos_token_id", "pad_token_id", "max_top_k",
-        "policy", "do_sample", "use_rep_penalty", "use_freq_penalty",
+        "policy", "do_sample", "use_rep_penalty", "use_freq_penalty", "n_rep",
     ),
 )
 def _generate_jit(
@@ -87,6 +87,7 @@ def _generate_jit(
     do_sample: bool,
     use_rep_penalty: bool = True,
     use_freq_penalty: bool = False,
+    n_rep: int = 1,
 ):
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -102,6 +103,25 @@ def _generate_jit(
         last_logits_only=True,
     )
     last_logits = logits[:, -1]  # (B, V) — prompts are left-padded
+
+    if n_rep > 1:
+        # num_return_sequences: the prompt prefills ONCE per distinct row
+        # and the filled cache tiles across the n return sequences — the
+        # reference's HF generate repeats the prompt BEFORE prefill and
+        # pays n× the prefill FLOPs (starvector_base.py:261-286 expands
+        # inputs; HF _expand_inputs_for_generation)
+        last_logits = jnp.repeat(last_logits, n_rep, axis=0)
+        prompt_presence = jnp.repeat(prompt_presence, n_rep, axis=0)
+        tiled = {}
+        for key, arr in cache.items():
+            if key in ("k", "v", "k_scale", "v_scale"):
+                tiled[key] = jnp.repeat(arr, n_rep, axis=1)   # (L, B, ...)
+            elif key == "kv_mask":
+                tiled[key] = jnp.repeat(arr, n_rep, axis=0)
+            else:
+                tiled[key] = arr                              # shared index
+        cache = tiled
+        B = B * n_rep
 
     tokens = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
     done = jnp.zeros((B,), bool)
@@ -227,13 +247,8 @@ def generate(
         )
     B = inputs_embeds.shape[0]
     V = llm_cfg.vocab_size
-    if gen.num_return_sequences > 1:
-        n = gen.num_return_sequences
-        inputs_embeds = jnp.repeat(inputs_embeds, n, axis=0)
-        attention_mask = jnp.repeat(attention_mask, n, axis=0)
-        if prompt_ids is not None:
-            prompt_ids = jnp.repeat(prompt_ids, n, axis=0)
-        B = B * n
+    # num_return_sequences expands AFTER prefill inside the jit (the cache
+    # tiles; the prompt prefills once per distinct row)
     presence = jnp.zeros(
         (B, V) if gen.repetition_penalty != 1.0 else (B, 1), jnp.int32
     )
@@ -267,6 +282,7 @@ def generate(
         use_rep_penalty=gen.repetition_penalty != 1.0,
         use_freq_penalty=(gen.frequency_penalty != 0.0
                           or gen.presence_penalty != 0.0),
+        n_rep=gen.num_return_sequences,
     )
 
 

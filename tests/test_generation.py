@@ -242,3 +242,46 @@ def test_generate_presence_penalty_blocks_repeats(model):
     )
     out = list(np.asarray(toks[0]))
     assert len(set(out)) == len(out)
+
+
+def test_num_return_sequences_prefill_once_parity(model):
+    """num_return_sequences tiles the cache AFTER a single prefill; greedy
+    rows must all equal the n=1 greedy output (exact tiling check)."""
+    cfg, params = model
+    prompt = jnp.array([[5, 9, 2]])
+    embeds = gbc.embed_tokens(params, prompt)
+    base = GenerationConfig(max_new_tokens=5, do_sample=False, pad_token_id=0)
+    ref, _ = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        base, jax.random.PRNGKey(1), policy=F32,
+    )
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False, pad_token_id=0,
+                           num_return_sequences=3)
+    toks, lengths = generate(
+        params, cfg, "gpt_bigcode", embeds, jnp.ones((1, 3), jnp.int32),
+        gen, jax.random.PRNGKey(1), policy=F32,
+    )
+    assert toks.shape == (3, 5)
+    for row in np.asarray(toks):
+        assert list(row) == list(np.asarray(ref[0]))
+
+
+def test_num_return_sequences_batched_rows_interleave(model):
+    """B=2 prompts × n=2: rows interleave as [p0, p0, p1, p1] (jnp.repeat
+    semantics, matching HF expand) and each pair matches its own greedy."""
+    cfg, params = model
+    prompts = jnp.array([[5, 9, 2], [3, 1, 4]])
+    embeds = gbc.embed_tokens(params, prompts)
+    mask = jnp.ones((2, 3), jnp.int32)
+    base = GenerationConfig(max_new_tokens=4, do_sample=False, pad_token_id=0)
+    ref, _ = generate(params, cfg, "gpt_bigcode", embeds, mask, base,
+                      jax.random.PRNGKey(1), policy=F32)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False, pad_token_id=0,
+                           num_return_sequences=2)
+    toks, _ = generate(params, cfg, "gpt_bigcode", embeds, mask, gen,
+                       jax.random.PRNGKey(1), policy=F32)
+    out = np.asarray(toks)
+    refnp = np.asarray(ref)
+    assert toks.shape == (4, 4)
+    assert (out[0] == refnp[0]).all() and (out[1] == refnp[0]).all()
+    assert (out[2] == refnp[1]).all() and (out[3] == refnp[1]).all()
