@@ -111,24 +111,47 @@ def insert_prefill_rows(
 
 
 def insert_prefill(ragged_cache: dict, small_cache: dict, slot, length) -> dict:
-    """Admit a prefilled B=1 linear cache into slot `slot` of a ragged cache."""
-    T = ragged_cache["k"].shape[2]
-    Ts = small_cache["k"].shape[2]
-    out = {}
-    for key in _payload_keys(ragged_cache):
-        arr = _fit_time_axis(small_cache[key], T, Ts, time_axis=2)
-        start = (0, slot, 0, 0, 0)[: arr.ndim]
-        out[key] = jax.lax.dynamic_update_slice(
-            ragged_cache[key], arr.astype(ragged_cache[key].dtype), start
-        )
-    mask = _fit_time_axis(small_cache["kv_mask"], T, Ts, time_axis=1)
-    out["kv_mask"] = jax.lax.dynamic_update_slice(
-        ragged_cache["kv_mask"], mask.astype(jnp.int32), (slot, 0)
+    """Admit a prefilled B=1 linear cache into slot `slot` of a ragged
+    cache (the single-row case of insert_prefill_rows)."""
+    return insert_prefill_rows(
+        ragged_cache, small_cache,
+        jnp.asarray(slot, jnp.int32)[None],
+        jnp.asarray(length, jnp.int32)[None],
     )
-    out["lengths"] = jax.lax.dynamic_update_slice(
-        ragged_cache["lengths"], length[None].astype(jnp.int32), (slot,)
+
+
+def write_prefill_kv(
+    layer_cache: dict, k: jax.Array, v: jax.Array, cache_index, dtype
+) -> tuple[jax.Array, jax.Array, dict]:
+    """Write one prefill chunk's (B, S, Hkv, D) K/V into a per-layer cache
+    at `cache_index` and return (k_window, v_window, new_layer_cache) where
+    the windows cover the WHOLE cache so far, in compute dtype. int8 caches
+    quantize on write and dequantize the running window for the (compute-
+    bound) prefill attention — decode never materializes a dequantized
+    window (see merged_decode_attention)."""
+    if layer_cache["k"].dtype == jnp.int8:
+        kq, ksc = quantize_kv(k)
+        vq, vsc = quantize_kv(v)
+        ck = jax.lax.dynamic_update_slice(
+            layer_cache["k"], kq, (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            layer_cache["v"], vq, (0, cache_index, 0, 0))
+        cks = jax.lax.dynamic_update_slice(
+            layer_cache["k_scale"], ksc, (0, cache_index, 0))
+        cvs = jax.lax.dynamic_update_slice(
+            layer_cache["v_scale"], vsc, (0, cache_index, 0))
+        new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs}
+        return (dequantize_kv(ck, cks, dtype),
+                dequantize_kv(cv, cvs, dtype), new_cache)
+    ck = jax.lax.dynamic_update_slice(
+        layer_cache["k"], k.astype(layer_cache["k"].dtype),
+        (0, cache_index, 0, 0)
     )
-    return out
+    cv = jax.lax.dynamic_update_slice(
+        layer_cache["v"], v.astype(layer_cache["v"].dtype),
+        (0, cache_index, 0, 0)
+    )
+    return ck.astype(dtype), cv.astype(dtype), {"k": ck, "v": cv}
 
 
 def _payload_keys(cache: dict) -> tuple[str, ...]:

@@ -166,31 +166,9 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
     if layer_cache is not None:
         from starvector_tpu.models import decode_common as dc
 
-        if layer_cache["k"].dtype == jnp.int8:
-            kq, ksc = dc.quantize_kv(k)
-            vq, vsc = dc.quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(
-                layer_cache["k"], kq, (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                layer_cache["v"], vq, (0, cache_index, 0, 0))
-            cks = jax.lax.dynamic_update_slice(
-                layer_cache["k_scale"], ksc, (0, cache_index, 0))
-            cvs = jax.lax.dynamic_update_slice(
-                layer_cache["v_scale"], vsc, (0, cache_index, 0))
-            k = dc.dequantize_kv(ck, cks, x.dtype)
-            v = dc.dequantize_kv(cv, cvs, x.dtype)
-            new_cache = {"k": ck, "v": cv, "k_scale": cks, "v_scale": cvs}
-        else:
-            ck = jax.lax.dynamic_update_slice(
-                layer_cache["k"], k.astype(layer_cache["k"].dtype),
-                (0, cache_index, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                layer_cache["v"], v.astype(layer_cache["v"].dtype),
-                (0, cache_index, 0, 0)
-            )
-            k, v = ck.astype(x.dtype), cv.astype(x.dtype)
-            new_cache = {"k": ck, "v": cv}
+        k, v, new_cache = dc.write_prefill_kv(
+            layer_cache, k, v, cache_index, x.dtype
+        )
 
     is_decode = S == 1 and layer_cache is not None
     impl = cfg.attn_impl

@@ -82,42 +82,48 @@ def _bucket_len(n: int, lo: int = 64) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("dec_name", "cfg", "policy"),
-    donate_argnames=("cache",),
+    donate_argnames=("cache", "h_last"),
 )
 def _prefill_chunk(
     params: dict,
-    embeds: jax.Array,        # (1, C, E) one prompt chunk
-    mask: jax.Array,          # (1, C)
-    cache: dict,              # bucket-sized B=1 cache, filled so far
+    embeds: jax.Array,        # (k, C, E) one prompt chunk (right-padded)
+    mask: jax.Array,          # (k, C)
+    cache: dict,              # bucket-sized B=k cache, filled so far
+    h_last: jax.Array,        # (k, E) carry: hidden at each row's last token
+    last_idx: jax.Array,      # (k,) GLOBAL index of each row's last token
+    chunk_start: jax.Array,   # scalar int32: this chunk's global offset
     *,
     dec_name: str,
     cfg: Any,
     policy: DTypePolicy,
 ):
-    """One prompt chunk into the cache (non-final chunks; hidden discarded).
-    Chunking bounds how long a single admission dispatch can occupy the
-    device, so running decodes stall by at most one chunk."""
+    """One prompt chunk into the cache. Chunking bounds how long a single
+    admission dispatch can occupy the device, so running decodes stall by
+    at most one chunk. Each row's last-token hidden state is captured from
+    WHICHEVER chunk contains it (same-bucket rows can have their last real
+    token in different chunks) and carried to the sampling step."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
-    _, cache = dec.forward(
+    hidden, cache = dec.forward(
         params, cfg, embeds, attention_mask=mask, cache=cache,
         policy=policy, return_hidden=True,
     )
-    return cache
+    C = embeds.shape[1]
+    local = jnp.clip(last_idx - chunk_start, 0, C - 1).astype(jnp.int32)
+    h_sel = jnp.take_along_axis(hidden, local[:, None, None], axis=1)[:, 0]
+    valid = (last_idx >= chunk_start) & (last_idx < chunk_start + C)
+    h_last = jnp.where(valid[:, None], h_sel.astype(h_last.dtype), h_last)
+    return cache, h_last
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("dec_name", "cfg", "policy", "max_top_k"),
-    donate_argnames=("cache",),
 )
-def _prefill_last_chunk(
+def _sample_first(
     params: dict,
-    embeds: jax.Array,        # (k, C, E) final chunk (right-padded)
-    mask: jax.Array,          # (k, C)
-    cache: dict,
-    last_idx: jax.Array,      # (k,) CHUNK-LOCAL index of each last token
+    h_last: jax.Array,        # (k, E) hidden at each row's last real token
     base_rng: jax.Array,
     step: jax.Array,
     temp: jax.Array,          # (k,) fp32; 0 = greedy
@@ -125,7 +131,7 @@ def _prefill_last_chunk(
     top_k: jax.Array,         # (k,)
     min_p: jax.Array,         # (k,)
     rep_pen: jax.Array,       # (k,) 1.0 = off
-    prompt_ids: jax.Array,    # (k, C*n_chunks bucketed) int32; -1 padding
+    prompt_ids: jax.Array,    # (k, Pb) int32; -1 padding
     bias_ids: jax.Array,      # (k, KB) int32; -1 inactive
     bias_vals: jax.Array,     # (k, KB) fp32
     *,
@@ -134,25 +140,19 @@ def _prefill_last_chunk(
     policy: DTypePolicy,
     max_top_k: int,
 ):
-    """Final prefill chunk: project ONLY each row's last real position
-    through the LM head (no (Pb, V) materialization) and sample the first
-    tokens. Batched: k same-bucket prompts admit in one dispatch."""
+    """Project each admitted row's last hidden state through the LM head
+    (no (Pb, V) materialization) and sample the first tokens."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
-    hidden, cache = dec.forward(
-        params, cfg, embeds, attention_mask=mask, cache=cache,
-        policy=policy, return_hidden=True,
-    )
-    h_last = jnp.take_along_axis(
-        hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
-    )  # (k, 1, E)
     logits = jnp.einsum(
-        "bse,ve->bsv", policy.cast(h_last),
+        "be,ve->bv", policy.cast(h_last),
         policy.cast(dec.lm_head_table(params, cfg)),
         preferred_element_type=jnp.float32,
-    )[:, 0]
-    rng = jax.random.fold_in(base_rng, 1_000_000 + step)
+    )
+    # admissions draw from their own key stream (disjoint from tick keys
+    # by independent base key, not by an offset that ticks can outrun)
+    rng = jax.random.fold_in(base_rng, step)
     presence = _presence_from_ids(prompt_ids, cfg.vocab_size)
     first = sample_token(
         rng, logits, do_sample=True,
@@ -160,7 +160,7 @@ def _prefill_last_chunk(
         presence=presence, repetition_penalty=rep_pen,
         bias_ids=bias_ids, bias_vals=bias_vals, max_top_k=max_top_k,
     )
-    return first, cache, presence
+    return first, presence
 
 
 def _presence_from_ids(ids: jax.Array, vocab: int) -> jax.Array:
@@ -315,8 +315,11 @@ class ServeEngine:
         self.slots = [_Slot() for _ in range(max_batch)]
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._ready: "queue.Queue" = queue.Queue()   # admission → tick handoff
-        self.base_rng = jax.random.PRNGKey(seed)
-        self._step = 0
+        self.base_rng = jax.random.PRNGKey(seed)          # tick key stream
+        self.admit_rng = jax.random.PRNGKey(seed ^ 0x5EED)  # admission stream
+        self._step = 0         # tick counter (mutated under _lock by _tick)
+        self._admit_step = 0   # admission counter (mutated under _lock)
+        self._knob_cache = None  # per-slot sampling knobs on device
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._decode_thread: threading.Thread | None = None
@@ -399,15 +402,24 @@ class ServeEngine:
                 ]
                 idxs = []
                 deadline = time.time() + timeout
-                while len(idxs) < k and time.time() < deadline:
-                    i = self._reserve_slot()
-                    if i is None:
-                        time.sleep(self._idle_wait)
-                    else:
-                        idxs.append(i)
-                if len(idxs) < k:
-                    raise TimeoutError("warmup could not reserve slots")
-                self._admit_group(reqs, idxs, Pb)
+                try:
+                    while len(idxs) < k and time.time() < deadline:
+                        i = self._reserve_slot()
+                        if i is None:
+                            time.sleep(self._idle_wait)
+                        else:
+                            idxs.append(i)
+                    if len(idxs) < k:
+                        raise TimeoutError("warmup could not reserve slots")
+                    self._admit_group(reqs, idxs, Pb)
+                except Exception:
+                    # release any slots still held so a failed warmup never
+                    # shrinks serving capacity
+                    with self._lock:
+                        for i in idxs:
+                            if self.slots[i].req is None:
+                                self.slots[i].reserved = False
+                    raise
                 for r in reqs:
                     while True:
                         kind, payload = r.out_queue.get(timeout=timeout)
@@ -513,16 +525,22 @@ class ServeEngine:
         C = self.prefill_chunk
         n_chunks = max(Pb // C, 1)
         C = Pb // n_chunks
-        for ci in range(n_chunks - 1):
-            small = _prefill_chunk(
+        # each row's last-token hidden is captured from whichever chunk
+        # contains it (rows in the same bucket can differ by up to Pb/2
+        # tokens, spanning several chunks) and carried to the sampler
+        last_idx = jnp.asarray([P - 1 for P in lens], jnp.int32)
+        h_last = jnp.zeros((k, self.llm_cfg.hidden_size),
+                           self.policy.compute_dtype)
+        for ci in range(n_chunks):
+            small, h_last = _prefill_chunk(
                 self.params, embeds[:, ci * C:(ci + 1) * C],
-                mask[:, ci * C:(ci + 1) * C], small,
+                mask[:, ci * C:(ci + 1) * C], small, h_last,
+                last_idx, jnp.asarray(ci * C, jnp.int32),
                 dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             )
-        self._step += 1
-        last_local = jnp.asarray(
-            [(P - 1) - (n_chunks - 1) * C for P in lens], jnp.int32
-        )
+        with self._lock:
+            self._admit_step += 1
+            astep = self._admit_step
         temps = jnp.asarray(
             [r.temperature if r.do_sample else 0.0 for r in reqs], jnp.float32
         )
@@ -534,11 +552,9 @@ class ServeEngine:
                 ids = np.asarray(r.prompt_token_ids, np.int32).reshape(-1)
                 pid_rows[row, : min(len(ids), Pb)] = ids[:Pb]
         bias_ids, bias_vals = self._bias_arrays(reqs)
-        firsts_arr, small, presence_rows = _prefill_last_chunk(
-            self.params, embeds[:, (n_chunks - 1) * C:],
-            mask[:, (n_chunks - 1) * C:], small,
-            last_local,
-            self.base_rng, jnp.asarray(self._step, jnp.int32),
+        firsts_arr, presence_rows = _sample_first(
+            self.params, h_last,
+            self.admit_rng, jnp.asarray(astep, jnp.int32),
             temps,
             jnp.asarray([r.top_p for r in reqs], jnp.float32),
             jnp.asarray([r.top_k for r in reqs], jnp.int32),
@@ -551,14 +567,23 @@ class ServeEngine:
         )
         firsts = [int(t) for t in np.asarray(firsts_arr)]
         with self._lock:
-            self.cache = self.dec.insert_prefill_rows(
-                self.llm_cfg, self.cache, small, jnp.asarray(slot_idxs),
-                jnp.asarray(lens),
-            )
-            self._counts, self._prompt_presence = _admit_sampling_state(
-                self._counts, self._prompt_presence,
-                jnp.asarray(slot_idxs, jnp.int32), firsts_arr, presence_rows,
-            )
+            try:
+                self.cache = self.dec.insert_prefill_rows(
+                    self.llm_cfg, self.cache, small, jnp.asarray(slot_idxs),
+                    jnp.asarray(lens),
+                )
+                self._counts, self._prompt_presence = _admit_sampling_state(
+                    self._counts, self._prompt_presence,
+                    jnp.asarray(slot_idxs, jnp.int32), firsts_arr,
+                    presence_rows,
+                )
+            except Exception:
+                # these calls donate the engine's cache/count buffers; a
+                # failure mid-way may have consumed them — rebuild so the
+                # decode loop stays serviceable (same contract as _tick)
+                self._rebuild_state_locked()
+                raise
+            self._knob_cache = None       # slot composition changes below
             for r, i, tok in zip(reqs, slot_idxs, firsts):
                 slot = self.slots[i]
                 slot.req = r
@@ -566,6 +591,17 @@ class ServeEngine:
                 slot.last_token = tok
                 slot.reserved = False
                 self._emit(i)
+
+    def _rebuild_state_locked(self):
+        """Re-allocate the donated device buffers (cache + sampling tables)
+        after a failed dispatch may have consumed them. Caller holds _lock."""
+        self.cache = self.dec.init_ragged_cache(
+            self.llm_cfg, self.max_batch, self.max_len, dtype=self.kv_dtype
+        )
+        V = self.llm_cfg.vocab_size
+        self._counts = jnp.zeros((self.max_batch, V), jnp.int32)
+        self._prompt_presence = jnp.zeros((self.max_batch, V), jnp.int32)
+        self._knob_cache = None
 
     def _bias_arrays(self, reqs):
         """Per-row logit_bias as (B, max_bias) id/value arrays (-1 = off)."""
@@ -601,6 +637,7 @@ class ServeEngine:
         if done:
             req.out_queue.put(("done", list(slot.generated)))
             self.slots[slot_idx] = _Slot()
+            self._knob_cache = None       # slot composition changed
         return done
 
     def _tick(self) -> bool:
@@ -608,35 +645,44 @@ class ServeEngine:
         if not any(r is not None for r in reqs):
             return False
         K = self.steps_per_tick
-        active = np.array([1 if r is not None else 0 for r in reqs], np.int32)
         tokens = np.array([s.last_token for s in self.slots], np.int32)
-        temps = np.array(
-            [
-                (r.temperature if (r and r.do_sample) else 0.0)
-                for r in reqs
-            ],
-            np.float32,
-        )
-        top_ps = np.array([(r.top_p if r else 1.0) for r in reqs], np.float32)
-        top_ks = np.array([(r.top_k if r else 0) for r in reqs], np.int32)
-        min_ps = np.array([(r.min_p if r else 0.0) for r in reqs], np.float32)
-        rep_ps = np.array(
-            [(r.repetition_penalty if r else 1.0) for r in reqs], np.float32
-        )
-        frq_ps = np.array(
-            [(r.frequency_penalty if r else 0.0) for r in reqs], np.float32
-        )
-        prs_ps = np.array(
-            [(r.presence_penalty if r else 0.0) for r in reqs], np.float32
-        )
-        bias_ids, bias_vals = self._bias_arrays(reqs)
+        if self._knob_cache is None:
+            # per-slot sampling knobs are request constants: ship them to
+            # the device only when the slot composition changes, not every
+            # tick (10 fewer host->device transfers per tick)
+            bias_ids, bias_vals = self._bias_arrays(reqs)
+            self._knob_cache = (
+                jnp.asarray(np.array(
+                    [1 if r is not None else 0 for r in reqs], np.int32)),
+                jnp.asarray(np.array(
+                    [(r.temperature if (r and r.do_sample) else 0.0)
+                     for r in reqs], np.float32)),
+                jnp.asarray(np.array(
+                    [(r.top_p if r else 1.0) for r in reqs], np.float32)),
+                jnp.asarray(np.array(
+                    [(r.top_k if r else 0) for r in reqs], np.int32)),
+                jnp.asarray(np.array(
+                    [(r.min_p if r else 0.0) for r in reqs], np.float32)),
+                jnp.asarray(np.array(
+                    [(r.repetition_penalty if r else 1.0) for r in reqs],
+                    np.float32)),
+                jnp.asarray(np.array(
+                    [(r.frequency_penalty if r else 0.0) for r in reqs],
+                    np.float32)),
+                jnp.asarray(np.array(
+                    [(r.presence_penalty if r else 0.0) for r in reqs],
+                    np.float32)),
+                bias_ids, bias_vals,
+            )
+        (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
+         bias_ids, bias_vals) = self._knob_cache
         self._step += 1
         nxt, self.cache, self._counts = _fused_ragged_step(
-            self.params, jnp.asarray(tokens), self.cache, jnp.asarray(active),
+            self.params, jnp.asarray(tokens), self.cache, active,
             self.base_rng, jnp.asarray(self._step, jnp.int32),
-            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(top_ks),
-            jnp.asarray(min_ps), jnp.asarray(rep_ps), jnp.asarray(frq_ps),
-            jnp.asarray(prs_ps), self._counts, self._prompt_presence,
+            temps, top_ps, top_ks,
+            min_ps, rep_ps, frq_ps,
+            prs_ps, self._counts, self._prompt_presence,
             bias_ids, bias_vals,
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             max_top_k=self.max_top_k, n_steps=K,
@@ -669,15 +715,7 @@ class ServeEngine:
                             self.slots[i] = _Slot()
                     # the failed step may have consumed the donated cache /
                     # counts buffers; rebuild so the engine stays serviceable
-                    self.cache = self.dec.init_ragged_cache(
-                        self.llm_cfg, self.max_batch, self.max_len,
-                        dtype=self.kv_dtype,
-                    )
-                    V = self.llm_cfg.vocab_size
-                    self._counts = jnp.zeros((self.max_batch, V), jnp.int32)
-                    self._prompt_presence = jnp.zeros(
-                        (self.max_batch, V), jnp.int32
-                    )
+                    self._rebuild_state_locked()
                 worked = False
             if not worked:
                 time.sleep(self._idle_wait)

@@ -254,3 +254,22 @@ def test_int8_kv_engine(setup):
     engine.stop()
     ref_engine.stop()
     assert out == ref
+
+
+def test_multichunk_prefill_last_token_mid_chunk(setup):
+    """Regression: a prompt whose bucket spans several prefill chunks and
+    whose LAST real token falls in an EARLIER chunk (P=150, bucket 256,
+    chunks of 64 -> last token in chunk 2) must still sample its first
+    output token from the right hidden state."""
+    cfg, params = setup
+    engine = ServeEngine(
+        params, cfg, "gpt_bigcode", max_batch=2, max_len=384, policy=F32,
+        prefill_chunk=64,
+    )
+    ids = jnp.arange(150)[None] % 11 + 2
+    prefix = gbc.embed_tokens(params, ids)
+    ref = offline_greedy(params, cfg, prefix, 5)
+    req = Request(prefix_embeds=prefix, max_new_tokens=5, do_sample=False)
+    out = engine.generate_sync(req, timeout=240)
+    engine.stop()
+    assert out == ref
