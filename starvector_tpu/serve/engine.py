@@ -320,6 +320,8 @@ class ServeEngine:
         self._step = 0         # tick counter (mutated under _lock by _tick)
         self._admit_step = 0   # admission counter (mutated under _lock)
         self._knob_cache = None  # per-slot sampling knobs on device
+        self._stats = {"tokens": 0, "ticks": 0, "admissions": 0,
+                       "start_time": time.time()}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._decode_thread: threading.Thread | None = None
@@ -427,6 +429,20 @@ class ServeEngine:
                             break
                         if kind == "error":
                             raise RuntimeError(f"warmup failed: {payload}")
+
+    def stats(self) -> dict:
+        """Serving observability counters (vLLM-style gauges): emitted
+        tokens, ticks, admissions, uptime, average tokens/s."""
+        up = max(time.time() - self._stats["start_time"], 1e-6)
+        return {
+            "tokens_emitted": self._stats["tokens"],
+            "ticks": self._stats["ticks"],
+            "admissions": self._stats["admissions"],
+            "uptime_s": round(up, 1),
+            "avg_tokens_per_s": round(self._stats["tokens"] / up, 2),
+            "active_slots": self.num_active,
+            "pending_requests": self.pending.qsize(),
+        }
 
     @property
     def num_active(self) -> int:
@@ -584,6 +600,7 @@ class ServeEngine:
                 self._rebuild_state_locked()
                 raise
             self._knob_cache = None       # slot composition changes below
+            self._stats["admissions"] += len(reqs)
             for r, i, tok in zip(reqs, slot_idxs, firsts):
                 slot = self.slots[i]
                 slot.req = r
@@ -634,6 +651,7 @@ class ServeEngine:
         if len(slot.generated) >= req.max_new_tokens:
             done = True
         req.out_queue.put(("token", tok))
+        self._stats["tokens"] += 1
         if done:
             req.out_queue.put(("done", list(slot.generated)))
             self.slots[slot_idx] = _Slot()
@@ -677,6 +695,7 @@ class ServeEngine:
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
          bias_ids, bias_vals) = self._knob_cache
         self._step += 1
+        self._stats["ticks"] += 1
         nxt, self.cache, self._counts = _fused_ragged_step(
             self.params, jnp.asarray(tokens), self.cache, active,
             self.base_rng, jnp.asarray(self._step, jnp.int32),

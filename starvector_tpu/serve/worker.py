@@ -136,7 +136,7 @@ class ModelWorker:
         ids_aligned = self._last_ids_aligned
         tokens, lengths, _ = generate_greedy_speculative(
             self.model.params["svg_transformer"], prefix,
-            jnp.ones((1, P), jnp.int32), ids_aligned,
+            jnp.ones((1, prefix.shape[1]), jnp.int32), ids_aligned,
             dec_name=self.model.cfg.decoder, llm_cfg=self.model.cfg.llm,
             max_new_tokens=int(payload.get("max_new_tokens", 512)),
             draft_len=int(payload.get("draft_len", 8)),
@@ -177,6 +177,7 @@ class ModelWorker:
             "model_names": self.model_names,
             "speed": 1.0,
             "queue_length": self.engine.queue_length,
+            "engine": self.engine.stats(),
         }
 
     def start_heartbeat(self):

@@ -203,3 +203,27 @@ def test_openai_chat_completions_endpoint(model):
     assert all(c["object"] == "chat.completion.chunk" for c in chunks)
     streamed = "".join(c["choices"][0]["delta"]["content"] for c in chunks)
     assert streamed.startswith("<svg")
+
+
+def test_worker_speculative_route(model):
+    """worker.generate_speculative (use_speculative payload route) returns
+    greedy-identical text — regression for an undefined-variable bug that
+    only fired on this route."""
+    worker = ModelWorker(model, worker_addr="spec", max_batch=2, max_len=64)
+    buf = io.BytesIO()
+    from PIL import Image
+
+    Image.new("RGB", (28, 28), (20, 200, 20)).save(buf, format="PNG")
+    payload = {
+        "task": "im2svg",
+        "image": base64.b64encode(buf.getvalue()).decode(),
+        "max_new_tokens": 6,
+        "temperature": 0.0,
+    }
+    spec_text = worker.generate_speculative(payload)
+    # reference output: the engine's greedy stream for the same payload
+    req, prompt_text = worker.make_request({**payload})
+    out = worker.engine.generate_sync(req, timeout=120)
+    worker.shutdown()
+    greedy_text = prompt_text + model.tokenizer.decode(np.asarray(out))
+    assert spec_text == greedy_text
