@@ -102,9 +102,14 @@ def load_hf_starvector_checkpoint(
             int(k.split(".")[4]) for k in sd
             if k.startswith("svg_transformer.transformer.transformer.h.")
         ) + 1
+        # n_head from the fused c_attn shape: out = E + 2*head_dim (MQA)
+        attn_out = sd[
+            "svg_transformer.transformer.transformer.h.0.attn.c_attn.weight"
+        ].shape[0]
+        head_dim = max((attn_out - hidden) // 2, 1)
         llm = GPTBigCodeConfig(
             vocab_size=vocab, n_positions=n_pos, hidden_size=hidden,
-            n_layer=n_layer, n_head=hidden // 128,
+            n_layer=n_layer, n_head=max(hidden // head_dim, 1),
         )
         cfg = dataclasses.replace(cfg, llm=llm, decoder="gpt_bigcode")
         params["svg_transformer"] = convert.gpt_bigcode_from_hf(
@@ -127,12 +132,18 @@ def load_hf_starvector_checkpoint(
         q_out = sd[pfx + "layers.0.self_attn.q_proj.weight"].shape[0]
         kv_out = sd[pfx + "layers.0.self_attn.k_proj.weight"].shape[0]
         inter = sd[pfx + "layers.0.mlp.c_fc.weight"].shape[0]
-        head_dim = 128  # all StarCoder2 sizes (3b/7b/15b) use head_dim 128
+        # all StarCoder2 sizes (3b/7b/15b) use head_dim 128; our own exports
+        # record the geometry explicitly (train/hub.py) for other shapes
+        geo = hf_cfg.get("llm_geometry", {})
+        head_dim = int(geo.get("head_dim") or 128)
         n_head = q_out // head_dim
         llm = StarCoder2Config(
             vocab_size=vocab, hidden_size=hidden, num_hidden_layers=n_layer,
             num_attention_heads=n_head, num_key_value_heads=kv_out // head_dim,
             intermediate_size=inter,
+            rope_theta=float(geo.get("rope_theta") or 1e6),
+            sliding_window=(geo["sliding_window"]
+                            if "sliding_window" in geo else 4096),
         )
         cfg = dataclasses.replace(cfg, llm=llm, decoder="starcoder2")
         params["svg_transformer"] = convert.starcoder2_from_hf(
@@ -143,7 +154,9 @@ def load_hf_starvector_checkpoint(
         if cfg.image_encoder_type == "clip":
             from starvector_tpu.models.vision import clip_vit
 
-            tower_cfg = clip_vit.CLIPViTConfig(image_size=cfg.image_size)
+            tower_cfg = clip_vit.config_from_state_dict(
+                sd, prefix="image_encoder.visual_encoder."
+            )
             params["image_encoder"] = {
                 "visual_encoder": clip_vit.from_torch_state_dict(
                     sd, tower_cfg, dtype, prefix="image_encoder.visual_encoder."

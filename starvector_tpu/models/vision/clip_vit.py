@@ -175,6 +175,29 @@ def forward(
     return x
 
 
+def config_from_state_dict(sd: dict, prefix: str = "") -> CLIPViTConfig:
+    """Derive the tower geometry from a checkpoint (same philosophy as the
+    decoder loaders: trust the weights, not the default config — real
+    StarVector towers are CLIP-L-shaped but tests/custom towers are not)."""
+    import math
+
+    import numpy as np
+
+    conv = np.asarray(sd[prefix + "conv1.weight"])
+    width, _, patch, _ = conv.shape
+    n_tokens = np.asarray(sd[prefix + "positional_embedding"]).shape[0]
+    grid = int(math.isqrt(n_tokens - 1))
+    layers = 1 + max(
+        int(k[len(prefix) + len("transformer.resblocks."):].split(".")[0])
+        for k in sd if k.startswith(prefix + "transformer.resblocks.")
+    )
+    head_dim = 64 if width % 64 == 0 else 16
+    return CLIPViTConfig(
+        image_size=grid * patch, patch_size=patch, width=width,
+        layers=layers, heads=max(width // head_dim, 1),
+    )
+
+
 def from_torch_state_dict(sd, cfg: CLIPViTConfig, dtype=jnp.float32, prefix: str = "") -> dict:
     """Convert the reference VisionTransformer weights (e.g. loaded from a
     StarVector checkpoint under `image_encoder.visual_encoder.`)."""

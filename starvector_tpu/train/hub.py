@@ -43,6 +43,13 @@ def export_hf_checkpoint(
     hf_cfg = {
         "model_type": "starvector",
         "starcoder_model_name": starcoder_model_name or default_name,
+        # decoder geometry (reference checkpoints imply it via the base
+        # model name; recording it makes round trips self-contained)
+        "llm_geometry": {
+            "head_dim": cfg.llm.head_dim,
+            "rope_theta": getattr(cfg.llm, "rope_theta", None),
+            "sliding_window": getattr(cfg.llm, "sliding_window", None),
+        },
         "image_encoder_type": cfg.image_encoder_type,
         "adapter_norm": cfg.adapter_norm,
         "image_size": cfg.image_size,
