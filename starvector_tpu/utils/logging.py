@@ -58,6 +58,8 @@ class MetricsSink:
 
     def log(self, record: dict[str, Any], step: int | None = None):
         record = {k: _to_plain(v) for k, v in record.items()}
+        if step is not None and "step" not in record:
+            record["step"] = int(step)
         self._f.write(json.dumps(record) + "\n")
         self._f.flush()
         if self._echo:
