@@ -126,3 +126,41 @@ def test_sharded_task_model_loss_matches():
     with jax.set_mesh(mesh):
         out = sv.loss_fn(sp, cfg, sb, 0, policy=f32)
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)
+
+
+def test_tp_sharded_serving_engine_parity():
+    """The continuous-batching ServeEngine over TP=4-sharded params emits
+    the same greedy tokens as unsharded (BASELINE config 4: TP decode
+    serving for the 8B/StarCoder2 family — XLA inserts the collectives
+    from the param shardings; the engine needs no mesh plumbing)."""
+    from starvector_tpu.models import starcoder2 as sc2
+    from starvector_tpu.ops.layers import DTypePolicy
+    from starvector_tpu.parallel import make_param_shardings
+    from starvector_tpu.serve.engine import Request, ServeEngine
+
+    f32 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    cfg = sc2.tiny_config()
+    params = sc2.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.array([[3, 1, 4, 1]])
+    prefix = sc2.embed_tokens(params, ids)
+
+    ref_eng = ServeEngine(params, cfg, "starcoder2", max_batch=2, max_len=64,
+                          policy=f32)
+    ref = ref_eng.generate_sync(
+        Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=False),
+        timeout=240,
+    )
+    ref_eng.stop()
+
+    mesh = create_mesh(MeshConfig(tensor=4))
+    sharded = jax.device_put(
+        params, make_param_shardings(params, sc2.partition_rules(), mesh)
+    )
+    eng = ServeEngine(sharded, cfg, "starcoder2", max_batch=2, max_len=64,
+                      policy=f32)
+    out = eng.generate_sync(
+        Request(prefix_embeds=prefix, max_new_tokens=6, do_sample=False),
+        timeout=240,
+    )
+    eng.stop()
+    assert out == ref

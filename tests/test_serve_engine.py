@@ -273,3 +273,64 @@ def test_multichunk_prefill_last_token_mid_chunk(setup):
     out = engine.generate_sync(req, timeout=240)
     engine.stop()
     assert out == ref
+
+
+def test_stress_mixed_workload(setup):
+    """20 requests, bursty arrivals, mixed buckets/knobs/greedy/sampling on
+    a 3-slot engine: everything completes, no errors, greedy requests match
+    their offline decode (shakes grouped admission, knob-cache invalidation
+    and slot reuse together)."""
+    import random
+    import threading
+    import time as _time
+
+    cfg, params = setup
+    engine = ServeEngine(
+        params, cfg, "gpt_bigcode", max_batch=3, max_len=96, policy=F32
+    )
+    engine.start()
+    rng = random.Random(0)
+    reqs, refs = [], {}
+    for i in range(20):
+        P = rng.choice([3, 5, 9, 17])
+        ids = jnp.asarray([[(7 * i + j) % 23 + 2 for j in range(P)]])
+        prefix = gbc.embed_tokens(params, ids)
+        greedy = rng.random() < 0.5
+        n_new = rng.choice([2, 5, 8])
+        req = Request(
+            prefix_embeds=prefix, max_new_tokens=n_new,
+            do_sample=not greedy, temperature=0.9, top_p=0.95,
+            # bias/min-p only on sampling requests: the greedy ones are
+            # checked against a bias-free offline reference
+            min_p=0.01 if (not greedy and rng.random() < 0.3) else 0.0,
+            logit_bias=({3: 0.5} if (not greedy and rng.random() < 0.3)
+                        else None),
+        )
+        if greedy:
+            refs[req.request_id] = offline_greedy(params, cfg, prefix, n_new)
+        reqs.append(req)
+
+    def submit_bursts():
+        for i, r in enumerate(reqs):
+            engine.submit(r)
+            if i % 5 == 4:
+                _time.sleep(0.05)
+
+    t = threading.Thread(target=submit_bursts)
+    t.start()
+    outs = {}
+    for r in reqs:
+        toks = []
+        while True:
+            kind, payload = r.out_queue.get(timeout=300)
+            if kind == "done":
+                outs[r.request_id] = payload
+                break
+            if kind == "error":
+                raise AssertionError(payload)
+            toks.append(payload)
+    t.join()
+    engine.stop()
+    assert len(outs) == 20
+    for rid, ref in refs.items():
+        assert outs[rid] == ref, rid
