@@ -285,3 +285,61 @@ def test_num_return_sequences_batched_rows_interleave(model):
     assert toks.shape == (4, 4)
     assert (out[0] == refnp[0]).all() and (out[1] == refnp[0]).all()
     assert (out[2] == refnp[1]).all() and (out[3] == refnp[1]).all()
+
+
+def test_min_p_matches_hf_warper():
+    """apply_min_p keeps exactly the token set HF's MinPLogitsWarper keeps
+    (transformers MinPLogitsWarper semantics: prob >= min_p * max_prob)."""
+    import torch
+    from transformers.generation.logits_process import MinPLogitsWarper
+
+    rng = np.random.RandomState(0)
+    for min_p in (0.05, 0.2, 0.5):
+        logits = rng.randn(3, 50).astype(np.float32) * 2
+        ours = np.asarray(
+            sampling.apply_min_p(jnp.asarray(logits), jnp.asarray(min_p))
+        )
+        hf = MinPLogitsWarper(min_p=min_p)(
+            None, torch.tensor(logits)
+        ).numpy()
+        np.testing.assert_array_equal(ours > -1e9, hf > -1e30)
+
+
+def test_top_p_matches_hf_warper():
+    """apply_top_p keeps exactly HF TopPLogitsWarper's token set."""
+    import torch
+    from transformers.generation.logits_process import TopPLogitsWarper
+
+    rng = np.random.RandomState(1)
+    for top_p in (0.3, 0.8, 0.95):
+        logits = rng.randn(3, 50).astype(np.float32) * 2
+        ours = np.asarray(
+            sampling.apply_top_p(jnp.asarray(logits), jnp.asarray(top_p))
+        )
+        hf = TopPLogitsWarper(top_p=top_p)(
+            None, torch.tensor(logits)
+        ).numpy()
+        np.testing.assert_array_equal(ours > -1e9, hf > -1e30)
+
+
+def test_repetition_penalty_matches_hf():
+    """apply_repetition_penalty matches HF RepetitionPenaltyLogitsProcessor
+    on the penalized values, given the same seen-token set."""
+    import torch
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor,
+    )
+
+    rng = np.random.RandomState(2)
+    logits = rng.randn(2, 20).astype(np.float32)
+    seen = np.array([[1, 3, 5], [2, 4, 6]])
+    presence = np.zeros((2, 20), np.int32)
+    for b in range(2):
+        presence[b, seen[b]] = 1
+    ours = np.asarray(sampling.apply_repetition_penalty(
+        jnp.asarray(logits), jnp.asarray(presence), jnp.asarray(1.7)
+    ))
+    hf = RepetitionPenaltyLogitsProcessor(penalty=1.7)(
+        torch.tensor(seen), torch.tensor(logits)
+    ).numpy()
+    np.testing.assert_allclose(ours, hf, atol=1e-6)
