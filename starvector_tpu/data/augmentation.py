@@ -231,18 +231,23 @@ class SVGTransforms:
                 return {"fill": m[0].replace("fill:", "").strip()}
         return dict(attr)
 
-    def get_viewbox_size(self, svg: str) -> tuple[float, float]:
+    def get_viewbox_size(self, svg: str) -> tuple[float, float, float, float]:
+        """(min_x, min_y, width, height). viewBox separators may be spaces
+        AND/OR commas per the SVG spec; min-x/min-y are honored so rotation
+        happens about the true content center, not the origin's."""
         m = re.search(r'viewBox="([^"]+)"', svg)
         if m:
             vb = m.group(1)
         else:
             m = re.search(r'width="([0-9.]+)(?:px)?" height="([0-9.]+)(?:px)?"', svg)
             vb = f"0 0 {m.group(1)} {m.group(2)}" if m else "0 0 256 256"
-        parts = [float(x) for x in vb.split()]
-        return parts[2], parts[3]
+        parts = [float(x) for x in vb.replace(",", " ").split()]
+        if len(parts) == 2:
+            parts = [0.0, 0.0, *parts]
+        return parts[0], parts[1], parts[2], parts[3]
 
     # -- main entry (reference :173-250) ------------------------------------
-    def augment(self, svg: str):
+    def augment(self, svg: str, resolution: int = 224):
         from starvector_tpu.data.rasterize import rasterize_svg
         from starvector_tpu.data.svg_util import parse_svg_paths
 
@@ -250,15 +255,15 @@ class SVGTransforms:
 
         m = re.findall(r"<svg[^>]*>", svg)
         svg_opening_tag = m[0] if m else '<svg xmlns="http://www.w3.org/2000/svg">'
-        vw, vh = self.get_viewbox_size(svg)
-        center = complex(vw / 2, vh / 2)
+        vx, vy, vw, vh = self.get_viewbox_size(svg)
+        center = complex(vx + vw / 2, vy + vh / 2)
 
         try:
             parsed = parse_svg_paths(svg)
         except Exception:
-            return svg, rasterize_svg(svg)
+            return svg, rasterize_svg(svg, resolution)
         if not parsed:
-            return svg, rasterize_svg(svg)
+            return svg, rasterize_svg(svg, resolution)
 
         path_strings = []
         for tag, cmds, el in parsed:
@@ -283,4 +288,4 @@ class SVGTransforms:
             path_strings.append(f'<path d="{path_to_str(cmds)}"{attr_str} />')
 
         out_svg = svg_opening_tag + "\n" + "\n".join(path_strings) + "\n</svg>"
-        return out_svg, rasterize_svg(out_svg)
+        return out_svg, rasterize_svg(out_svg, resolution)

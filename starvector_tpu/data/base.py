@@ -127,7 +127,9 @@ class SVGDatasetBase:
 
         if self.transforms is not None and do_augment:
             try:
-                svg, image = self.transforms.augment(svg_str)
+                svg, image = self.transforms.augment(
+                    svg_str, resolution=self.im_size
+                )
             except Exception as e:  # noqa: BLE001 — reference logs and falls back
                 print(f"Error augmenting {sample_id} due to {e}, trying to rasterize SVG")
 
@@ -142,7 +144,7 @@ class SVGDatasetBase:
         if np.array(image).mean() == 255.0:
             print(f"Image is full white, using placeholder image for {sample_id}")
             svg = use_placeholder()
-            image = rasterize_svg(svg)
+            image = rasterize_svg(svg, self.im_size)
 
         return svg, self.processor(image)
 

@@ -120,7 +120,15 @@ def _call_with_timeout(fn_name: str, args: tuple, timeout: float):
     p.start()
     child.close()
     if parent.poll(timeout):
-        status, payload = parent.recv()
+        try:
+            status, payload = parent.recv()
+        except (EOFError, OSError) as e:
+            # worker died without a message (librsvg segfault on a malformed
+            # SVG closes the pipe; poll() reports EOF as readable) — treat
+            # like any other rasterization failure, not a crash
+            p.kill()
+            p.join(1)
+            raise RasterizeError(f"{fn_name} worker died: {e}") from e
         p.join(1)
         if status == "ok":
             return payload

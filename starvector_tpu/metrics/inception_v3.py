@@ -215,6 +215,16 @@ def _maxpool3s2(x):
     )
 
 
+def _maxpool3s1(x):
+    """3x3 stride-1 pad-1 max pool — pytorch-fid's FIDInceptionE_2 uses MAX
+    pooling for Mixed_7c's pool branch (reference inception.py:310-345),
+    unlike every other pool branch."""
+    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), pad
+    )
+
+
 def _avgpool3s1_nocountpad(x):
     """3x3 stride-1 pad-1 average pool with count_include_pad=False — the
     pytorch-fid FIDInception patch (reference inception.py:212-228)."""
@@ -276,9 +286,11 @@ def features(params: dict, x: jax.Array) -> jax.Array:
                 _run_branch(p["branch3x3dbl_3a"], spec["branch3x3dbl_3a"], m),
                 _run_branch(p["branch3x3dbl_3b"], spec["branch3x3dbl_3b"], m),
             ], axis=-1)
-            bp = _run_branch(
-                p["branch_pool"], spec["branch_pool"], _avgpool3s1_nocountpad(x)
-            )
+            # Mixed_7b = FIDInceptionE_1 (avg, count_include_pad=False);
+            # Mixed_7c = FIDInceptionE_2 (MAX) — pytorch-fid parity
+            pool_in = (_maxpool3s1(x) if name == "Mixed_7c"
+                       else _avgpool3s1_nocountpad(x))
+            bp = _run_branch(p["branch_pool"], spec["branch_pool"], pool_in)
             x = jnp.concatenate([b1, b2, b3, bp], axis=-1)
     return jnp.mean(x, axis=(1, 2))  # global average pool → (B, 2048)
 

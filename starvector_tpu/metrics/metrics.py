@@ -89,7 +89,8 @@ class SVGMetrics:
                 avg, values = metric.calculate_score(batch, update=update)
                 avg_results[name] = avg
                 for i, v in enumerate(values):
-                    all_results[_get_sample_id(batch["json"][i])][name] = v
+                    if v is not None:  # skipped samples stay unattributed
+                        all_results[_get_sample_id(batch["json"][i])][name] = v
             elif name in ("FID", "FID_clip"):
                 avg_results[name] = metric.calculate_score(batch)
             else:

@@ -84,6 +84,28 @@ class DataLoader:
     def _collate(self, samples: list[dict]) -> dict:
         texts = [s["svg"] + self.svg_end_suffix for s in samples]
         enc = self.tokenizer(texts, max_length=self.max_length)
+        # pad the batch's longest up to a power-of-two bucket: the jitted
+        # train step caches compilations BY SHAPE, so "longest" padding
+        # would recompile for nearly every batch (minutes each at 8B);
+        # bucketing bounds it at ~log2(max_length) compiles while short-SVG
+        # batches still avoid full-max_length compute
+        L = enc["input_ids"].shape[1]
+        bucket = 64
+        while bucket < L:
+            bucket *= 2
+        bucket = min(bucket, self.max_length)
+        if bucket > L:
+            pad = bucket - L
+            pad_id = self.tokenizer.pad_token_id
+            if self.tokenizer.padding_side == "left":
+                widths = ((0, 0), (pad, 0))
+            else:
+                widths = ((0, 0), (0, pad))
+            enc = {
+                "input_ids": np.pad(enc["input_ids"], widths,
+                                    constant_values=pad_id),
+                "attention_mask": np.pad(enc["attention_mask"], widths),
+            }
         return {
             "image": np.stack([np.asarray(s["image"], np.float32) for s in samples]),
             "svg_ids": enc["input_ids"],
@@ -119,7 +141,16 @@ class DataLoader:
                     batch = self._collate([self.dataset[int(i)] for i in idxs])
                 except Exception as e:  # noqa: BLE001
                     batch = e
-                out_q.put((bi, batch))
+                # bounded put that re-checks stop: a consumer that closes
+                # the generator early (validate()'s max_batches break) must
+                # not leave workers blocked forever on a full queue, each
+                # pinning a collated image batch
+                while not stop.is_set():
+                    try:
+                        out_q.put((bi, batch), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [
             threading.Thread(target=worker, daemon=True)

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from starvector_tpu.config import instantiate_from_config
 from starvector_tpu.validation.svg_validator_base import SVGValidator, register_validator
 
 
@@ -25,14 +24,7 @@ class StarVectorJAXValidator(SVGValidator):
         self.model = model
 
     def get_dataloader(self):
-        ds = instantiate_from_config(self.config.get_path("dataset"))
-        bs = int(self.config.get_path("dataset.batch_size", 2))
-        n = len(ds)
-        limit = self.config.get_path("dataset.num_samples", -1)
-        if limit and limit != -1:
-            n = min(n, int(limit))
-        for start in range(0, n, bs):
-            items = [ds[i] for i in range(start, min(start + bs, n))]
+        for items in self.iter_dataset_batches(default_batch_size=2):
             yield {
                 "image": np.stack([np.asarray(s["image"]) for s in items]),
                 "svg": [s["svg"] for s in items],

@@ -12,7 +12,6 @@ import json
 import numpy as np
 import requests as _requests
 
-from starvector_tpu.config import instantiate_from_config
 from starvector_tpu.validation.svg_validator_base import SVGValidator, register_validator
 
 
@@ -25,14 +24,7 @@ class StarVectorServeValidator(SVGValidator):
         self.model_name = config.get_path("model.name", "starvector")
 
     def get_dataloader(self):
-        ds = instantiate_from_config(self.config.get_path("dataset"))
-        bs = int(self.config.get_path("dataset.batch_size", 1))
-        n = len(ds)
-        limit = self.config.get_path("dataset.num_samples", -1)
-        if limit and limit != -1:
-            n = min(n, int(limit))
-        for start in range(0, n, bs):
-            items = [ds[i] for i in range(start, min(start + bs, n))]
+        for items in self.iter_dataset_batches(default_batch_size=1):
             yield {
                 "image_pil": [s.get("image_pil") for s in items],
                 "image": [np.asarray(s["image"]) for s in items],
@@ -46,12 +38,20 @@ class StarVectorServeValidator(SVGValidator):
             self.endpoint + "/worker_generate_stream", json=payload,
             stream=True, timeout=600,
         )
+        # infrastructure failures must RAISE, not score as an empty
+        # generation (a silent '' becomes a placeholder SVG and corrupts
+        # the no-compile ratio / every image metric)
+        resp.raise_for_status()
         text = ""
         for chunk in resp.iter_lines(delimiter=b"\0"):
             if chunk:
                 data = json.loads(chunk)
-                if data.get("error_code", 0) == 0:
-                    text = data["text"]
+                if data.get("error_code", 0) != 0:
+                    raise RuntimeError(
+                        f"worker stream error {data.get('error_code')}: "
+                        f"{data.get('text', '')[:200]}"
+                    )
+                text = data["text"]
         return text
 
     def generate_svg(self, batch, generate_config):

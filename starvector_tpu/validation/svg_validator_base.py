@@ -80,6 +80,22 @@ class SVGValidator(ABC):
     def get_dataloader(self):
         ...
 
+    def iter_dataset_batches(self, *, default_batch_size: int = 2):
+        """Shared dataset slicing for validators: instantiate the config's
+        dataset, honor dataset.num_samples, yield raw item lists of
+        batch_size (backends shape them into their own batch dicts)."""
+        from starvector_tpu.config import instantiate_from_config
+
+        ds = instantiate_from_config(self.config.get_path("dataset"))
+        bs = int(self.config.get_path("dataset.batch_size",
+                                      default_batch_size))
+        n = len(ds)
+        limit = self.config.get_path("dataset.num_samples", -1)
+        if limit and limit != -1:
+            n = min(n, int(limit))
+        for start in range(0, n, bs):
+            yield [ds[i] for i in range(start, min(start + bs, n))]
+
     def release_memory(self):
         pass
 
@@ -144,6 +160,8 @@ class SVGValidator(ABC):
             res["sample_id"] = sample_id
             res["outpath_filename"] = sample_id
             res["gt_svg"] = gt_svg
+            if "caption" in batch:      # CLIPScore needs it (text2svg runs)
+                res["caption"] = batch["caption"][i]
 
             sample_dir = os.path.join(self.out_dir, sample_id)
             os.makedirs(sample_dir, exist_ok=True)
@@ -199,14 +217,24 @@ class SVGValidator(ABC):
 
     # -- metrics (reference :321-345) -----------------------------------------
     def preprocess_results(self) -> dict:
-        batch = {"gen_svg": [], "gt_svg": [], "gen_im": [], "gt_im": [], "json": []}
+        batch = {"gen_svg": [], "gt_svg": [], "gen_im": [], "gt_im": [],
+                 "json": []}
         sweep = bool(self.config.get_path("generation_params.generation_sweep", False))
-        for sample_id, rd in self.results.items():
+        results = list(self.results.items())
+        has_captions = all(
+            "caption" in (rd[list(rd.keys())[0]] if sweep else rd)
+            for _, rd in results
+        ) and bool(results)
+        if has_captions:
+            batch["caption"] = []
+        for sample_id, rd in results:
             res = rd[list(rd.keys())[0]] if sweep else rd
             batch["gen_svg"].append(res["svg"])
             batch["gt_svg"].append(res["gt_svg"])
             batch["gen_im"].append(res["gen_im"])
             batch["gt_im"].append(res["gt_im"])
+            if has_captions:
+                batch["caption"].append(res["caption"])
             batch["json"].append(res)
         return batch
 

@@ -123,3 +123,19 @@ def test_dataset_from_parquet(tmp_path):
     ds = EmojiSVGDataset(str(tmp_path), "test", im_size=32, num_samples=-1)
     assert len(ds) == 1
     assert ds[0]["id"] == "a.svg"
+
+
+def test_augment_comma_viewbox_and_resolution():
+    """Comma-separated viewBox (common in real corpora) must parse, and the
+    augmented raster must honor the requested resolution like the clean
+    path does (review findings r2)."""
+    from starvector_tpu.data.augmentation import SVGTransforms
+
+    tf = SVGTransforms({"rotate": {"from": 5, "to": 10}})
+    svg = ('<svg xmlns="http://www.w3.org/2000/svg" viewBox="10,10,100,100">'
+           '<path d="M20 20 L80 20 L80 80 Z" fill="red"/></svg>')
+    out_svg, im = tf.augment(svg, resolution=64)
+    assert im.size == (64, 64)
+    assert "<path" in out_svg
+    # min-x/min-y offsets honored: (min_x, min_y, w, h)
+    assert tf.get_viewbox_size(svg) == (10.0, 10.0, 100.0, 100.0)

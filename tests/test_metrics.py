@@ -127,4 +127,6 @@ def test_base_metric_skips_errors():
     batch = {"gt_im": [None, _img(np.zeros((8, 8, 3)))],
              "gen_im": [None, _img(np.zeros((8, 8, 3)))]}
     avg, vals = calc.calculate_score(batch)
-    assert len(vals) == 1 and avg == 0.0
+    # index-aligned: the failed sample holds None at ITS index (fixes the
+    # reference's misattribution of survivor scores to wrong sample ids)
+    assert vals == [None, 0.0] and avg == 0.0
