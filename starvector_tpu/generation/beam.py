@@ -168,13 +168,16 @@ def beam_search(
         tokens = cand_tokens[batch_idx, live_sel]
         scores = live_top
 
-        # reorder cache rows to the live parents: flat index b*K + parent
+        # reorder cache rows to the live parents: flat index b*K + parent.
+        # Enumerate keys dynamically so extra per-slot arrays (e.g. the
+        # int8-KV k_scale/v_scale) reorder with their payload.
         flat_parent = (batch_idx * K + live_parent).reshape(-1)   # (B*K,)
         cache = {
-            "k": cache["k"][:, flat_parent],
-            "v": cache["v"][:, flat_parent],
-            "index": cache["index"],
-            "kv_mask": cache["kv_mask"][flat_parent],
+            key: (arr[:, flat_parent]
+                  if key in ("k", "v", "k_scale", "v_scale")
+                  else arr[flat_parent] if key == "kv_mask"
+                  else arr)
+            for key, arr in cache.items()
         }
 
         embeds = dec.embed_tokens(params, live_tok.reshape(-1)[:, None]).astype(

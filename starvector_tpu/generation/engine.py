@@ -160,7 +160,7 @@ def _generate_jit(
         rng, step_rng = jax.random.split(rng)
         lg = last_logits
         if eos_token_id is not None and min_new_tokens > 0:
-            suppress = jnp.logical_and(t < min_new_tokens, True)
+            suppress = t < min_new_tokens
             lg = jnp.where(
                 jnp.logical_and(
                     suppress, jnp.arange(V)[None, :] == eos_token_id

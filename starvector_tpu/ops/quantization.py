@@ -28,11 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def quantize_dense(p: dict) -> dict:
     """Per-output-channel symmetric int8 of p['kernel'] (K, N). Runs
-    on-device (jnp) — pulling GB-scale weights to host first is slow."""
-    w = jnp.asarray(p["kernel"], jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    out = {"kernel_q": q, "scale": scale.astype(jnp.float32)}
+    on-device via the jitted kernel — pulling GB-scale weights to host
+    first is slow."""
+    q, scale = _quantize_2d_keep(p["kernel"])
+    out = {"kernel_q": q, "scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -208,4 +207,7 @@ def dense_quantized(
         y = jnp.einsum("mk,kn->mn", x2, w, preferred_element_type=jnp.float32)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype).reshape(*orig_shape[:-1], -1)
+    # match the unquantized dense(): with a compute dtype the output is in
+    # compute dtype, not the caller's input dtype (mixed trees would
+    # otherwise emit fp32 from quantized layers and bf16 from plain ones)
+    return y.astype(x2.dtype).reshape(*orig_shape[:-1], -1)

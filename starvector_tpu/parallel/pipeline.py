@@ -75,6 +75,15 @@ def _manual_weight_specs(layers, rules, mesh, manual):
         for dim, entry in enumerate(tuple(spec)):
             names = ((entry,) if isinstance(entry, str) else tuple(entry or ()))
             kept = tuple(n for n in names if n in manual)
+            if dim == 0:
+                # the stacked-layer dim is consumed by the stage scan;
+                # every leaf enters stage-sharded here and ONLY
+                # stage-sharded — a non-stage manual axis on dim 0 (a rule
+                # without a leading "stage" entry) can't ride in (its
+                # gather would target the nonexistent dim -1 of the
+                # per-layer slice), so it resharding-drops on entry
+                in_entries.append((AXIS_STAGE,))
+                continue
             in_entries.append(kept if kept else None)
             for n in kept:
                 if n != AXIS_STAGE:
@@ -85,8 +94,8 @@ def _manual_weight_specs(layers, rules, mesh, manual):
         # and break the local scan's shape agreement
         while len(in_entries) < getattr(leaf, "ndim", 1):
             in_entries.append(None)
-        if not in_entries or AXIS_STAGE not in (in_entries[0] or ()):
-            in_entries = [(AXIS_STAGE,)] + list(in_entries[1:])
+        if not in_entries:
+            in_entries = [(AXIS_STAGE,)]
         return P(*in_entries), tuple(gathers)
 
     flat_specs, treedef = jax.tree_util.tree_flatten(specs, is_leaf=lambda s: isinstance(s, P))
