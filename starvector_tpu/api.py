@@ -223,10 +223,23 @@ class StarVectorForCausalLM:
         enc = self.tokenizer([prompt] * B, add_special_tokens=False)
         prompt_ids = jnp.asarray(enc["input_ids"])
         gen = self._gen_config(kwargs)
+        # encode ONCE: the same conditioning serves both generation and the
+        # returned inputs_embeds (previously the vision tower ran twice per
+        # rollout batch)
+        from starvector_tpu.generation.engine import generate as _generate
+
+        cond = sv_mod.encode_image(self.params, self.cfg, images,
+                                   policy=self.policy)
+        pe = self.cfg.decoder_module.embed_tokens(
+            self.params["svg_transformer"], prompt_ids
+        )
+        inputs_embeds = jnp.concatenate([cond, self.policy.cast(pe)], axis=1)
+        attention_mask = jnp.ones(inputs_embeds.shape[:2], jnp.int32)
         # reference: >1 return sequences forces sampling, beams off
-        tokens, lengths = generate_im2svg(
-            self.params, self.cfg, images, prompt_ids, gen,
-            self._next_rng(), policy=self.policy,
+        tokens, lengths = _generate(
+            self.params["svg_transformer"], self.cfg.llm, self.cfg.decoder,
+            inputs_embeds, attention_mask, gen, self._next_rng(),
+            prompt_ids=prompt_ids, policy=self.policy,
         )
         n = gen.num_return_sequences
         full_prompt = jnp.repeat(prompt_ids, n, axis=0) if n > 1 else prompt_ids
@@ -235,12 +248,6 @@ class StarVectorForCausalLM:
             self.tokenizer.decode(row[: full_prompt.shape[1] + int(L)])
             for row, L in zip(np.asarray(outputs), np.asarray(lengths))
         ]
-        cond = sv_mod.encode_image(self.params, self.cfg, images,
-                                   policy=self.policy)
-        pe = self.cfg.decoder_module.embed_tokens(
-            self.params["svg_transformer"], prompt_ids
-        )
-        inputs_embeds = jnp.concatenate([cond, self.policy.cast(pe)], axis=1)
         return {
             "raw_svg": raw_svg,
             "outputs": outputs,

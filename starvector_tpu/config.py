@@ -132,15 +132,18 @@ def parse_dotlist(args: Iterable[str]) -> ConfigNode:
             value = yaml.safe_load(raw) if raw != "" else None
         except yaml.YAMLError:
             value = raw
-        if isinstance(value, str):
-            # YAML 1.1 misses floats like "3e-4" (no dot); coerce them
+        quoted = raw[:1] in ("'", '"')
+        if isinstance(value, str) and not quoted:
+            # YAML 1.1 misses floats like "3e-4" (no dot); coerce them —
+            # but an explicitly quoted value (run.tag='"001"') stays a
+            # string: the user quoted it precisely to defeat coercion
             try:
-                value = int(value)
+                value = float(value)
+                if value == int(value) and ("e" not in raw.lower()
+                                            and "." not in raw):
+                    value = int(value)
             except ValueError:
-                try:
-                    value = float(value)
-                except ValueError:
-                    pass
+                pass
         node.set_path(key.strip(), value)
     return node
 

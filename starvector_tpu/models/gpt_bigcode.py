@@ -582,6 +582,43 @@ def causal_lm_loss_fused(
     return total / jnp.maximum(count, 1)
 
 
+def token_logprobs_fused(
+    head_table: jax.Array,  # (V, E) tied lm head
+    hidden: jax.Array,      # (B, S, E) hidden states at predicting positions
+    ids: jax.Array,         # (B, S) realized token ids
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    chunk: int = 128,
+) -> jax.Array:
+    """Per-token log-probs of the realized ids with the LM head fused into
+    a chunked scan (same shape discipline as causal_lm_loss_fused: the
+    (B, S, V) logits never materialize — the GRPO path at B*G=8, S=8k,
+    V=49k would otherwise hold ~13 GB of fp32 logits plus a log_softmax
+    copy). Returns (B, S) fp32."""
+    B, S, E = hidden.shape
+    pad = (-S) % chunk
+    h = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0))) if pad else hidden
+    y = jnp.pad(ids, ((0, 0), (0, pad))) if pad else ids
+    n_chunks = (S + pad) // chunk
+    hc = policy.cast(h).reshape(B, n_chunks, chunk, E).transpose(1, 0, 2, 3)
+    yc = y.astype(jnp.int32).reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    table = policy.cast(head_table)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        hcc, ycc = xs
+        logits = jnp.einsum(
+            "bce,ve->bcv", hcc, table, preferred_element_type=jnp.float32
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, ycc[..., None], axis=-1)[..., 0]
+        return carry, ll
+
+    _, lls = jax.lax.scan(body, (), (hc, yc))          # (n, B, chunk)
+    out = lls.transpose(1, 0, 2).reshape(B, S + pad)
+    return out[:, :S]
+
+
 def causal_lm_loss(
     logits: jax.Array,   # (B, S, V) fp32
     labels: jax.Array,   # (B, S) int32, -100 = ignored

@@ -121,15 +121,21 @@ def params_from_checkpoint(
 
 
 def partition_rules() -> list[tuple[str, "jax.sharding.PartitionSpec"]]:
-    rules = []
+    # specific rules from EVERY tower first, then the towers' catch-alls:
+    # matching is first-match-wins, so appending per-module lists verbatim
+    # would let clip's `layers/.*` catch-all shadow siglip's q_proj/fc1
+    # sharding (replicating the whole 8B vision tower)
+    specific, catchall = [], []
     for mod in (clip_vit, siglip, vqgan, convnext):
         for pattern, spec in mod.partition_rules():
-            rules.append((r"visual_encoder/" + pattern.lstrip("^"), spec))
+            full = r"visual_encoder/" + pattern.lstrip("^")
+            is_catchall = pattern.rstrip("$") in (r"layers/.*", r".*")
+            (catchall if is_catchall else specific).append((full, spec))
     from jax.sharding import PartitionSpec as P
 
-    rules.append((r"visual_encoder/ln_post/", P(None)))
-    rules.append((r"ln_vision/", P(None)))
-    return rules
+    specific.append((r"visual_encoder/ln_post/", P(None)))
+    specific.append((r"ln_vision/", P(None)))
+    return specific + catchall
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "policy", "remat"))

@@ -330,16 +330,18 @@ def grpo_forward(
         [jnp.ones((B * G, Q), jnp.int32), attention_mask.astype(jnp.int32)],
         axis=1,
     )
-    logits, _ = dec.forward(
+    hidden, _ = dec.forward(
         params["svg_transformer"], cfg.llm, inputs_embeds,
-        attention_mask=am, policy=policy,
+        attention_mask=am, policy=policy, return_hidden=True,
     )
-    # logits at position Q-1+t predict input_ids[:, t]
-    pred = logits[:, Q - 1 : Q - 1 + input_ids.shape[1]]
-    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
-    token_lp = jnp.take_along_axis(
-        logp, input_ids[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    # hidden at position Q-1+t predicts input_ids[:, t]; the LM head is
+    # fused into a chunked scan so (B*G, S, V) logits never materialize
+    # (~13 GB fp32 at B*G=8, S=8k, V=49k)
+    pred_h = hidden[:, Q - 1 : Q - 1 + input_ids.shape[1]]
+    token_lp = gpt_bigcode.token_logprobs_fused(
+        dec.lm_head_table(params["svg_transformer"], cfg.llm), pred_h,
+        input_ids, policy=policy,
+    )
     return jnp.where(attention_mask > 0, token_lp, 0.0)
 
 
@@ -403,6 +405,11 @@ def loss_fn_with_bn_stats(
         attention_mask=attention_mask, policy=policy, remat=remat,
         return_hidden=True,
     )
+    # same sequence-parallel gather as loss_fn: the chunked LM-head loss
+    # must not reshard S-sharded hidden on every chunk step
+    from starvector_tpu.parallel.mesh import batch_spec, maybe_constrain
+
+    hidden = maybe_constrain(hidden, batch_spec(extra_dims=2))
     loss = gpt_bigcode.causal_lm_loss_fused(
         dec.lm_head_table(params["svg_transformer"], cfg.llm), hidden,
         targets, policy=policy,

@@ -298,8 +298,13 @@ class ServeEngine:
         # a long prompt never stalls running decodes for its full length.
         # Default 1024 keeps typical prompts single-dispatch (each extra
         # chunk costs one fixed dispatch overhead) while 2k-8k prompts
-        # still interleave with decode ticks.
-        self.prefill_chunk = max(64, prefill_chunk)
+        # still interleave with decode ticks. Rounded DOWN to a power of
+        # two: buckets are powers of two, so the chunk must divide every
+        # bucket or n_chunks*C would undercover the prompt tail.
+        c = 64
+        while c * 2 <= max(64, prefill_chunk):
+            c *= 2
+        self.prefill_chunk = c
         self.kv_dtype = kv_cache_dtype or policy.compute_dtype
         self.cache = self.dec.init_ragged_cache(
             llm_cfg, max_batch, max_len, dtype=self.kv_dtype
@@ -368,6 +373,14 @@ class ServeEngine:
                 t.join(timeout=5)
         self._decode_thread = None
         self._admit_thread = None
+        # fail anything still queued — callers blocked on out_queue must
+        # see an event, not hang out their full timeout
+        while True:
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            req.out_queue.put(("error", "engine stopped"))
 
     def warmup(self, prompt_lens, group_sizes=None, timeout: float = 2400):
         """Pre-compile the full admission + tick dispatch chain for every

@@ -61,6 +61,10 @@ class ModelWorker:
 
     # -- request prep ---------------------------------------------------------
     def _prefix_for(self, payload: dict):
+        """Returns (prefix_embeds, prompt_text, ids_aligned) where
+        ids_aligned is an id-per-position view of the prefix (-1 for visual
+        tokens). Returned, not stored: requests run on concurrent executor
+        threads and shared instance state would race."""
         tok = self.model.tokenizer
         if payload.get("task", "im2svg") == "im2svg":
             img_b64 = payload["image"]
@@ -86,8 +90,7 @@ class ModelWorker:
             ids_aligned = jnp.concatenate(
                 [jnp.full((1, Q), -1, jnp.int32), ids.astype(jnp.int32)], axis=1
             )
-            self._last_ids_aligned = ids_aligned
-            return prefix, prompt
+            return prefix, prompt, ids_aligned
         caption = payload.get("prompt", "")
         text = caption + tok.svg_start_token
         ids = jnp.asarray(tok([text], add_special_tokens=False)["input_ids"])
@@ -95,12 +98,16 @@ class ModelWorker:
         prefix = self.model.policy.cast(
             dec.embed_tokens(self.model.params["svg_transformer"], ids)
         )
-        self._last_ids_aligned = ids.astype(jnp.int32)
-        return prefix, ""
+        return prefix, "", ids.astype(jnp.int32)
 
     def make_request(self, payload: dict) -> tuple[Request, str]:
-        prefix, prompt_text = self._prefix_for(payload)
+        prefix, prompt_text, ids_aligned = self._prefix_for(payload)
         tok = self.model.tokenizer
+        # real prompt token ids (drop the -1 visual positions): seeds the
+        # engine's repetition-penalty presence, matching HF/vLLM
+        # prompt-union-output semantics
+        ids_np = np.asarray(ids_aligned).reshape(-1)
+        prompt_ids = ids_np[ids_np >= 0]
         # OpenAI/vLLM sampling surface (reference vLLM validators:
         # starvector_vllm_svg_validator.py:35-44, ..._api_...py:50-60)
         logit_bias = payload.get("logit_bias") or None
@@ -117,6 +124,7 @@ class ModelWorker:
             frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
             presence_penalty=float(payload.get("presence_penalty", 0.0)),
             logit_bias=logit_bias,
+            prompt_token_ids=prompt_ids if prompt_ids.size else None,
             do_sample=float(payload.get("temperature", 0.8)) > 0,
             stop_sequences=(tok.stop_sequence_ids("</svg>"),),
             eos_token_id=tok.eos_token_id,
@@ -131,9 +139,8 @@ class ModelWorker:
             generate_greedy_speculative,
         )
 
-        prefix, prompt_text = self._prefix_for(payload)
+        prefix, prompt_text, ids_aligned = self._prefix_for(payload)
         tok = self.model.tokenizer
-        ids_aligned = self._last_ids_aligned
         tokens, lengths, _ = generate_greedy_speculative(
             self.model.params["svg_transformer"], prefix,
             jnp.ones((1, prefix.shape[1]), jnp.int32), ids_aligned,
@@ -154,7 +161,7 @@ class ModelWorker:
         runs outside the continuous-batching engine, returns the final text."""
         from starvector_tpu.generation.beam import beam_search
 
-        prefix, prompt_text = self._prefix_for(payload)
+        prefix, prompt_text, _ = self._prefix_for(payload)
         tok = self.model.tokenizer
         tokens, lengths = beam_search(
             self.model.params["svg_transformer"], prefix,
@@ -342,7 +349,22 @@ def build_app(worker: ModelWorker) -> web.Application:
                         await resp.write(
                             b"data: " + json.dumps(chunk).encode() + b"\n\n"
                         )
-                    else:
+                    elif kind == "error":
+                        # surface engine failures as an SSE error event —
+                        # not a silent, apparently-successful [DONE]
+                        err = {
+                            "id": rid, "object": "chat.completion.chunk",
+                            "model": model_name,
+                            "error": {"message": str(data),
+                                      "type": "engine_error"},
+                            "choices": [{"index": 0, "delta": {},
+                                         "finish_reason": "error"}],
+                        }
+                        await resp.write(
+                            b"data: " + json.dumps(err).encode() + b"\n\n"
+                        )
+                        break
+                    else:  # "done"
                         break
                 await resp.write(b"data: [DONE]\n\n")
                 await resp.write_eof()

@@ -112,3 +112,36 @@ def test_grpo_forward_logprobs():
     np.testing.assert_allclose(
         np.asarray(lp2[0]), np.asarray(lp2[1]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_grpo_forward_matches_full_logits():
+    """The fused chunked log-prob path equals the naive full-(B,S,V)
+    computation (the fused path exists so GRPO never materializes ~13 GB
+    of logits at production shapes)."""
+    from starvector_tpu.models import starvector as sv
+
+    cfg = sv.tiny_config()
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    B, Q, S, G = 1, 5, 7, 2
+    vis = jax.random.normal(jax.random.PRNGKey(1), (B, Q, cfg.hidden_size))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B * G, S), 1,
+                             cfg.llm.vocab_size)
+    mask = jnp.ones((B * G, S), jnp.int32)
+    lp = sv.grpo_forward(
+        params, cfg, vis, ids, mask, num_generations=G, policy=F32
+    )
+
+    # naive reference: full logits + log_softmax + gather
+    dec = cfg.decoder_module
+    cond = jnp.repeat(vis.astype(jnp.float32), G, axis=0)
+    tok_e = dec.embed_tokens(params["svg_transformer"], ids)
+    embeds = jnp.concatenate([cond, tok_e.astype(jnp.float32)], axis=1)
+    am = jnp.ones(embeds.shape[:2], jnp.int32)
+    logits, _ = dec.forward(params["svg_transformer"], cfg.llm, embeds,
+                            attention_mask=am, policy=F32)
+    pred = logits[:, Q - 1 : Q - 1 + S].astype(jnp.float32)
+    ref = jnp.take_along_axis(
+        jax.nn.log_softmax(pred, -1), ids[..., None].astype(jnp.int32), -1
+    )[..., 0]
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

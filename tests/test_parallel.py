@@ -164,3 +164,22 @@ def test_tp_sharded_serving_engine_parity():
     )
     eng.stop()
     assert out == ref
+
+
+def test_siglip_tower_rules_not_shadowed():
+    """clip_vit's `layers/.*` catch-all must not shadow siglip's specific
+    sharding rules: an 8B (siglip) tower q_proj kernel gets a REAL
+    fsdp/tensor spec, not the replicated fallback (review finding r2)."""
+    from starvector_tpu.models import image_encoder
+    from starvector_tpu.parallel.sharding import spec_for_path
+
+    rules = image_encoder.partition_rules()
+    spec = spec_for_path(
+        "image_encoder/visual_encoder/layers/attn/q_proj/kernel", rules
+    )
+    assert "fsdp" in jax.tree_util.tree_leaves(tuple(spec)), spec
+    # clip's own params still replicate via its catch-all
+    spec_ln = spec_for_path(
+        "image_encoder/visual_encoder/layers/ln_1/scale", rules
+    )
+    assert "fsdp" not in jax.tree_util.tree_leaves(tuple(spec_ln)), spec_ln
