@@ -4,8 +4,9 @@ Replaces the reference's Gradio server (reference: starvector/serve/
 gradio_web_server.py — gradio is not in this image) with a static HTML/JS
 page served by aiohttp. The browser renders generated SVG natively, so the
 live preview needs no rasterization round-trip. Controls mirror the
-reference UI: task selector, image upload, temperature / top-p / max-tokens
-sliders, streamed code view + preview, vote logging to JSONL
+reference UI: task selector, image upload, temperature / top-p / max-tokens /
+beams / length-penalty sliders (gradio_web_server.py:303-534), streamed code
+view + preview, vote logging to JSONL
 (gradio_web_server.py:71-80,237-247).
 
 Run: python -m starvector_tpu.serve.webui --controller http://localhost:21001
@@ -60,6 +61,10 @@ INDEX_HTML = """<!doctype html>
    <input type="range" id="topp" min="0.1" max="1" step="0.05" value="0.9"></label>
   <label>Max tokens <span id="mval">2000</span>
    <input type="range" id="maxtok" min="64" max="7800" step="64" value="2000"></label>
+  <label>Beams <span id="bval">1</span>
+   <input type="range" id="beams" min="1" max="6" step="1" value="1"></label>
+  <label>Length penalty <span id="lval">1.0</span>
+   <input type="range" id="lenpen" min="0.5" max="2" step="0.1" value="1.0"></label>
   <button id="go">Generate</button>
   <div>
    <button class="vote" id="up">👍</button>
@@ -75,13 +80,16 @@ const $=id=>document.getElementById(id);
 $('task').onchange=()=>{const t=$('task').value;
  $('imgbox').style.display=t==='im2svg'?'':'none';
  $('textbox').style.display=t==='text2svg'?'':'none';};
-for(const [r,v] of [['temp','tval'],['topp','pval'],['maxtok','mval']])
+for(const [r,v] of [['temp','tval'],['topp','pval'],['maxtok','mval'],
+                    ['beams','bval'],['lenpen','lval']])
  $(r).oninput=()=>$(v).textContent=$(r).value;
 function render(svg){try{$('preview').innerHTML=svg;}catch(e){}}
 $('go').onclick=async()=>{
  const task=$('task').value;
  const payload={task,temperature:+$('temp').value,top_p:+$('topp').value,
-                max_new_tokens:+$('maxtok').value,model:'starvector'};
+                max_new_tokens:+$('maxtok').value,model:'starvector',
+                num_beams:+$('beams').value,
+                length_penalty:+$('lenpen').value};
  if(task==='im2svg'){
   const f=$('image').files[0];
   if(!f){$('status').textContent='choose an image first';return;}
