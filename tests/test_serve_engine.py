@@ -334,3 +334,21 @@ def test_stress_mixed_workload(setup):
     assert len(outs) == 20
     for rid, ref in refs.items():
         assert outs[rid] == ref, rid
+
+
+def test_multichunk_int8_kv_admission(setup):
+    """Multi-chunk prefill INTO an int8 ragged cache (chunked quantized
+    writes + batched insert + quantized decode) still matches the offline
+    greedy path."""
+    cfg, params = setup
+    engine = ServeEngine(
+        params, cfg, "gpt_bigcode", max_batch=2, max_len=384, policy=F32,
+        prefill_chunk=64, kv_cache_dtype=jnp.int8,
+    )
+    ids = jnp.arange(150)[None] % 11 + 2
+    prefix = gbc.embed_tokens(params, ids)
+    ref = offline_greedy(params, cfg, prefix, 5)
+    req = Request(prefix_embeds=prefix, max_new_tokens=5, do_sample=False)
+    out = engine.generate_sync(req, timeout=240)
+    engine.stop()
+    assert out == ref
