@@ -29,7 +29,12 @@ from starvector_tpu.data.processor import processor_for_encoder
 def config_from_yaml_block(model_block: dict) -> sv.StarVectorConfig:
     """Map the reference's model yaml block (configs/models/*.yaml) onto
     StarVectorConfig."""
-    name = str(model_block.get("starcoder_model_name", ""))
+    # same detection _detect_version uses (some checkpoints carry only
+    # _name_or_path) — disagreeing here loads the v2 state dict against
+    # the v1 base config
+    name = str(model_block.get("starcoder_model_name", "")) + str(
+        model_block.get("_name_or_path", "")
+    )
     version = "v2" if "starcoder2" in name else "v1"
     base = (
         sv.starvector_8b_config() if version == "v2" else sv.starvector_1b_config()
@@ -137,6 +142,10 @@ def load_hf_starvector_checkpoint(
         geo = hf_cfg.get("llm_geometry", {})
         head_dim = int(geo.get("head_dim") or 128)
         n_head = q_out // head_dim
+        # a separate trained lm_head in the checkpoint means untied
+        # embeddings (starcoder2-15b and any untied fine-tune) — decoding
+        # through embed_tokens instead would be silently wrong
+        untied = ("svg_transformer.transformer.lm_head.weight" in sd)
         llm = StarCoder2Config(
             vocab_size=vocab, hidden_size=hidden, num_hidden_layers=n_layer,
             num_attention_heads=n_head, num_key_value_heads=kv_out // head_dim,
@@ -144,6 +153,7 @@ def load_hf_starvector_checkpoint(
             rope_theta=float(geo.get("rope_theta") or 1e6),
             sliding_window=(geo["sliding_window"]
                             if "sliding_window" in geo else 4096),
+            tie_word_embeddings=not untied,
         )
         cfg = dataclasses.replace(cfg, llm=llm, decoder="starcoder2")
         params["svg_transformer"] = convert.starcoder2_from_hf(
@@ -155,7 +165,8 @@ def load_hf_starvector_checkpoint(
             from starvector_tpu.models.vision import clip_vit
 
             tower_cfg = clip_vit.config_from_state_dict(
-                sd, prefix="image_encoder.visual_encoder."
+                sd, prefix="image_encoder.visual_encoder.",
+                heads=hf_cfg.get("vision_geometry", {}).get("heads"),
             )
             params["image_encoder"] = {
                 "visual_encoder": clip_vit.from_torch_state_dict(

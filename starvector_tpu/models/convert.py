@@ -34,22 +34,12 @@ def _stack(arrays: list[np.ndarray], dtype) -> jnp.ndarray:
     return jnp.asarray(np.stack(arrays), dtype=dtype)
 
 
-def _strip_prefix(sd: Mapping[str, np.ndarray], prefixes=("transformer.", "model.")) -> dict:
-    """Normalize optional wrapper prefixes (e.g. the reference stores the LLM
-    under `model.svg_transformer.transformer...`)."""
-    out = {}
-    for k, v in sd.items():
-        out[k] = np.array(v)  # copy: source may alias torch buffers
-    return out
-
-
 def gpt_bigcode_from_hf(
     sd: Mapping[str, np.ndarray], cfg: GPTBigCodeConfig, dtype=jnp.float32,
     prefix: str = "transformer.",
 ) -> dict:
     """Convert an HF GPTBigCodeForCausalLM state dict (reference decoder for
     the 1B model, starvector/model/llm/starcoder.py:9-53)."""
-    sd = _strip_prefix(sd)
     g = lambda name: sd[prefix + name]
     L = cfg.n_layer
 
@@ -91,7 +81,6 @@ def starcoder2_from_hf(
 ) -> dict:
     """Convert an HF Starcoder2ForCausalLM state dict (reference decoder for
     the 8B model, starvector/model/llm/starcoder2.py:13-53)."""
-    sd = _strip_prefix(sd)
     g = lambda name: sd[prefix + name]
     L = cfg.num_hidden_layers
     has_bias = cfg.use_bias
@@ -128,7 +117,11 @@ def starcoder2_from_hf(
         },
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = jnp.asarray(sd["lm_head.weight"], dtype=dtype)
+        head_prefix = (prefix[:-len("model.")]
+                       if prefix.endswith("model.") else "")
+        params["lm_head"] = jnp.asarray(
+            sd[head_prefix + "lm_head.weight"], dtype=dtype
+        )
     return params
 
 

@@ -93,6 +93,12 @@ def insert_prefill_rows(
     together, then land together)."""
     T = ragged_cache["k"].shape[2]
     Ts = small_cache["k"].shape[2]
+    if small_cache["k"].dtype != ragged_cache["k"].dtype:
+        raise ValueError(
+            f"prefill cache dtype {small_cache['k'].dtype} != ragged cache "
+            f"dtype {ragged_cache['k'].dtype}: casting int8 codes as values "
+            f"(or dropping scales) would silently corrupt the admitted rows"
+        )
     slots = slots.astype(jnp.int32)
     out = {}
     for key in _payload_keys(ragged_cache):

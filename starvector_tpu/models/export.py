@@ -44,7 +44,7 @@ def gpt_bigcode_to_hf(params: dict, cfg: GPTBigCodeConfig,
     put_dense("mlp.c_proj", layers["mlp"]["c_proj"])
     sd[prefix + "ln_f.weight"] = np.asarray(params["ln_f"]["scale"])
     sd[prefix + "ln_f.bias"] = np.asarray(params["ln_f"]["bias"])
-    sd["lm_head.weight"] = np.asarray(params["wte"])  # tied
+    # v1 is always tied: HF/safetensors omit the duplicate lm_head
     return sd
 
 
@@ -76,8 +76,14 @@ def starcoder2_to_hf(params: dict, cfg: StarCoder2Config,
     put_dense("mlp.c_proj", layers["mlp"]["c_proj"])
     sd[prefix + "norm.weight"] = np.asarray(params["norm"]["scale"])
     sd[prefix + "norm.bias"] = np.asarray(params["norm"]["bias"])
-    head = params.get("lm_head", params["embed_tokens"])
-    sd["lm_head.weight"] = np.asarray(head)
+    if "lm_head" in params:
+        # untied head only: HF/safetensors omit tied duplicates, and the
+        # loader detects untying by this key's presence. lm_head is a
+        # SIBLING of the "model." subtree: strip a trailing "model." so
+        # wrapped exports keep the head inside the wrapper
+        head_prefix = (prefix[:-len("model.")]
+                       if prefix.endswith("model.") else prefix)
+        sd[head_prefix + "lm_head.weight"] = np.asarray(params["lm_head"])
     return sd
 
 
@@ -138,6 +144,11 @@ def vision_to_hf(params: dict, cfg) -> dict:
     if "running_mean" in ad["norm"]:
         sd[apfx + "norm.running_mean"] = np.asarray(ad["norm"]["running_mean"])
         sd[apfx + "norm.running_var"] = np.asarray(ad["norm"]["running_var"])
+        # torch BatchNorm1d serializes this counter; strict torch loads of
+        # our exports fail without it
+        sd[apfx + "norm.num_batches_tracked"] = np.asarray(
+            ad["norm"].get("num_batches_tracked", 0), np.int64
+        )
     return sd
 
 

@@ -114,7 +114,13 @@ class SVGTokenizer:
             pass  # GPT2-style tokenizers add nothing by default
         if max_length is not None:
             ids = [s[:max_length] for s in ids]
-        maxlen = max(len(s) for s in ids) if padding == "longest" else (max_length or 0)
+        # padding="max_length" without an explicit max_length degrades to
+        # longest (HF behavior) instead of a 1-wide buffer that cannot
+        # hold the rows
+        if padding == "longest" or max_length is None:
+            maxlen = max(len(s) for s in ids)
+        else:
+            maxlen = max_length
         maxlen = max(maxlen, 1)
         pad_id = self.pad_token_id
         out_ids = np.full((len(ids), maxlen), pad_id, np.int32)

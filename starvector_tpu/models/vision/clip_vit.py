@@ -175,7 +175,9 @@ def forward(
     return x
 
 
-def config_from_state_dict(sd: dict, prefix: str = "") -> CLIPViTConfig:
+def config_from_state_dict(
+    sd: dict, prefix: str = "", heads: int | None = None
+) -> CLIPViTConfig:
     """Derive the tower geometry from a checkpoint (same philosophy as the
     decoder loaders: trust the weights, not the default config — real
     StarVector towers are CLIP-L-shaped but tests/custom towers are not)."""
@@ -191,10 +193,15 @@ def config_from_state_dict(sd: dict, prefix: str = "") -> CLIPViTConfig:
         int(k[len(prefix) + len("transformer.resblocks."):].split(".")[0])
         for k in sd if k.startswith(prefix + "transformer.resblocks.")
     )
-    head_dim = 64 if width % 64 == 0 else 16
+    if heads is None:
+        # heads are NOT recoverable from weight shapes; real towers follow
+        # the CLIP head_dim-64 convention, and our own exports record the
+        # true value in config.json (vision_geometry)
+        head_dim = 64 if width % 64 == 0 else 16
+        heads = max(width // head_dim, 1)
     return CLIPViTConfig(
         image_size=grid * patch, patch_size=patch, width=width,
-        layers=layers, heads=max(width // head_dim, 1),
+        layers=layers, heads=heads,
     )
 
 

@@ -87,12 +87,14 @@ struct Api {
 };
 
 static Api *api() {
-  static Api a;
-  static bool tried = false;
-  if (tried) return a.ok ? &a : nullptr;
-  tried = true;
-  a.ok = false;
-  a.cairo = dlopen("libcairo.so.2", RTLD_NOW | RTLD_GLOBAL);
+  // C++11 magic static: the initializer runs exactly once and other
+  // threads BLOCK until it finishes — ctypes calls release the GIL, so
+  // loader worker threads genuinely race into this function and the old
+  // tried/ok handshake could hand out a half-populated table
+  static Api *inst = []() -> Api * {
+    static Api a;
+    a.ok = false;
+    a.cairo = dlopen("libcairo.so.2", RTLD_NOW | RTLD_GLOBAL);
   a.gobject = dlopen("libgobject-2.0.so.0", RTLD_NOW | RTLD_GLOBAL);
   a.rsvg = dlopen("librsvg-2.so.2", RTLD_NOW | RTLD_GLOBAL);
   if (!a.cairo || !a.rsvg || !a.gobject) return nullptr;
@@ -125,8 +127,10 @@ static Api *api() {
   LOAD(gobject, "g_object_unref", fn_g_object_unref, g_object_unref)
   LOAD(gobject, "g_error_free", fn_g_error_free, g_error_free)
 #undef LOAD
-  a.ok = true;
-  return &a;
+    a.ok = true;
+    return &a;
+  }();
+  return inst;
 }
 
 static void set_err(char *err, size_t errlen, const char *msg) {

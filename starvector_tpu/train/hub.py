@@ -45,6 +45,11 @@ def export_hf_checkpoint(
         "starcoder_model_name": starcoder_model_name or default_name,
         # decoder geometry (reference checkpoints imply it via the base
         # model name; recording it makes round trips self-contained)
+        "vision_geometry": (
+            {"heads": cfg.encoder_config.tower_config.heads}
+            if cfg.use_image_encoder
+            and hasattr(cfg.encoder_config.tower_config, "heads") else {}
+        ),
         "llm_geometry": {
             "head_dim": cfg.llm.head_dim,
             "rope_theta": getattr(cfg.llm, "rope_theta", None),

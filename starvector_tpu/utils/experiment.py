@@ -32,15 +32,18 @@ def copy_code(out_dir: str, repo_root: str | None = None) -> str:
     )
     dst = os.path.join(out_dir, "code_snapshot")
     os.makedirs(dst, exist_ok=True)
-    subprocess.run(
-        [
-            "rsync", "-a", "--delete",
-            "--exclude", "__pycache__", "--exclude", "*.so",
-            "--exclude", ".git", "--exclude", "runs",
-            os.path.join(repo_root, "starvector_tpu"), dst,
-        ],
-        check=False, capture_output=True,
-    )
+    try:
+        subprocess.run(
+            [
+                "rsync", "-a", "--delete",
+                "--exclude", "__pycache__", "--exclude", "*.so",
+                "--exclude", ".git", "--exclude", "runs",
+                os.path.join(repo_root, "starvector_tpu"), dst,
+            ],
+            check=False, capture_output=True,
+        )
+    except OSError as e:  # rsync absent: the snapshot is best-effort
+        print(f"code snapshot skipped ({e})")
     return dst
 
 

@@ -48,7 +48,12 @@ def test_sc2_export_loads_in_hf():
     missing, unexpected = model.load_state_dict(
         {k: torch.tensor(v) for k, v in sd.items()}, strict=False
     )
-    assert not [m for m in missing if "rotary" not in m], missing
+    # tied lm_head is intentionally NOT serialized (HF/safetensors omit
+    # tied duplicates); HF re-ties it below
+    assert not [m for m in missing
+                if "rotary" not in m and "lm_head" not in m], missing
+    assert not unexpected, unexpected
+    model.tie_weights()
     ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (1, 6))
     with torch.no_grad():
         ref = model(torch.tensor(ids)).logits.numpy()
