@@ -7,11 +7,14 @@ Iteration-level scheduling over a slot-based ragged KV cache:
     lengths bucketed to powers of two so each bucket compiles exactly once)
     and inserts the finished prefix into a reserved slot — running decodes
     never wait on a prefill
-  * every engine tick decodes ONE token for all active slots AND samples the
-    next token for every slot in a single fused jitted step (per-request
-    temperature/top-p/top-k ride along as (B,) arrays; greedy slots are
-    temperature 0) — one dispatch + one (B,) host transfer per tick, with
-    the KV cache donated so the update is in-place
+  * every engine tick decodes steps_per_tick tokens for all active slots
+    AND samples each next token in a single fused jitted step. The full
+    vLLM sampling surface rides along per request — temperature, top-p,
+    top-k, min-p, repetition/frequency/presence penalties, logit_bias —
+    with the (B, V) count/presence tables resident on device inside the
+    tick scan; greedy slots are temperature 0. One dispatch + one small
+    host transfer per tick; the KV cache (bf16 or opt-in int8) and count
+    table are donated so updates are in-place
   * per-request stop sequences, eos, max tokens checked host-side
   * emitted tokens stream into per-request queues (worker SSE layer);
     scheduler errors fail only the offending request, never the loop
