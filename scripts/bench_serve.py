@@ -47,10 +47,12 @@ def main():
 
     policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     params = gbc.init_params(llm, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    kv_int8 = os.environ.get("STARVECTOR_KV_INT8", "") == "1"
     engine = ServeEngine(
         params, llm, "gpt_bigcode", max_batch=MAX_BATCH, max_len=MAX_LEN,
         policy=policy,
         steps_per_tick=int(os.environ.get("STARVECTOR_STEPS_PER_TICK", "4")),
+        kv_cache_dtype=jnp.int8 if kv_int8 else None,
     )
     engine.start()
 
@@ -124,6 +126,7 @@ def main():
         "wall_s": round(wall, 2),
         "p50_request_latency_s": round(lat[len(lat) // 2], 3),
         "p95_request_latency_s": round(lat[int(len(lat) * 0.95)], 3),
+        "kv_cache": "int8" if kv_int8 else "bf16",
         "backend": jax.default_backend(),
     }))
 
