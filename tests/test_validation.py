@@ -129,3 +129,26 @@ def test_temperature_sweep(tmp_path):
     # per-sample results hold one entry per temperature internally
     first = validator.results[list(validator.results)[0]]
     assert len(first) == 2  # two temperatures
+
+
+def test_cli_engine_mapping():
+    """validate.py maps the reference's engine short names (hf/vllm/
+    vllm-api, reference validate.py:8-31) onto the TPU backends, and
+    rejects unknown engines loudly."""
+    from starvector_tpu.validation import validate as vcli
+    from starvector_tpu.validation.serve_validator import StarVectorServeValidator
+
+    base = {
+        "run": {"out_dir": "/tmp/eval-cli-test"},
+        "model": {"task": "im2svg", "name": "t", "from_checkpoint": None,
+                  "generation_engine": "vllm"},
+        "dataset": {"target": "tests.test_validation._MemDataset",
+                    "params": {"n": 1, "im_size": 28}},
+        "generation_params": {}, "metrics": {},
+    }
+    v = vcli.get_validator(ConfigNode(base))
+    assert isinstance(v, StarVectorServeValidator)
+
+    base["model"]["generation_engine"] = "nope"
+    with pytest.raises(ValueError, match="not registered"):
+        vcli.get_validator(ConfigNode(base))
