@@ -21,6 +21,7 @@ import asyncio
 import base64
 import io
 import json
+import os
 import threading
 import time
 
@@ -30,6 +31,31 @@ from aiohttp import web
 
 from starvector_tpu.serve.constants import WORKER_HEART_BEAT_INTERVAL
 from starvector_tpu.serve.engine import Request, ServeEngine
+
+_CHAT_TEMPLATE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..", "..", "configs", "chat-template.jinja",
+)
+
+
+def render_chat_template(messages, template_path: str | None = None) -> str:
+    """Render text-only chat messages through the configured chat template
+    (reference configs/chat-template.jinja: plain content concatenation —
+    the text2svg prompting mode named in BASELINE config 3). Multimodal
+    image parts are handled by the endpoint, not the template. Falls back
+    to concatenation when jinja2 or the template file is unavailable."""
+    path = template_path or os.environ.get(
+        "STARVECTOR_CHAT_TEMPLATE", _CHAT_TEMPLATE_PATH
+    )
+    texts = [m["content"] for m in messages if isinstance(m.get("content"), str)]
+    try:
+        import jinja2
+
+        with open(path) as f:
+            template = jinja2.Template(f.read())
+        return template.render(messages=[{"content": t} for t in texts])
+    except (ImportError, OSError):
+        return "".join(texts)
 
 
 class ModelWorker:
@@ -294,18 +320,19 @@ def build_app(worker: ModelWorker) -> web.Application:
         body = await request.json()
         messages = body.get("messages", [])
         image_b64 = None
-        text_prompt = ""
+        text_parts: list[dict] = []
         for msg in messages:
             content = msg.get("content")
             if isinstance(content, str):
-                text_prompt += content
+                text_parts.append({"content": content})
             elif isinstance(content, list):
                 for part in content:
                     if part.get("type") == "image_url":
                         url = part["image_url"]["url"]
                         image_b64 = url.split(",", 1)[-1]
                     elif part.get("type") == "text":
-                        text_prompt += part.get("text", "")
+                        text_parts.append({"content": part.get("text", "")})
+        text_prompt = render_chat_template(text_parts)
         payload = {
             "task": "im2svg" if image_b64 else "text2svg",
             "image": image_b64,

@@ -227,3 +227,25 @@ def test_worker_speculative_route(model):
     worker.shutdown()
     greedy_text = prompt_text + model.tokenizer.decode(np.asarray(out))
     assert spec_text == greedy_text
+
+
+def test_render_chat_template(tmp_path):
+    """Chat prompts route through configs/chat-template.jinja (reference
+    configs/chat-template.jinja: content concatenation), with an env
+    override and a concatenation fallback for a missing file."""
+    from starvector_tpu.serve.worker import render_chat_template
+
+    msgs = [{"content": "a circle"}, {"content": " in red"}]
+    assert render_chat_template(msgs) == "a circle in red"
+
+    custom = tmp_path / "t.jinja"
+    custom.write_text(
+        "{% for message in messages %}[{{ message.content }}]{% endfor %}"
+    )
+    assert render_chat_template(msgs, template_path=str(custom)) == \
+        "[a circle][ in red]"
+
+    # missing file → plain concatenation, never an exception
+    assert render_chat_template(
+        msgs, template_path=str(tmp_path / "absent.jinja")
+    ) == "a circle in red"
