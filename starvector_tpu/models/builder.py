@@ -161,6 +161,8 @@ def load_hf_starvector_checkpoint(
         )
 
     if cfg.use_image_encoder:
+        import dataclasses
+
         if cfg.image_encoder_type == "clip":
             from starvector_tpu.models.vision import clip_vit
 
@@ -177,16 +179,32 @@ def load_hf_starvector_checkpoint(
                     "bias": jnp.asarray(sd["image_encoder.ln_vision.bias"], dtype),
                 },
             }
-        else:
+        elif cfg.image_encoder_type.startswith("siglip"):
             from starvector_tpu.models.vision import siglip
 
-            tower_cfg = cfg.encoder_config.tower_config
+            # derive the tower geometry from the weights (like the decoder
+            # and clip branches) — exports of non-stock towers round-trip
+            tower_cfg = siglip.config_from_state_dict(
+                sd, prefix="image_encoder.visual_encoder.",
+                heads=hf_cfg.get("vision_geometry", {}).get("heads"),
+            )
             params["image_encoder"] = {
                 "visual_encoder": siglip.from_hf_state_dict(
                     sd, tower_cfg, dtype,
                     prefix="image_encoder.visual_encoder.",
                 )
             }
+        else:
+            from starvector_tpu.models import image_encoder as ie
+
+            tower_cfg = cfg.encoder_config.tower_config
+            params["image_encoder"] = ie.params_from_checkpoint(
+                cfg.encoder_config, sd, dtype,
+                prefix="image_encoder.visual_encoder.",
+            )
+        # record the checkpoint-derived tower so downstream forwards use
+        # the true geometry, not the stock table
+        cfg = dataclasses.replace(cfg, vision_tower=tower_cfg)
         from starvector_tpu.models import adapter as adapter_mod
 
         params["image_projection"] = adapter_mod.from_torch_state_dict(

@@ -87,17 +87,64 @@ def starcoder2_to_hf(params: dict, cfg: StarCoder2Config,
     return sd
 
 
+def _siglip_to_hf(enc: dict, pfx: str) -> dict:
+    """Inverse of siglip.from_hf_state_dict: JAX pytree → HF
+    SiglipVisionModel.vision_model state-dict naming. The reference's
+    `visual_encoder` for the 8B IS that vision_model
+    (reference image_encoder.py:42-45), so keys carry no 'vision_model.'
+    segment in a saved StarVector checkpoint."""
+    sd: dict[str, np.ndarray] = {}
+    pe = np.asarray(enc["patch_embed"]["kernel"])  # (P*P*3, W)
+    W = pe.shape[1]
+    p2 = int(np.sqrt(pe.shape[0] // 3))
+    sd[pfx + "embeddings.patch_embedding.weight"] = np.ascontiguousarray(
+        pe.T.reshape(W, 3, p2, p2)
+    )
+    sd[pfx + "embeddings.patch_embedding.bias"] = np.asarray(
+        enc["patch_embed"]["bias"]
+    )
+    sd[pfx + "embeddings.position_embedding.weight"] = np.asarray(
+        enc["position_embedding"]
+    )
+    layers = enc["layers"]
+    L = layers["layer_norm1"]["scale"].shape[0]
+    for i in range(L):
+        base = pfx + f"encoder.layers.{i}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[base + ln + ".weight"] = np.asarray(layers[ln]["scale"][i])
+            sd[base + ln + ".bias"] = np.asarray(layers[ln]["bias"][i])
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            p = layers["attn"][proj]
+            sd[base + f"self_attn.{proj}.weight"] = _t(p["kernel"][i])
+            sd[base + f"self_attn.{proj}.bias"] = np.asarray(p["bias"][i])
+        for mm in ("fc1", "fc2"):
+            p = layers["mlp"][mm]
+            sd[base + f"mlp.{mm}.weight"] = _t(p["kernel"][i])
+            sd[base + f"mlp.{mm}.bias"] = np.asarray(p["bias"][i])
+    sd[pfx + "post_layernorm.weight"] = np.asarray(enc["post_layernorm"]["scale"])
+    sd[pfx + "post_layernorm.bias"] = np.asarray(enc["post_layernorm"]["bias"])
+    return sd
+
+
 def vision_to_hf(params: dict, cfg) -> dict:
     """Inverse of the checkpoint-load converters for the vision tower +
     adapter: emits the reference's state-dict naming
     (model.image_encoder.visual_encoder.* / model.image_projection.*,
     starvector_base.py:23-48) so an exported checkpoint round-trips through
-    load_hf_starvector_checkpoint. CLIP (1B) tower supported; other towers
-    are converted from their own modules' converters' inverse when needed."""
+    load_hf_starvector_checkpoint. CLIP (the 1B tower) and siglip_* (the 8B
+    tower) are supported; vqgan/convnext/open-clip towers are out-of-tree
+    in the reference too (image_encoder.py:63-89) and stay load-only."""
+    if cfg.image_encoder_type.startswith("siglip"):
+        sd = _siglip_to_hf(
+            params["image_encoder"]["visual_encoder"],
+            "model.image_encoder.visual_encoder.",
+        )
+        sd.update(_adapter_to_hf(params["image_projection"]))
+        return sd
     if cfg.image_encoder_type != "clip":
         raise NotImplementedError(
             f"vision export for {cfg.image_encoder_type!r} not implemented; "
-            "clip (the 1B tower) is"
+            "clip (1B) and siglip (8B) towers are"
         )
     enc = params["image_encoder"]["visual_encoder"]
     pfx = "model.image_encoder.visual_encoder."
@@ -134,8 +181,12 @@ def vision_to_hf(params: dict, cfg) -> dict:
         params["image_encoder"]["ln_vision"]["bias"]
     )
 
-    ad = params["image_projection"]
-    apfx = "model.image_projection."
+    sd.update(_adapter_to_hf(params["image_projection"]))
+    return sd
+
+
+def _adapter_to_hf(ad: dict, apfx: str = "model.image_projection.") -> dict:
+    sd: dict[str, np.ndarray] = {}
     for mm in ("c_fc", "c_proj"):
         sd[apfx + mm + ".weight"] = _t(ad[mm]["kernel"])
         sd[apfx + mm + ".bias"] = np.asarray(ad[mm]["bias"])

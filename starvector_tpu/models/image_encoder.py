@@ -42,9 +42,16 @@ ENCODER_GEOMETRY = {
 class ImageEncoderConfig:
     image_encoder_type: str = "clip"
     image_size: int = 224
+    # explicit tower geometry override: checkpoints whose towers differ from
+    # the stock shapes (tiny test towers, fine-tuned geometry) carry their
+    # derived config here instead of trusting the static table
+    tower: object = None
 
     @property
     def geometry(self) -> tuple[int, int]:
+        if self.tower is not None and hasattr(self.tower, "num_tokens"):
+            hidden = getattr(self.tower, "hidden_size", None) or self.tower.width
+            return (hidden, self.tower.num_tokens)
         if self.image_encoder_type not in ENCODER_GEOMETRY:
             raise ValueError(
                 f"unknown image encoder {self.image_encoder_type!r}; "
@@ -54,6 +61,8 @@ class ImageEncoderConfig:
 
     @property
     def tower_config(self):
+        if self.tower is not None:
+            return self.tower
         t = self.image_encoder_type
         if t == "clip":
             return clip_vit.CLIPViTConfig(image_size=self.image_size)

@@ -46,6 +46,10 @@ class StarVectorConfig:
     use_cache: bool = True
     # decoder geometry; None → family defaults (1B / 7B)
     llm: Any = None
+    # vision tower geometry override (a frozen tower config dataclass);
+    # None → the stock tower for image_encoder_type. Set by checkpoint
+    # loaders that derive geometry from the weights.
+    vision_tower: Any = None
 
     def __post_init__(self):
         if self.llm is None:
@@ -77,7 +81,7 @@ class StarVectorConfig:
     @property
     def encoder_config(self) -> image_encoder.ImageEncoderConfig:
         return image_encoder.ImageEncoderConfig(
-            self.image_encoder_type, self.image_size
+            self.image_encoder_type, self.image_size, tower=self.vision_tower
         )
 
     @property
@@ -146,7 +150,7 @@ def tiny_config(task: str = "im2svg", decoder: str = "gpt_bigcode", **kw) -> Sta
 # The tiny config needs a tiny vision tower; dispatch on image_size.
 def _encoder_cfg(cfg: StarVectorConfig):
     enc = cfg.encoder_config
-    if cfg.image_encoder_type == "clip" and cfg.image_size != 224:
+    if enc.tower is None and cfg.image_encoder_type == "clip" and cfg.image_size != 224:
         # small-image test towers keep the 'clip' wiring with scaled geometry
         from starvector_tpu.models.vision.clip_vit import CLIPViTConfig
 

@@ -173,6 +173,40 @@ def forward(
     return layer_norm(params["post_layernorm"], x, cfg.ln_eps)
 
 
+def config_from_state_dict(
+    sd: dict, prefix: str = "vision_model.", heads: int | None = None
+) -> SigLIPConfig:
+    """Derive the tower geometry from checkpoint weight shapes (same
+    philosophy as the decoder loaders and clip_vit.config_from_state_dict:
+    trust the weights — real StarVector-8B towers are siglip-large-384
+    shaped, exports of fine-tuned/test towers are not)."""
+    import math
+
+    import numpy as np
+
+    conv = np.asarray(sd[prefix + "embeddings.patch_embedding.weight"])
+    width, _, patch, _ = conv.shape  # (W, 3, P, P)
+    n_tokens = np.asarray(
+        sd[prefix + "embeddings.position_embedding.weight"]
+    ).shape[0]
+    grid = int(math.isqrt(n_tokens))  # no CLS token in siglip
+    layers = 1 + max(
+        int(k[len(prefix) + len("encoder.layers."):].split(".")[0])
+        for k in sd if k.startswith(prefix + "encoder.layers.")
+    )
+    inter = np.asarray(sd[prefix + "encoder.layers.0.mlp.fc1.weight"]).shape[0]
+    if heads is None:
+        # heads are not recoverable from weight shapes; siglip towers use
+        # head_dim 64, and our own exports record the true value in
+        # config.json (vision_geometry)
+        head_dim = 64 if width % 64 == 0 else max(width // 4, 1)
+        heads = max(width // head_dim, 1)
+    return SigLIPConfig(
+        image_size=grid * patch, patch_size=patch, hidden_size=width,
+        layers=layers, heads=heads, intermediate_size=inter,
+    )
+
+
 def from_hf_state_dict(sd, cfg: SigLIPConfig, dtype=jnp.float32, prefix: str = "vision_model.") -> dict:
     """Convert HF SiglipVisionModel weights."""
     import numpy as np
