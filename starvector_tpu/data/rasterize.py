@@ -111,7 +111,22 @@ def _worker_entry(conn, fn_name, args):
         conn.close()
 
 
+def _main_importable() -> bool:
+    """forkserver/spawn children re-import __main__; from a stdin/interactive
+    host that import fails before the worker entry runs, killing every call."""
+    import sys
+
+    main = sys.modules.get("__main__")
+    path = getattr(main, "__file__", None)
+    return bool(path and os.path.exists(path))
+
+
 def _call_with_timeout(fn_name: str, args: tuple, timeout: float):
+    if not _main_importable():
+        # interactive host: no subprocess possible — run in-process and give
+        # up the kill-on-timeout guarantee rather than failing every call
+        fn = {"svg2svg": _svg2svg_native, "raster": _raster_native}[fn_name]
+        return fn(*args)
     # forkserver: fork() from a multithreaded host (jax spins threads) risks
     # deadlock; the forkserver parent stays single-threaded
     ctxm = mp.get_context("forkserver")
