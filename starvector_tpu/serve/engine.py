@@ -18,6 +18,10 @@ Iteration-level scheduling over a slot-based ragged KV cache:
   * per-request stop sequences, eos, max tokens checked host-side
   * emitted tokens stream into per-request queues (worker SSE layer);
     scheduler errors fail only the offending request, never the loop
+  * `num_beams>1` requests run as BEAM GROUPS inside the engine: k slots
+    decode in lockstep with one dispatch per round (parentage cache-reorder
+    fused with the ragged decode + on-device top-2k), HF finished-pool
+    semantics host-side; concurrent sampling traffic keeps streaming
 
 The engine runs two Python scheduler threads; all device work is jitted.
 """
@@ -60,6 +64,11 @@ class Request:
     do_sample: bool = True
     stop_sequences: tuple[tuple[int, ...], ...] = ()
     eos_token_id: int | None = None
+    # >1 admits a BEAM GROUP: num_beams slots decode in lockstep with
+    # HF beam semantics (generation/beam.py pool behavior); deterministic,
+    # sampling knobs ignored. Streams the best hypothesis at completion.
+    num_beams: int = 1
+    length_penalty: float = 1.0
     request_id: str = dataclasses.field(default_factory=lambda: uuid.uuid4().hex)
     # filled by the engine
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
@@ -71,6 +80,85 @@ class _Slot:
     generated: list[int] = dataclasses.field(default_factory=list)
     last_token: int = 0
     reserved: bool = False             # held by the admission thread
+    beam: Any = None                   # _BeamGroup when part of a beam group
+
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass
+class _BeamGroup:
+    """Host-side state of one in-engine beam-search request occupying
+    `slot_idxs`. Candidate selection runs on device (_beam_step top-k);
+    histories / finished-hypothesis pool / termination mirror
+    generation/beam.py (HF BeamSearchScorer semantics) in plain Python —
+    per step that's 2n scalars of host math, not a (n, V) transfer."""
+
+    req: Request
+    slot_idxs: list[int]
+    histories: list[list[int]]            # per live beam, tokens so far
+    scores: list[float]                   # cumulative logp per live beam
+    parent_perm: np.ndarray               # (n,) cache-reorder for next step
+    next_tokens: np.ndarray               # (n,) tokens selected last round
+    pool: list[tuple[float, list[int]]] = dataclasses.field(
+        default_factory=list
+    )                                     # (normalized score, tokens)
+    t: int = 0                            # tokens generated per live beam
+
+    def select(self, cand_scores, parents, toks) -> None:
+        """One HF beam round from 2n device candidates: finished ones enter
+        the pool (normalized by (t+1)^lp — beam.py body norm), best n
+        unfinished stay live. self.t is the 0-based position being written."""
+        n = len(self.slot_idxs)
+        req = self.req
+        lp = req.length_penalty
+        live: list[tuple[float, int, int]] = []
+        for s, p, tok in zip(
+            map(float, cand_scores), map(int, parents), map(int, toks)
+        ):
+            hist = self.histories[p] + [tok]
+            finished = (req.eos_token_id is not None
+                        and tok == req.eos_token_id)
+            for stop in req.stop_sequences:
+                L = len(stop)
+                if L and len(hist) >= L and tuple(hist[-L:]) == tuple(stop):
+                    finished = True
+            if finished:
+                norm = s / (float(self.t) + 1.0) ** lp
+                self.pool.append((norm, hist))
+            elif len(live) < n:
+                live.append((s, p, tok))
+        self.pool = sorted(self.pool, key=lambda x: -x[0])[:n]
+        while len(live) < n:            # all candidates finished: dead rows
+            live.append((NEG_INF, 0, 0))
+        self.histories = [self.histories[p] + [tok] for _, p, tok in live]
+        self.scores = [s for s, _, _ in live]
+        self.parent_perm = np.asarray([p for _, p, _ in live], np.int32)
+        self.next_tokens = np.asarray([t for _, _, t in live], np.int32)
+        self.t += 1
+
+    def done(self) -> bool:
+        """HF early_stopping=False: pool full and the best attainable live
+        score (one optimistic token ahead: (t+1)^lp — beam.py slot_done)
+        can't beat the worst pooled hypothesis."""
+        if self.t >= self.req.max_new_tokens:
+            return True
+        n = len(self.slot_idxs)
+        if len(self.pool) < n:
+            return False
+        attainable = max(self.scores) / (float(self.t) + 1.0) ** \
+            self.req.length_penalty
+        return attainable <= self.pool[-1][0]
+
+    def best(self) -> list[int]:
+        """Best hypothesis: pool ∪ still-live beams at their current
+        normalized score (beam.py:204-215)."""
+        lp = self.req.length_penalty
+        cands = list(self.pool) + [
+            (s / max(float(self.t), 1.0) ** lp, h)
+            for s, h in zip(self.scores, self.histories)
+        ]
+        return max(cands, key=lambda x: x[0])[1]
 
 
 def _bucket_len(n: int, lo: int = 64) -> int:
@@ -260,6 +348,80 @@ def _admit_sampling_state(
     return counts, prompt_presence
 
 
+@functools.partial(
+    jax.jit, static_argnames=("dec_name", "cfg", "policy", "n")
+)
+def _beam_first(
+    params: dict,
+    h_last: jax.Array,        # (1, E) prompt's last-token hidden state
+    *,
+    dec_name: str,
+    cfg: Any,
+    policy: DTypePolicy,
+    n: int,
+):
+    """First beam round from the prefill logits: top-2n continuations of the
+    single prompt (HF: only beam 0 live at t=0). Returns (scores (2n,),
+    tokens (2n,)); parents are all 0."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    logits = jnp.einsum(
+        "be,ve->bv", policy.cast(h_last),
+        policy.cast(dec.lm_head_table(params, cfg)),
+        preferred_element_type=jnp.float32,
+    )
+    logp = jax.nn.log_softmax(logits[0], -1)
+    scores, toks = jax.lax.top_k(logp, 2 * n)
+    return scores, toks.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dec_name", "cfg", "policy", "n"),
+    donate_argnames=("cache",),
+)
+def _beam_step(
+    params: dict,
+    cache: dict,
+    group_slots: jax.Array,   # (n,) slot indices of this beam group
+    parent_perm: jax.Array,   # (n,) beam parentage from the last selection
+    toks: jax.Array,          # (n,) tokens selected last round
+    scores: jax.Array,        # (n,) cumulative live-beam logp
+    last_tokens: jax.Array,   # (B,) non-group slots' last tokens (inactive)
+    *,
+    dec_name: str,
+    cfg: Any,
+    policy: DTypePolicy,
+    n: int,
+):
+    """One beam-group round in ONE dispatch: reorder the group's cache rows
+    by parentage (the previous round's selection — deferred into this step
+    so selection costs no extra dispatch), ragged-decode the n beam rows
+    (other slots inactive), and return the top-2n candidate continuations.
+    With MQA the row gather moves ~n·L·T·D·2 bytes — sub-ms next to the
+    decode step. Host transfer per round: 3·2n scalars."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    src = group_slots[parent_perm]
+    for key in ("k", "v", "k_scale", "v_scale"):
+        if key in cache:
+            cache[key] = cache[key].at[:, group_slots].set(cache[key][:, src])
+    B = cache["lengths"].shape[0]
+    tokens_full = last_tokens.at[group_slots].set(toks)
+    active = jnp.zeros((B,), jnp.int32).at[group_slots].set(1)
+    logits, cache = dec.forward_ragged_decode(
+        params, cfg, tokens_full, cache, active, policy=policy
+    )
+    logp = jax.nn.log_softmax(logits[group_slots].astype(jnp.float32), -1)
+    flat = (scores[:, None] + logp).reshape(-1)           # (n * V,)
+    cand_scores, cand_idx = jax.lax.top_k(flat, 2 * n)
+    V = cfg.vocab_size
+    return (cache, cand_scores, (cand_idx // V).astype(jnp.int32),
+            (cand_idx % V).astype(jnp.int32))
+
+
 class ServeEngine:
     def __init__(
         self,
@@ -321,6 +483,7 @@ class ServeEngine:
         self._prompt_presence = jnp.zeros((max_batch, V), jnp.int32)
         self.max_bias = 4                 # static bound on logit_bias entries
         self.slots = [_Slot() for _ in range(max_batch)]
+        self.beam_groups: list[_BeamGroup] = []
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._ready: "queue.Queue" = queue.Queue()   # admission → tick handoff
         self.base_rng = jax.random.PRNGKey(seed)          # tick key stream
@@ -353,6 +516,13 @@ class ServeEngine:
                 "error",
                 f"logit_bias has {len(req.logit_bias)} entries; the engine's "
                 f"static bound is max_bias={self.max_bias}",
+            ))
+            return req
+        if req.num_beams > self.max_batch:
+            req.out_queue.put((
+                "error",
+                f"num_beams ({req.num_beams}) exceeds engine max_batch "
+                f"({self.max_batch}); a beam group occupies one slot per beam",
             ))
             return req
         self.pending.put(req)
@@ -493,8 +663,18 @@ class ServeEngine:
                     batch.append(self.pending.get_nowait())
                 except queue.Empty:
                     break
+            # beam requests admit individually (one request = num_beams
+            # slots); sampling requests batch by prompt bucket as before
+            beam_reqs = [r for r in batch if r.num_beams > 1]
+            for r in beam_reqs:
+                try:
+                    self._admit_beam(r)
+                except Exception as e:  # noqa: BLE001 — fail the req, not the loop
+                    r.out_queue.put(("error", f"{type(e).__name__}: {e}"))
             groups: dict[int, list[Request]] = {}
             for r in batch:
+                if r.num_beams > 1:
+                    continue
                 Pb = min(_bucket_len(int(r.prefix_embeds.shape[1])),
                          self.max_len)
                 groups.setdefault(Pb, []).append(r)
@@ -537,6 +717,89 @@ class ServeEngine:
                 # engine stopped with requests still queued: fail them
                 for r in reqs:
                     r.out_queue.put(("error", "engine stopped"))
+
+    def _admit_beam(self, req: Request):
+        """Admit one beam request into num_beams slots: chunked prefill of
+        the single prompt, first-round candidate selection from the prefill
+        logits (HF t=0 semantics), then the prefix replicated into every
+        beam row. Decoding happens in _tick via _beam_step rounds."""
+        n = req.num_beams
+        idxs: list[int] = []
+        try:
+            while len(idxs) < n and not self._stop.is_set():
+                i = self._reserve_slot()
+                if i is None:
+                    time.sleep(self._idle_wait)
+                else:
+                    idxs.append(i)
+            if len(idxs) < n:
+                raise RuntimeError("engine stopped")
+            P = int(req.prefix_embeds.shape[1])
+            Pb = min(_bucket_len(P), self.max_len)
+            embeds = jnp.asarray(req.prefix_embeds, self.policy.compute_dtype)
+            if Pb > P:
+                embeds = jnp.pad(embeds, ((0, 0), (0, Pb - P), (0, 0)))
+            mask = (jnp.arange(Pb)[None, :] < P).astype(jnp.int32)
+            small = self.dec.init_cache(self.llm_cfg, 1, Pb, dtype=self.kv_dtype)
+            C = self.prefill_chunk
+            n_chunks = max(Pb // C, 1)
+            C = Pb // n_chunks
+            h_last = jnp.zeros((1, self.llm_cfg.hidden_size),
+                               self.policy.compute_dtype)
+            last_idx = jnp.asarray([P - 1], jnp.int32)
+            for ci in range(n_chunks):
+                small, h_last = _prefill_chunk(
+                    self.params, embeds[:, ci * C:(ci + 1) * C],
+                    mask[:, ci * C:(ci + 1) * C], small, h_last,
+                    last_idx, jnp.asarray(ci * C, jnp.int32),
+                    dec_name=self.dec_name, cfg=self.llm_cfg,
+                    policy=self.policy,
+                )
+            scores, toks = _beam_first(
+                self.params, h_last, dec_name=self.dec_name,
+                cfg=self.llm_cfg, policy=self.policy, n=n,
+            )
+            # HF t=0: only beam 0 exists; all 2n candidates parent to it
+            group = _BeamGroup(
+                req=req, slot_idxs=list(idxs),
+                histories=[[]], scores=[0.0],
+                parent_perm=np.zeros((n,), np.int32),
+                next_tokens=np.zeros((n,), np.int32),
+            )
+            group.select(np.asarray(scores), np.zeros((2 * n,), np.int32),
+                         np.asarray(toks))
+            # replicate the prefilled row into every beam slot
+            rep: dict = {}
+            for key in small:
+                if key == "kv_mask":
+                    rep[key] = jnp.repeat(small[key], n, axis=0)
+                elif key == "index":
+                    rep[key] = small[key]
+                else:
+                    rep[key] = jnp.repeat(small[key], n, axis=1)
+            with self._lock:
+                try:
+                    self.cache = self.dec.insert_prefill_rows(
+                        self.llm_cfg, self.cache, rep,
+                        jnp.asarray(idxs), jnp.full((n,), P, jnp.int32),
+                    )
+                except Exception:
+                    self._rebuild_state_locked()
+                    raise
+                self._knob_cache = None
+                self._stats["admissions"] += 1
+                for i in idxs:
+                    slot = self.slots[i]
+                    slot.req = req
+                    slot.beam = group
+                    slot.reserved = False
+                self.beam_groups.append(group)
+        except Exception:
+            with self._lock:
+                for i in idxs:
+                    if self.slots[i].req is None:
+                        self.slots[i] = _Slot()
+            raise
 
     def _admit_group(self, reqs: list[Request], slot_idxs: list[int], Pb: int):
         """Bucketed batch prefill (no lock held) + one locked scatter."""
@@ -675,9 +938,19 @@ class ServeEngine:
         return done
 
     def _tick(self) -> bool:
-        reqs = [s.req for s in self.slots]
-        if not any(r is not None for r in reqs):
-            return False
+        # beam slots decode in their own _beam_step dispatches below; they
+        # are inactive rows in the sampling dispatch (no cache advance)
+        reqs = [s.req if s.beam is None else None for s in self.slots]
+        worked = False
+        if any(r is not None for r in reqs):
+            worked = True
+            self._sampling_tick(reqs)
+        for group in list(self.beam_groups):
+            worked = True
+            self._beam_tick(group)
+        return worked
+
+    def _sampling_tick(self, reqs) -> None:
         K = self.steps_per_tick
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         if self._knob_cache is None:
@@ -724,7 +997,7 @@ class ServeEngine:
         )
         nxt = np.asarray(nxt)  # (B, K)
         for i in range(len(self.slots)):
-            if self.slots[i].req is None:
+            if self.slots[i].req is None or self.slots[i].beam is not None:
                 continue
             for j in range(K):
                 tok = int(nxt[i, j])
@@ -733,7 +1006,53 @@ class ServeEngine:
                 slot.last_token = tok
                 if self._emit(i):
                     break  # tokens past the stop are discarded
-        return True
+
+    def _beam_tick(self, group: _BeamGroup) -> None:
+        """steps_per_tick beam rounds for one group. Each round is one
+        _beam_step dispatch (cache-reorder + decode + top-2n) plus trivial
+        host selection; rounds can't fuse into a scan because recombination
+        feeds the next round's cache reorder. On failure only this group's
+        request errors (same contract as sampling admission)."""
+        try:
+            for _ in range(self.steps_per_tick):
+                last_tokens = jnp.asarray(
+                    np.array([s.last_token for s in self.slots], np.int32)
+                )
+                self.cache, cand_scores, parents, toks = _beam_step(
+                    self.params, self.cache,
+                    jnp.asarray(group.slot_idxs, jnp.int32),
+                    jnp.asarray(group.parent_perm),
+                    jnp.asarray(group.next_tokens),
+                    jnp.asarray(group.scores, jnp.float32),
+                    last_tokens,
+                    dec_name=self.dec_name, cfg=self.llm_cfg,
+                    policy=self.policy, n=len(group.slot_idxs),
+                )
+                group.select(np.asarray(cand_scores), np.asarray(parents),
+                             np.asarray(toks))
+                self._stats["ticks"] += 1
+                if group.done():
+                    best = group.best()
+                    req = group.req
+                    for tok in best:
+                        req.out_queue.put(("token", tok))
+                    self._stats["tokens"] += len(best)
+                    req.out_queue.put(("done", best))
+                    self._release_group(group)
+                    return
+        except Exception as e:  # noqa: BLE001 — fail this group, keep serving
+            group.req.out_queue.put(("error", f"{type(e).__name__}: {e}"))
+            self._release_group(group)
+            # _beam_step donates the cache; a mid-dispatch failure may have
+            # consumed it — rebuild so other slots stay serviceable
+            self._rebuild_state_locked()
+
+    def _release_group(self, group: _BeamGroup) -> None:
+        if group in self.beam_groups:
+            self.beam_groups.remove(group)
+        for i in group.slot_idxs:
+            self.slots[i] = _Slot()
+        self._knob_cache = None
 
     def _decode_loop(self):
         while not self._stop.is_set():
@@ -742,12 +1061,17 @@ class ServeEngine:
                     worked = self._tick()
             except Exception as e:  # noqa: BLE001 — fail active requests, keep looping
                 with self._lock:
+                    failed: set[str] = set()
                     for i, s in enumerate(self.slots):
                         if s.req is not None:
-                            s.req.out_queue.put(
-                                ("error", f"{type(e).__name__}: {e}")
-                            )
+                            # one error per request, not per beam slot
+                            if s.req.request_id not in failed:
+                                failed.add(s.req.request_id)
+                                s.req.out_queue.put(
+                                    ("error", f"{type(e).__name__}: {e}")
+                                )
                             self.slots[i] = _Slot()
+                    self.beam_groups.clear()
                     # the failed step may have consumed the donated cache /
                     # counts buffers; rebuild so the engine stays serviceable
                     self._rebuild_state_locked()

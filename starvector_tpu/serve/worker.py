@@ -154,6 +154,8 @@ class ModelWorker:
             do_sample=float(payload.get("temperature", 0.8)) > 0,
             stop_sequences=(tok.stop_sequence_ids("</svg>"),),
             eos_token_id=tok.eos_token_id,
+            num_beams=int(payload.get("num_beams", 1)),
+            length_penalty=float(payload.get("length_penalty", 1.0)),
         )
         return req, prompt_text
 
@@ -176,29 +178,6 @@ class ModelWorker:
             stop_sequences=(tok.stop_sequence_ids("</svg>"),),
             eos_token_id=tok.eos_token_id,
             pad_token_id=tok.pad_token_id,
-            policy=self.model.policy,
-        )
-        row = np.asarray(tokens[0][: int(lengths[0])])
-        return prompt_text + tok.decode(row)
-
-    def generate_beam(self, payload: dict) -> str:
-        """Beam-search path (reference exposes num_beams through the UI
-        slider + HF generate, gradio_web_server.py / starvector_base.py:228):
-        runs outside the continuous-batching engine, returns the final text."""
-        from starvector_tpu.generation.beam import beam_search
-
-        prefix, prompt_text, _ = self._prefix_for(payload)
-        tok = self.model.tokenizer
-        tokens, lengths = beam_search(
-            self.model.params["svg_transformer"], prefix,
-            jnp.ones((1, prefix.shape[1]), jnp.int32),
-            dec_name=self.model.cfg.decoder, llm_cfg=self.model.cfg.llm,
-            num_beams=int(payload.get("num_beams", 2)),
-            max_new_tokens=int(payload.get("max_new_tokens", 512)),
-            stop_sequences=(tok.stop_sequence_ids("</svg>"),),
-            eos_token_id=tok.eos_token_id,
-            pad_token_id=tok.pad_token_id,
-            length_penalty=float(payload.get("length_penalty", 1.0)),
             policy=self.model.policy,
         )
         row = np.asarray(tokens[0][: int(lengths[0])])
@@ -274,10 +253,11 @@ def build_app(worker: ModelWorker) -> web.Application:
             resp = web.StreamResponse()
             await resp.prepare(request)
             loop = asyncio.get_running_loop()
+            # beams stream through the continuous-batching engine (beam
+            # groups occupy num_beams slots; concurrent sampling requests
+            # keep streaming) — only speculative decode stays offline
             special = None
-            if int(payload.get("num_beams", 1)) > 1:
-                special = worker.generate_beam
-            elif payload.get("use_speculative"):
+            if payload.get("use_speculative"):
                 special = worker.generate_speculative
             if special is not None:
                 try:
@@ -425,6 +405,11 @@ def build_app(worker: ModelWorker) -> web.Application:
 
 
 def main():
+    from starvector_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()  # warmup amortizes across restarts
     parser = argparse.ArgumentParser()
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=21002)
