@@ -61,7 +61,9 @@ def bench_1b(jax, jnp, np, on_tpu):
     img = cfg.image_size
 
     t0 = time.time()
-    params = sv.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = sv.init_params_jit(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    # any output leaf of the single init executable syncs the whole call
+    np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
     init_s = time.time() - t0
     dec_params = params["svg_transformer"]
     param_bytes = sum(
@@ -419,6 +421,11 @@ def main():
     # an explicit env request (e.g. CPU smoke runs) through jax.config
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from starvector_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -72,7 +72,7 @@ class StarVectorForCausalLM:
         tokenizer: SVGTokenizer | None = None, dtype=jnp.float32,
     ) -> "StarVectorForCausalLM":
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        params = sv.init_params(cfg, rng, dtype=dtype)
+        params = sv.init_params_jit(cfg, rng, dtype=dtype)
         tok = tokenizer or build_test_tokenizer(
             "v2" if cfg.decoder == "starcoder2" else "v1"
         )

@@ -225,7 +225,7 @@ def model_builder(config) -> tuple[dict, sv.StarVectorConfig]:
         params, cfg, _ = load_hf_starvector_checkpoint(str(pretrained))
         return params, cfg
     rng = jax.random.PRNGKey(int(block.get("seed", 0)))
-    params = sv.init_params(cfg, rng)
+    params = sv.init_params_jit(cfg, rng)
     return params, cfg
 
 

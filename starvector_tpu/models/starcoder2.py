@@ -109,9 +109,11 @@ def init_params(cfg: StarCoder2Config, rng: jax.Array, dtype=jnp.float32) -> dic
             },
         }
 
-    layer_keys = jax.random.split(keys[1], cfg.num_hidden_layers)
-    outs = [layer_params(k) for k in layer_keys]
-    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+    # vmap over layer keys: one traced layer body, not num_hidden_layers
+    # unrolled copies (compile time dominates jitted-init cold start)
+    layers = jax.vmap(layer_params)(
+        jax.random.split(keys[1], cfg.num_hidden_layers)
+    )
     params = {
         "embed_tokens": normal_init(keys[0], (cfg.vocab_size, E), std, dtype),
         "layers": layers,

@@ -82,8 +82,9 @@ def init_params(cfg: CLIPViTConfig, rng: jax.Array, dtype=jnp.float32) -> dict:
             },
         }
 
-    outs = [layer_params(k) for k in jax.random.split(keys[3], cfg.layers)]
-    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+    # vmap over layer keys: one traced layer body, not `layers` unrolled
+    # copies (compile time dominates jitted-init cold start)
+    layers = jax.vmap(layer_params)(jax.random.split(keys[3], cfg.layers))
     return {
         # stored as (patch_size*patch_size*3, width): patchify-matmul layout
         "patch_embed": normal_init(

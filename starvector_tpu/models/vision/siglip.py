@@ -97,8 +97,8 @@ def init_params(cfg: SigLIPConfig, rng: jax.Array, dtype=jnp.float32) -> dict:
             },
         }
 
-    outs = [layer_params(k) for k in jax.random.split(keys[2], cfg.layers)]
-    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+    # vmap over layer keys (see gpt_bigcode.init_params: compile-time floor)
+    layers = jax.vmap(layer_params)(jax.random.split(keys[2], cfg.layers))
     return {
         "patch_embed": {
             "kernel": normal_init(

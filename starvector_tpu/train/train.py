@@ -83,6 +83,11 @@ def _to_device(batch: dict, mesh) -> dict:
 
 
 def main(config: ConfigNode):
+    from starvector_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     project = config.get_path("project.name", "starvector-tpu")
     out_dir = config.get_path("project.out_dir", f"runs/{project}")
     log = _metrics_logger(out_dir, config)

@@ -94,3 +94,37 @@ def test_loss_grad_flows():
             lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads[key], 0.0
         )
         assert sub > 0, key
+
+
+def test_init_params_jit_matches_eager():
+    """init_params_jit is the same tree, same values (up to XLA fusion/FMA
+    reassociation — observed ~6e-8) — in one dispatch."""
+    cfg = sv.tiny_config()
+    key = jax.random.PRNGKey(3)
+    eager = sv.init_params(cfg, key)
+    jitted = sv.init_params_jit(cfg, key)
+    flat_e = jax.tree_util.tree_leaves_with_path(eager)
+    flat_j = dict(jax.tree_util.tree_leaves_with_path(jitted))
+    assert len(flat_e) == len(flat_j)
+    for path, leaf in flat_e:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_j[path]), atol=1e-6, rtol=1e-5
+        )
+
+
+def test_init_params_jit_sharded_on_mesh():
+    """With a mesh, params materialize directly sharded per partition_rules
+    (the tunneled-backend cold-start fix: no host materialize + transfer)."""
+    from starvector_tpu.parallel import MeshConfig, create_mesh
+
+    cfg = sv.tiny_config()
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    params = sv.init_params_jit(cfg, jax.random.PRNGKey(3), mesh=mesh)
+    eager = sv.init_params(cfg, jax.random.PRNGKey(3))
+    kern = params["svg_transformer"]["layers"]["attn"]["c_attn"]["kernel"]
+    assert not kern.sharding.is_fully_replicated
+    np.testing.assert_allclose(
+        np.asarray(kern),
+        np.asarray(eager["svg_transformer"]["layers"]["attn"]["c_attn"]["kernel"]),
+        atol=1e-6, rtol=1e-5,
+    )
