@@ -25,6 +25,7 @@ def test_gbc_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sc2_export_loads_in_hf():
     """Exported weights drive the real HF torch model to identical logits."""
     from transformers import Starcoder2Config as HFConfig

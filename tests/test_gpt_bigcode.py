@@ -120,6 +120,7 @@ def test_remat_matches(setup):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_loss_matches_naive(setup):
     cfg, params = setup
     B, S = 2, 13

@@ -56,6 +56,7 @@ def test_avgpool_no_count_pad_matches_torch():
     np.testing.assert_allclose(j, t.transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_inception_features_shape_and_converter():
     params = inception_v3.init_random(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 299, 299, 3)) * 2 - 1
@@ -88,6 +89,7 @@ def test_inception_features_shape_and_converter():
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lpips_vgg_smoke():
     params = lpips_vgg.init_random(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 2 - 1
@@ -99,6 +101,7 @@ def test_lpips_vgg_smoke():
     assert (d_diff > 0).all()
 
 
+@pytest.mark.slow
 def test_fid_inception_end_to_end(tmp_path):
     """FIDCalculator drives the real InceptionV3 path from a .pth file."""
     import torch

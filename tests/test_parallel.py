@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from starvector_tpu.parallel import (
@@ -128,6 +129,7 @@ def test_sharded_task_model_loss_matches():
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_sharded_serving_engine_parity():
     """The continuous-batching ServeEngine over TP=4-sharded params emits
     the same greedy tokens as unsharded (BASELINE config 4: TP decode

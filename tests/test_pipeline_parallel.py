@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from starvector_tpu.models import gpt_bigcode as gbc
 from starvector_tpu.ops.layers import DTypePolicy
@@ -69,6 +70,7 @@ def test_pp_forward_flash_impl():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pp_training_step_loss_and_grads_match():
     from starvector_tpu.models import starvector as sv
 

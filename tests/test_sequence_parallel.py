@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from starvector_tpu.ops.flash_attention import flash_prefill_trainable
 from starvector_tpu.parallel import MeshConfig, create_mesh
@@ -92,6 +93,7 @@ def test_sp_noop_without_sequence_axis():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_training_step_loss_and_grads_match():
     """Full task-model loss + grads, mesh (data=2, sequence=4) vs unsharded."""
     from starvector_tpu.models import starvector as sv

@@ -256,6 +256,7 @@ def test_int8_kv_engine(setup):
     assert out == ref
 
 
+@pytest.mark.slow
 def test_multichunk_prefill_last_token_mid_chunk(setup):
     """Regression: a prompt whose bucket spans several prefill chunks and
     whose LAST real token falls in an EARLIER chunk (P=150, bucket 256,
@@ -275,6 +276,7 @@ def test_multichunk_prefill_last_token_mid_chunk(setup):
     assert out == ref
 
 
+@pytest.mark.slow
 def test_stress_mixed_workload(setup):
     """20 requests, bursty arrivals, mixed buckets/knobs/greedy/sampling on
     a 3-slot engine: everything completes, no errors, greedy requests match
@@ -354,6 +356,7 @@ def test_multichunk_int8_kv_admission(setup):
     assert out == ref
 
 
+@pytest.mark.slow
 def test_beam_group_matches_offline_beam_search(setup):
     """In-engine beam groups reproduce the offline beam_search result
     (HF pool semantics) — the VERDICT r2 #5 'beams in the engine' bar."""

@@ -251,6 +251,7 @@ def test_render_chat_template(tmp_path):
     ) == "a circle in red"
 
 
+@pytest.mark.slow
 def test_beam_and_sampling_stream_concurrently_rest(model):
     """Concurrent beam + sampling requests over real sockets: the beam
     request rides the engine's beam-group slots while the sampling request

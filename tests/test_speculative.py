@@ -50,6 +50,7 @@ def test_speculative_matches_greedy(model, seed):
     assert int(n_fwd) <= 24 + 1
 
 
+@pytest.mark.slow
 def test_speculative_saves_forwards_on_repetition(model):
     cfg, params = model
     # force a highly repetitive prompt
@@ -66,6 +67,7 @@ def test_speculative_saves_forwards_on_repetition(model):
     assert int(n_fwd) < 20, int(n_fwd)
 
 
+@pytest.mark.slow
 def test_speculative_stop_sequence(model):
     cfg, params = model
     prompt = jax.random.randint(jax.random.PRNGKey(5), (1, 4), 1, cfg.vocab_size)
@@ -89,6 +91,7 @@ def test_speculative_stop_sequence(model):
     assert list(np.asarray(toks[0, :L])) == list(np.asarray(ref_toks[0, :L]))
 
 
+@pytest.mark.slow
 def test_speculative_visual_prefix(model):
     """Prefix rows without ids (visual tokens, id = -1) don't break drafting."""
     cfg, params = model

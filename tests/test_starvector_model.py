@@ -76,6 +76,7 @@ def test_text2svg_loss():
     assert np.isfinite(float(loss)) and float(loss) > 0
 
 
+@pytest.mark.slow
 def test_loss_grad_flows():
     cfg = sv.tiny_config()
     params = sv.init_params(cfg, jax.random.PRNGKey(0))
@@ -96,6 +97,7 @@ def test_loss_grad_flows():
         assert sub > 0, key
 
 
+@pytest.mark.slow
 def test_init_params_jit_matches_eager():
     """init_params_jit is the same tree, same values (up to XLA fusion/FMA
     reassociation — observed ~6e-8) — in one dispatch."""
@@ -112,6 +114,7 @@ def test_init_params_jit_matches_eager():
         )
 
 
+@pytest.mark.slow
 def test_init_params_jit_sharded_on_mesh():
     """With a mesh, params materialize directly sharded per partition_rules
     (the tunneled-backend cold-start fix: no host materialize + transfer)."""

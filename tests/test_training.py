@@ -34,6 +34,7 @@ def make_setup(adapter_norm="layer_norm"):
     return cfg, params, tok, batch
 
 
+@pytest.mark.slow
 def test_loss_decreases_sharded():
     cfg, params, tok, batch = make_setup()
     mesh = create_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
@@ -55,6 +56,7 @@ def test_loss_decreases_sharded():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+@pytest.mark.slow
 def test_batchnorm_stats_update_during_training():
     cfg, params, tok, batch = make_setup(adapter_norm="batch_norm")
     tx = build_optimizer(params, lr=1e-3, total_steps=10)
@@ -66,6 +68,7 @@ def test_batchnorm_stats_update_during_training():
     assert not np.allclose(before, after)
 
 
+@pytest.mark.slow
 def test_freeze_mask_blocks_updates():
     cfg, params, tok, batch = make_setup()
     tx = build_optimizer(
@@ -99,6 +102,7 @@ def test_cosine_schedule():
     assert float(sched(110)) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg, params, tok, batch = make_setup()
     tx = build_optimizer(params, lr=1e-3, total_steps=10)

@@ -45,6 +45,7 @@ class _MemDataset:
 
 
 @needs_native
+@pytest.mark.slow
 def test_validator_end_to_end(tmp_path, monkeypatch):
     cfg = ConfigNode({
         "run": {"out_dir": str(tmp_path / "eval")},
@@ -104,6 +105,7 @@ def test_registry():
 
 
 @needs_native
+@pytest.mark.slow
 def test_temperature_sweep(tmp_path):
     cfg = ConfigNode({
         "run": {"out_dir": str(tmp_path / "sweep")},

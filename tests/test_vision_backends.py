@@ -16,6 +16,7 @@ f32 = DTypePolicy(compute_dtype=jnp.float32)
 
 # -- geometry (reference starvector_base.py:85-106) --------------------------
 
+@pytest.mark.slow
 def test_vqgan_tokens_geometry():
     cfg = vqgan.VQGANEncoderConfig()
     assert cfg.tokens_for(224) == 196  # 14 x 14 at f16
@@ -28,6 +29,7 @@ def test_vqgan_tokens_geometry():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_convnext_tokens_geometry():
     cfg = convnext.ConvNeXtConfig()
     assert cfg.tokens_for(224) == 49  # 7 x 7

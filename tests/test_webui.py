@@ -19,6 +19,7 @@ def run(coro):
     return asyncio.new_event_loop().run_until_complete(coro)
 
 
+@pytest.mark.slow
 def test_webui_serves_and_streams(tmp_path):
     from aiohttp import ClientSession
     from aiohttp.test_utils import TestServer
