@@ -110,6 +110,9 @@ def starvector_1b_config(**kw) -> StarVectorConfig:
         image_encoder_type="clip",
         adapter_norm="batch_norm",  # configs/models/starvector-1b/im2svg-stack.yaml:13
         max_length_train=8192,
+        # production default: Pallas flash prefill (154 vs 109 TFLOP/s XLA
+        # at B=64/S=1024 on v5e) + XLA fused decode step
+        llm=gpt_bigcode.GPTBigCodeConfig(attn_impl="mixed"),
     )
     base.update(kw)
     return StarVectorConfig(**base)
@@ -122,6 +125,7 @@ def starvector_8b_config(**kw) -> StarVectorConfig:
         adapter_norm="layer_norm",
         image_size=384,
         max_length_train=16000,  # configs/models/starvector-8b/im2svg-stack.yaml:7
+        llm=starcoder2.StarCoder2Config(attn_impl="mixed"),
     )
     base.update(kw)
     return StarVectorConfig(**base)
