@@ -46,7 +46,8 @@ def main():
     params = sv.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     tx = build_optimizer(params, lr=1e-4, total_steps=1000)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, tx, 0, policy=policy, remat=True)
+    remat = sys.argv[3] if len(sys.argv) > 3 else ("dots" if on_tpu else True)
+    step = make_train_step(cfg, tx, 0, policy=policy, remat=remat)
 
     rng = np.random.RandomState(0)
     batch = {
@@ -72,7 +73,7 @@ def main():
     dt = statistics.median(times)
     toks = B * S
     print(json.dumps({
-        "metric": "training SVG tokens/sec/chip (1B full model, bf16, remat)",
+        "metric": f"training SVG tokens/sec/chip (1B full model, bf16, remat={remat})",
         "value": round(toks / dt, 1),
         "unit": "tokens/s/chip",
         "detail": {

@@ -30,6 +30,7 @@ from starvector_tpu.ops.layers import (
     layer_norm,
     make_dense_params,
     make_layer_norm_params,
+    maybe_checkpoint,
     normal_init,
     quick_gelu,
 )
@@ -171,7 +172,7 @@ def forward(
     def body(h, layer_p):
         return _block(layer_p, cfg, h, policy), None
 
-    body_fn = jax.checkpoint(body) if remat else body
+    body_fn = maybe_checkpoint(body, remat)
     x, _ = jax.lax.scan(body_fn, x, params["layers"])
     return x
 

@@ -32,6 +32,20 @@ class DTypePolicy:
 # initializers (match torch defaults used by the reference)
 # ---------------------------------------------------------------------------
 
+def maybe_checkpoint(fn, remat):
+    """remat: False | True (full per-layer recompute) | "dots" (save matmul
+    outputs, recompute only elementwise). Full remat re-runs the forward
+    matmuls in the backward, capping useful MFU at 6/8 of the hardware's;
+    "dots" spends activation HBM per layer to get those FLOPs back."""
+    if not remat:
+        return fn
+    policy = (
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if remat == "dots" else None
+    )
+    return jax.checkpoint(fn, policy=policy)
+
+
 def normal_init(rng, shape, std=0.02, dtype=jnp.float32):
     """Bit-identical to jax.random.normal(rng, shape)·std, spelled as
     uniform+erfinv: on the axon TPU backend the builtin normal primitive

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from starvector_tpu.ops.layers import maybe_checkpoint
 from starvector_tpu.parallel.mesh import (
     AXIS_SEQUENCE, AXIS_STAGE, AXIS_TENSOR, BATCH_AXES,
 )
@@ -52,7 +53,7 @@ def _plain_scan(layers, x, arrays, body_fn, remat):
     def sbody(h, layer_p):
         return body_fn(h, layer_p, arrays), None
 
-    f = jax.checkpoint(sbody) if remat else sbody
+    f = maybe_checkpoint(sbody, remat)
     h, _ = jax.lax.scan(f, x, layers)
     return h
 
@@ -188,7 +189,7 @@ def pp_layer_scan(
             return h
 
         if remat:
-            stage_block = jax.checkpoint(stage_block)
+            stage_block = maybe_checkpoint(stage_block, remat)
 
         T = nm + n_stages - 1
 

@@ -82,6 +82,19 @@ def _to_device(batch: dict, mesh) -> dict:
     return out
 
 
+def _remat_mode(raw):
+    """training.gradient_checkpointing: true | false | "dots".
+
+    "dots" maps to jax.checkpoint's dots_with_no_batch_dims_saveable policy
+    (ops/layers.py::maybe_checkpoint): matmul outputs are saved, only
+    elementwise ops recompute — trades activation HBM for the ~2/8 of MFU
+    that full per-layer remat burns re-running forward matmuls.
+    """
+    if isinstance(raw, str):
+        return raw
+    return bool(raw)
+
+
 def main(config: ConfigNode):
     from starvector_tpu.utils.compile_cache import (
         enable_persistent_compilation_cache,
@@ -171,7 +184,7 @@ def main(config: ConfigNode):
 
         train_step = make_train_step(
             cfg, tx, tokenizer.pad_token_id, policy=policy,
-            remat=bool(config.get_path("training.gradient_checkpointing", True)),
+            remat=_remat_mode(config.get_path("training.gradient_checkpointing", True)),
         )
         eval_step = make_eval_step(cfg, tokenizer.pad_token_id, policy=policy)
 

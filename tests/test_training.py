@@ -94,6 +94,30 @@ def test_freeze_mask_blocks_updates():
     assert moved > 0
 
 
+def test_remat_dots_grads_match_full_remat():
+    """remat="dots" (save matmul outputs, recompute elementwise) must be a
+    pure scheduling choice: loss and grads bit-match remat=True/False."""
+    cfg, params, tok, batch = make_setup()
+
+    def grads_for(remat):
+        def loss(p):
+            out = sv.loss_fn_with_bn_stats(
+                p, cfg, batch, tok.pad_token_id, policy=F32,
+                dropout_rng=jax.random.PRNGKey(0), remat=remat,
+            )
+            return out[0]
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        return float(l), g
+
+    l_full, g_full = grads_for(True)
+    l_dots, g_dots = grads_for("dots")
+    assert l_full == pytest.approx(l_dots, rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_cosine_schedule():
     sched = cosine_schedule_with_warmup(1.0, warmup_steps=10, total_steps=110)
     assert float(sched(0)) == 0.0
