@@ -465,20 +465,31 @@ def _flash_dkv_kernel(
 def flash_backward(
     q, k, v, kv_mask, out, lse, g, q_offset: jax.Array | int = 0, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
-    block_q: int = 128, block_k: int = 128, interpret: bool | None = None,
+    block_q: int | None = None, block_k: int | None = None,
+    interpret: bool | None = None,
 ):
     """Fused flash-attention backward: dq/dk/dv with recomputed P blocks and
     fp32 accumulation — nothing O(S·T) ever materializes (the reference gets
     this from the flash_attn CUDA backward, modeling_gpt_bigcode.py:288-503).
     `lse` is the forward's logsumexp (B, H, S); `g` the output cotangent;
     `q_offset` the absolute position of q[:, 0] in the KV window (sequence-
-    parallel chunks)."""
+    parallel chunks).
+
+    Default blocks are shape-adaptive, tuned on v5e at the 1B training shape
+    (B=8, S=1282, MQA): bq=512 with bk minimizing padded KV length measured
+    43 TF/s vs 11 TF/s for uniform 128/128 — small blocks drown in grid
+    overhead ((B,H,11,11)=15k programs of ~4 MFLOP dots), and a bk that pads
+    T (e.g. 1024 -> Tp=2048 at T=1282) wastes up to 60% of the k sweep."""
     if interpret is None:
         interpret = _interpret_default()
     B, S, H, D = q.shape
     T, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
     scale = D**-0.5 if scale is None else scale
+    if block_q is None:
+        block_q = 512
+    if block_k is None:
+        block_k = min((1024, 1536, 2048), key=lambda b: (-(-T // b) * b, -b))
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(T, 128))
     q_pad = (-S) % block_q
