@@ -65,6 +65,15 @@ def bench_1b(jax, jnp, np, on_tpu):
     # any output leaf of the single init executable syncs the whole call
     np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
     init_s = time.time() - t0
+    # Second init re-dispatches the same executable: steady-state init time.
+    # On the tunneled axon runtime PJRT compile() is lazy — the real server-
+    # side compile fires on FIRST execution with 30-600 s variance that
+    # tracks remote congestion, not this code (measured 37/70/437 s for the
+    # identical program). Report both so the cold number is auditable.
+    t0 = time.time()
+    params = sv.init_params_jit(cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    np.asarray(jax.tree_util.tree_leaves(params)[0].ravel()[:1])
+    init_steady_s = time.time() - t0
     dec_params = params["svg_transformer"]
     param_bytes = sum(
         x.size * x.dtype.itemsize
@@ -334,6 +343,7 @@ def bench_1b(jax, jnp, np, on_tpu):
         "visual_prefix": "real CLIP-257 tower + adapter",
         "p50_image_to_svg64_latency_s": round(lat, 4) if lat else None,
         "param_init_s": round(init_s, 1),
+        "param_init_steady_s": round(init_steady_s, 1),
     }
 
 
