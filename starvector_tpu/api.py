@@ -253,6 +253,7 @@ class StarVectorForCausalLM:
             "outputs": outputs,
             "lengths": lengths,
             "inputs_embeds": inputs_embeds,
+            "prompt_len": prompt_ids.shape[1],
         }
 
     def generate_text2svg(self, batch: dict, **kwargs) -> list[str]:

@@ -1,0 +1,218 @@
+"""GRPO post-training loop: advantages, pixel reward, clipped surrogate,
+and the full rollout→reward→update cycle on the tiny config.
+
+The reference ships only the RL *surface* (GRPO forward + grouped rollouts,
+starvector_arch.py:161-184, starvector_base.py:261-286); the trainer built
+here (train/grpo.py) is validated against the surface's contracts: ratio ≡ 1
+right after a rollout, positive-advantage rollouts gain log-prob, frozen
+components stay frozen."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starvector_tpu.models import starvector as sv
+from starvector_tpu.train import grpo as G
+
+
+def test_group_advantages_zscore():
+    r = jnp.asarray([1.0, 3.0, 0.0, 0.0, 2.0, 2.0, 2.0, 2.0])
+    adv = G.group_advantages(r, 4)
+    a = np.asarray(adv).reshape(2, 4)
+    # group 0: z-scores of [1,3,0,0] — zero-mean, ~unit-std
+    assert abs(a[0].mean()) < 1e-6
+    assert abs(np.std(a[0]) - 1.0) < 1e-3
+    # group 1: uniform rewards → A ≡ 0, not amplified noise
+    np.testing.assert_allclose(a[1], 0.0, atol=1e-6)
+
+
+def test_svg_pixel_reward_orders_quality():
+    red = '<svg xmlns="http://www.w3.org/2000/svg" width="32" height="32"><rect width="32" height="32" fill="red"/></svg>'
+    blue = red.replace("red", "blue")
+    from starvector_tpu.data.rasterize import rasterize_svg
+
+    target = np.asarray(rasterize_svg(red, resolution=64))
+    r_match = G.svg_pixel_reward(red, target, resolution=64)
+    r_wrong = G.svg_pixel_reward(blue, target, resolution=64)
+    # "<svg><rect" is REPAIRED by the clean chain (tags closed → renders
+    # empty/white) so it scores low-but-nonzero; unrecoverable text falls to
+    # the placeholder and scores exactly 0.
+    r_repaired = G.svg_pixel_reward("<svg><rect", target, resolution=64)
+    r_invalid = G.svg_pixel_reward("not an svg at all", target, resolution=64)
+    assert r_match > 0.95
+    assert r_match > r_wrong
+    assert r_match > r_repaired
+    assert r_invalid == 0.0
+
+
+def test_batch_rewards_group_order():
+    red = '<svg xmlns="http://www.w3.org/2000/svg" width="16" height="16"><rect width="16" height="16" fill="red"/></svg>'
+    blue = red.replace("red", "blue")
+    from starvector_tpu.data.rasterize import rasterize_svg
+
+    t_red = np.asarray(rasterize_svg(red, resolution=32))
+    t_blue = np.asarray(rasterize_svg(blue, resolution=32))
+    # rollouts in HF expand order: [p0, p0, p1, p1]
+    r = G.batch_rewards(
+        [red, blue, red, blue], [t_red, t_blue],
+        num_generations=2, resolution=32,
+    )
+    assert r[0] > r[1]   # red rollout matches red target
+    assert r[3] > r[2]   # blue rollout matches blue target
+
+
+def _ratio_one_loss(params, cfg, roll, adv, **kw):
+    return G.grpo_loss(
+        params, cfg, roll["vision_embeds"], roll["ids"], roll["attn_mask"],
+        roll["loss_mask"], roll["old_lp"], adv, None,
+        num_generations=kw.pop("num_generations"), clip_eps=0.2, kl_beta=0.0,
+        policy=kw.pop("policy"),
+    )
+
+
+def _tiny_rollout(model, B=2, Gn=2, T=6):
+    """Deterministic fake rollout at the tiny geometry (no sampling engine:
+    the loss contract is what's under test)."""
+    cfg = model.cfg
+    rng = np.random.RandomState(0)
+    Q = cfg.query_length
+    E = cfg.llm.hidden_size
+    vis = jnp.asarray(rng.randn(B, Q, E), jnp.float32) * 0.02
+    P = 2
+    ids = jnp.asarray(
+        rng.randint(1, cfg.llm.vocab_size, (B * Gn, P + T)), jnp.int32
+    )
+    lengths = jnp.asarray([T, T - 2] * B)
+    pos = jnp.arange(P + T)[None, :]
+    attn = (pos < P + lengths[:, None]).astype(jnp.int32)
+    loss_m = attn * (pos >= P).astype(jnp.int32)
+    old = jax.lax.stop_gradient(
+        sv.grpo_forward(
+            model.params, cfg, vis, ids, attn, num_generations=Gn,
+            policy=model.policy,
+        )
+    )
+    return {
+        "vision_embeds": vis, "ids": ids, "attn_mask": attn,
+        "loss_mask": loss_m, "old_lp": old,
+    }
+
+
+def test_grpo_loss_ratio_one_equals_negative_advantage():
+    """Right after a rollout new_lp == old_lp, so ratio ≡ 1 and the clipped
+    surrogate reduces to −mean(A) exactly (per-sequence token means drop
+    out because A is constant per sequence)."""
+    from starvector_tpu.api import StarVectorForCausalLM
+
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    roll = _tiny_rollout(model)
+    adv = jnp.asarray([1.0, -1.0, 0.5, -0.5])
+    loss, metrics = _ratio_one_loss(
+        model.params, model.cfg, roll, adv,
+        num_generations=2, policy=model.policy,
+    )
+    np.testing.assert_allclose(float(loss), -float(adv.mean()), atol=1e-5)
+    np.testing.assert_allclose(float(metrics["mean_ratio"]), 1.0, atol=1e-5)
+    assert float(metrics["clip_frac"]) == 0.0
+
+
+def test_grpo_step_descends_surrogate():
+    """One small update must strictly decrease the clipped surrogate on the
+    same rollout (at ratio ≡ 1 the initial loss is −mean(A) = 0 for a
+    zero-mean advantage vector, so any true descent direction goes
+    negative). Per-row movement is NOT asserted — rows share parameters, so
+    only the aggregate objective has a guaranteed sign."""
+    from starvector_tpu.api import StarVectorForCausalLM
+    from starvector_tpu.train.optim import build_optimizer
+
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    roll = _tiny_rollout(model)
+    adv = jnp.asarray([2.0, -2.0, 2.0, -2.0])
+    tx = build_optimizer(
+        model.params, lr=1e-3, weight_decay=0.0,
+        train_image_encoder=False, train_connector=False,
+    )
+    opt_state = jax.jit(tx.init)(model.params)
+    step = G.make_grpo_step(
+        model.cfg, tx, num_generations=2, clip_eps=0.2, policy=model.policy
+    )
+    frozen_before = jax.tree_util.tree_map(
+        np.asarray, model.params["image_projection"]
+    )
+    new_params, _, metrics = step(model.params, opt_state, roll, adv)
+    loss0 = float(metrics["loss"])
+    np.testing.assert_allclose(loss0, 0.0, atol=1e-5)  # ratio ≡ 1, mean(A)=0
+    assert float(metrics["grad_norm"]) > 0.0
+    loss1, _ = _ratio_one_loss(
+        new_params, model.cfg, roll, adv,
+        num_generations=2, policy=model.policy,
+    )
+    assert float(loss1) < loss0
+    # frozen components untouched (freeze masks, reference stage-2 recipe)
+    frozen_after = jax.tree_util.tree_map(
+        np.asarray, new_params["image_projection"]
+    )
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, frozen_before, frozen_after
+    )
+
+
+def test_grpo_kl_penalizes_divergence():
+    """With kl_beta > 0 and zero advantages the objective is pure k3 KL:
+     0 at the reference policy, positive after the policy moves."""
+    from starvector_tpu.api import StarVectorForCausalLM
+
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    roll = _tiny_rollout(model)
+    adv = jnp.zeros(4)
+    ref_lp = roll["old_lp"]
+    loss_at_ref, metrics = G.grpo_loss(
+        model.params, model.cfg, roll["vision_embeds"], roll["ids"],
+        roll["attn_mask"], roll["loss_mask"], roll["old_lp"], adv, ref_lp,
+        num_generations=2, clip_eps=0.2, kl_beta=0.1, policy=model.policy,
+    )
+    np.testing.assert_allclose(float(loss_at_ref), 0.0, atol=1e-5)
+    np.testing.assert_allclose(float(metrics["kl"]), 0.0, atol=1e-6)
+    # shift the reference: KL must be strictly positive
+    loss_moved, metrics2 = G.grpo_loss(
+        model.params, model.cfg, roll["vision_embeds"], roll["ids"],
+        roll["attn_mask"], roll["loss_mask"], roll["old_lp"], adv,
+        ref_lp - 0.3, num_generations=2, clip_eps=0.2, kl_beta=0.1,
+        policy=model.policy,
+    )
+    assert float(metrics2["kl"]) > 0.0
+    assert float(loss_moved) > float(loss_at_ref)
+
+
+@pytest.mark.slow
+def test_grpo_trainer_full_cycle():
+    """End-to-end: real sampling rollout, real rasterized rewards, one
+    update. Checks plumbing (prompt_len, masks, HF expand order) rather
+    than learning progress at the tiny geometry."""
+    from starvector_tpu.api import StarVectorForCausalLM
+    from starvector_tpu.data.rasterize import rasterize_svg
+
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    trainer = G.GRPOTrainer(
+        model,
+        G.GRPOConfig(num_generations=2, max_new_tokens=8,
+                     reward_resolution=32, kl_beta=0.05),
+        lr=1e-3,
+    )
+    B = 2
+    images = jnp.asarray(
+        np.random.RandomState(0).randn(
+            B, model.cfg.image_size, model.cfg.image_size, 3
+        ),
+        jnp.float32,
+    )
+    red = '<svg xmlns="http://www.w3.org/2000/svg" width="16" height="16"><rect width="16" height="16" fill="red"/></svg>'
+    targets = [np.asarray(rasterize_svg(red, resolution=32))] * B
+    m1 = trainer.step(images, targets)
+    m2 = trainer.step(images, targets)
+    for m in (m1, m2):
+        assert np.isfinite(m["loss"])
+        assert 0.0 <= m["valid_frac"] <= 1.0
+        assert m["reward_mean"] >= 0.0
+    assert trainer.step_count == 2
