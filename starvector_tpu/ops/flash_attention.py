@@ -457,39 +457,126 @@ def _flash_dkv_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _flash_dqdkv_fused_kernel(
+    q_offset_ref,    # (1,) absolute position of query row 0
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dq_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,  # (Tp, D) fp32 accumulators
+    *, scale, block_q, causal, window, n_i,
+):
+    """Single-k-block fused backward (T fits one block, the common training
+    shape): grid (B, Hkv, G·n_i) with K/V resident per (b, hkv). Each step
+    recomputes Pᵀ ONCE and emits its dq block directly while accumulating
+    dk/dv in scratch — vs the two-kernel path this halves the program count,
+    the exp/mask VPU work, and the K/V reloads, which is where the time goes
+    at S≈1k (the kernels are overhead/VPU-bound there, not MXU-bound:
+    measured 7.1 ms → see flash_backward docstring)."""
+    u = pl.program_id(2)
+    nu = pl.num_programs(2)
+    i = jax.lax.rem(u, n_i)
+    q_off = q_offset_ref[0]
+    Tp = k_ref.shape[2]
+
+    @pl.when(u == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]                  # (bq, D)
+    k = k_ref[0, 0]                  # (Tp, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                # (bq, D)
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                        # (Tp, bq)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (Tp, block_q), 0)
+    q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (Tp, block_q), 1
+    )
+    mask = kvmask_ref[0, 0, :][:, None] > 0
+    if causal:
+        mask &= k_pos <= q_pos
+    if window is not None:
+        mask &= k_pos > q_pos - window
+    lse = lse_ref[0, 0][:, 0][None, :]       # (1, bq)
+    p_t = jnp.where(mask, jnp.exp(s_t - lse), 0.0)        # (Tp, bq)
+    dv_scr[:] += jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (Tp, bq)
+    delta = delta_ref[0, 0][:, 0][None, :]                # (1, bq)
+    ds_t = p_t * (dp_t - delta) * scale                   # (Tp, bq)
+    ds_b = ds_t.astype(q.dtype)
+    dk_scr[:] += jax.lax.dot_general(
+        ds_b, q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dq = dsᵀ · k, contracting the shared T axis (no transpose materialized)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds_b, k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+    @pl.when(u == nu - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# Above this KV length the fused kernel's resident K/V + fp32 dk/dv scratch
+# (~T·128·12 bytes + double-buffered q/do blocks) would crowd VMEM; the
+# two-kernel path also stops being overhead-bound there, so split wins.
+_FUSED_BWD_MAX_T = 2048
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "window", "scale", "block_q", "block_k",
-                     "interpret"),
+                     "interpret", "fused"),
 )
 def flash_backward(
     q, k, v, kv_mask, out, lse, g, q_offset: jax.Array | int = 0, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
     block_q: int | None = None, block_k: int | None = None,
-    interpret: bool | None = None,
+    interpret: bool | None = None, fused: bool | None = None,
 ):
-    """Fused flash-attention backward: dq/dk/dv with recomputed P blocks and
+    """Flash-attention backward: dq/dk/dv with recomputed P blocks and
     fp32 accumulation — nothing O(S·T) ever materializes (the reference gets
     this from the flash_attn CUDA backward, modeling_gpt_bigcode.py:288-503).
     `lse` is the forward's logsumexp (B, H, S); `g` the output cotangent;
     `q_offset` the absolute position of q[:, 0] in the KV window (sequence-
     parallel chunks).
 
-    Default blocks are shape-adaptive, tuned on v5e at the 1B training shape
-    (B=8, S=1282, MQA): bq=512 with bk minimizing padded KV length measured
-    43 TF/s vs 11 TF/s for uniform 128/128 — small blocks drown in grid
-    overhead ((B,H,11,11)=15k programs of ~4 MFLOP dots), and a bk that pads
-    T (e.g. 1024 -> Tp=2048 at T=1282) wastes up to 60% of the k sweep."""
+    Two paths, chosen by KV length (override with `fused`):
+      * T ≤ _FUSED_BWD_MAX_T — single-k-block fused kernel
+        (`_flash_dqdkv_fused_kernel`): one program per q block computes Pᵀ
+        once and emits dq + dk/dv-accumulation together. At S≈1k the
+        split kernels are overhead/VPU-bound (~8.5 µs/program measured on
+        v5e — exp+mask recompute twice, 768 programs), not MXU-bound;
+        fusing halves the programs and the VPU work.
+      * longer T — split dq / dkv kernels with shape-adaptive blocks
+        (bq=512, bk minimizing padded KV length: 69 TF/s at S=8192 vs
+        11 TF/s for uniform 128/128 — small blocks drown in grid overhead,
+        and a bk that pads T (e.g. 1024 → Tp=2048 at T=1282) wastes up to
+        60% of the k sweep)."""
     if interpret is None:
         interpret = _interpret_default()
     B, S, H, D = q.shape
     T, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
     scale = D**-0.5 if scale is None else scale
+    if fused is None:
+        fused = block_k is None and T <= _FUSED_BWD_MAX_T
     if block_q is None:
         block_q = 512
     if block_k is None:
-        block_k = min((1024, 1536, 2048), key=lambda b: (-(-T // b) * b, -b))
+        block_k = (
+            max(-(-T // 128) * 128, 128) if fused
+            else min((1024, 1536, 2048), key=lambda b: (-(-T // b) * b, -b))
+        )
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(T, 128))
     q_pad = (-S) % block_q
@@ -524,6 +611,71 @@ def flash_backward(
                   causal=causal, window=window)
 
     q_off_arr = jnp.asarray([q_offset], jnp.int32)
+    if fused:
+        assert nj == 1, (Tp, block_k)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_dqdkv_fused_kernel, scale=scale, block_q=block_q,
+                causal=causal, window=window, n_i=ni,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, Hkv, G * ni),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, u, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, u, *_: (b, hk, 0, 0)),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, u, *_: (b, hk, 0, 0)),
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, u, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, u, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, u, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec((1, 1, Tp),
+                                 lambda b, hk, u, *_: (b, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, u, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, u, *_: (b, hk, 0, 0)),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, u, *_: (b, hk, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((Tp, D), jnp.float32),
+                    pltpu.VMEM((Tp, D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), k.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), v.dtype),
+            ],
+            interpret=interpret,
+        )(q_off_arr, qh, kh, vh, doh, lse, delta, kvm)
+        dq = jnp.moveaxis(dq, 1, 2)[:, :S]
+        dk = jnp.moveaxis(dk, 1, 2)[:, :T]
+        dv = jnp.moveaxis(dv, 1, 2)[:, :T]
+        return dq, dk, dv
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
