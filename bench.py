@@ -347,12 +347,14 @@ def bench_1b(jax, jnp, np, on_tpu):
     }
 
 
-def bench_train(jax, jnp, np, on_tpu):
+def bench_train(jax, jnp, np, on_tpu, *, B=None, S=None, remat=None):
     """Full 1B train step (vision + adapter + decoder, loss+grads+AdamW,
     remat): tokens/s/chip and model FLOPs utilization. The MFU numerator
     counts matmul FLOPs only (6·params·tokens per component + attention
     score/value terms, fwd+bwd) against the v5e ~197 TFLOP/s bf16 peak —
-    the standard accounting, so the number is auditable."""
+    the standard accounting, so the number is auditable.
+    `B`/`S`/`remat` override the bench point (scripts/bench_train.py is the
+    CLI over this function — single source for the step protocol)."""
     import dataclasses
 
     from starvector_tpu.models import starvector as sv
@@ -365,11 +367,11 @@ def bench_train(jax, jnp, np, on_tpu):
         cfg = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, attn_impl="mixed")
         )
-        B, S, reps = 8, 1024, 3
+        B, S, reps = B or 8, S or 1024, 3
         dtype = compute = jnp.bfloat16
     else:
         cfg = sv.tiny_config()
-        B, S, reps = 2, 16, 1
+        B, S, reps = B or 2, S or 16, 1
         dtype = compute = jnp.float32
     policy = DTypePolicy(param_dtype=dtype, compute_dtype=compute)
     params = sv.init_params_jit(cfg, jax.random.PRNGKey(0), dtype=dtype)
@@ -378,8 +380,9 @@ def bench_train(jax, jnp, np, on_tpu):
     # "dots" remat keeps matmul outputs resident and recomputes only
     # elementwise ops in backward — full remat would re-run every forward
     # matmul, capping true MFU at ~75% of the reported number.
-    step = make_train_step(cfg, tx, 0, policy=policy,
-                           remat="dots" if on_tpu else True)
+    if remat is None:
+        remat = "dots" if on_tpu else True
+    step = make_train_step(cfg, tx, 0, policy=policy, remat=remat)
 
     rng = np.random.RandomState(0)
     batch = {

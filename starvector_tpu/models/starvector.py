@@ -328,7 +328,7 @@ def text2svg_inputs(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "policy", "num_generations")
+    jax.jit, static_argnames=("cfg", "policy", "num_generations", "remat")
 )
 def grpo_forward(
     params: dict,
@@ -339,12 +339,16 @@ def grpo_forward(
     *,
     num_generations: int = 1,
     policy: DTypePolicy = DTypePolicy(),
+    remat: bool | str = False,
 ) -> jax.Array:
     """GRPO-style forward (reference StarVectorForCausalLM.forward,
     starvector_arch.py:161-184): repeat each image's visual prefix for its
     `num_generations` rollouts, run the decoder over [prefix ‖ tokens], and
     return per-token log-probs of the generated ids (B*G, S) for the policy
-    gradient. Positions before each row's first real token get logprob 0."""
+    gradient. Positions before each row's first real token get logprob 0.
+    `remat` (as in loss_fn) is required at RL scale: B·G rows × long
+    rollouts would otherwise store every layer's activations for the
+    update's backward."""
     dec = cfg.decoder_module
     G = num_generations
     B, Q, E = vision_embeds.shape
@@ -359,7 +363,7 @@ def grpo_forward(
     )
     hidden, _ = dec.forward(
         params["svg_transformer"], cfg.llm, inputs_embeds,
-        attention_mask=am, policy=policy, return_hidden=True,
+        attention_mask=am, policy=policy, return_hidden=True, remat=remat,
     )
     # hidden at position Q-1+t predicts input_ids[:, t]; the LM head is
     # fused into a chunked scan so (B*G, S, V) logits never materialize

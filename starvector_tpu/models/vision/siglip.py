@@ -197,11 +197,18 @@ def config_from_state_dict(
     )
     inter = np.asarray(sd[prefix + "encoder.layers.0.mlp.fc1.weight"]).shape[0]
     if heads is None:
-        # heads are not recoverable from weight shapes; siglip towers use
-        # head_dim 64, and our own exports record the true value in
-        # config.json (vision_geometry)
-        head_dim = 64 if width % 64 == 0 else max(width // 4, 1)
-        heads = max(width // head_dim, 1)
+        # heads are not recoverable from weight shapes; our own exports
+        # record the true value in config.json (vision_geometry). For
+        # torch-side checkpoints, map known SigLIP widths explicitly —
+        # so400m (width 1152) uses 16 heads of head_dim 72, which the
+        # naive head_dim-64 rule would silently mis-split as 18 heads
+        # (1152 % 64 == 0, every reshape succeeds, outputs are wrong).
+        known = {768: 12, 1024: 16, 1152: 16, 1280: 16}
+        if width in known:
+            heads = known[width]
+        else:
+            head_dim = 64 if width % 64 == 0 else max(width // 4, 1)
+            heads = max(width // head_dim, 1)
     return SigLIPConfig(
         image_size=grid * patch, patch_size=patch, hidden_size=width,
         layers=layers, heads=heads, intermediate_size=inter,

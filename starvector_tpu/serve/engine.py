@@ -783,8 +783,10 @@ class ServeEngine:
                         self.llm_cfg, self.cache, rep,
                         jnp.asarray(idxs), jnp.full((n,), P, jnp.int32),
                     )
-                except Exception:
-                    self._rebuild_state_locked()
+                except Exception as ie:  # noqa: BLE001
+                    # insert donates the cache: rebuilding zeroes every
+                    # slot's context, so all active requests fail with it
+                    self._fail_active_locked(ie)
                     raise
                 self._knob_cache = None
                 self._stats["admissions"] += 1
@@ -1040,12 +1042,27 @@ class ServeEngine:
                     req.out_queue.put(("done", best))
                     self._release_group(group)
                     return
-        except Exception as e:  # noqa: BLE001 — fail this group, keep serving
-            group.req.out_queue.put(("error", f"{type(e).__name__}: {e}"))
-            self._release_group(group)
+        except Exception as e:  # noqa: BLE001 — keep the engine alive
             # _beam_step donates the cache; a mid-dispatch failure may have
-            # consumed it — rebuild so other slots stay serviceable
-            self._rebuild_state_locked()
+            # consumed it. Rebuilding zeroes EVERY slot's KV context, so all
+            # active requests must fail with it — continuing the others
+            # against a blank cache would stream well-formed garbage.
+            self._fail_active_locked(e)
+
+    def _fail_active_locked(self, e: Exception) -> None:
+        """Error out every active request and rebuild the donated device
+        state (caller holds the lock). Used whenever a failed dispatch may
+        have consumed the cache: the rebuilt cache is empty, so no surviving
+        request could decode correctly afterwards."""
+        failed: set[str] = set()
+        for i, s in enumerate(self.slots):
+            if s.req is not None:
+                if s.req.request_id not in failed:  # one error per request
+                    failed.add(s.req.request_id)
+                    s.req.out_queue.put(("error", f"{type(e).__name__}: {e}"))
+                self.slots[i] = _Slot()
+        self.beam_groups.clear()
+        self._rebuild_state_locked()
 
     def _release_group(self, group: _BeamGroup) -> None:
         if group in self.beam_groups:
@@ -1061,20 +1078,9 @@ class ServeEngine:
                     worked = self._tick()
             except Exception as e:  # noqa: BLE001 — fail active requests, keep looping
                 with self._lock:
-                    failed: set[str] = set()
-                    for i, s in enumerate(self.slots):
-                        if s.req is not None:
-                            # one error per request, not per beam slot
-                            if s.req.request_id not in failed:
-                                failed.add(s.req.request_id)
-                                s.req.out_queue.put(
-                                    ("error", f"{type(e).__name__}: {e}")
-                                )
-                            self.slots[i] = _Slot()
-                    self.beam_groups.clear()
                     # the failed step may have consumed the donated cache /
-                    # counts buffers; rebuild so the engine stays serviceable
-                    self._rebuild_state_locked()
+                    # counts buffers; rebuild (everyone fails with it)
+                    self._fail_active_locked(e)
                 worked = False
             if not worked:
                 time.sleep(self._idle_wait)

@@ -54,7 +54,9 @@ def render_chat_template(messages, template_path: str | None = None) -> str:
         with open(path) as f:
             template = jinja2.Template(f.read())
         return template.render(messages=[{"content": t} for t in texts])
-    except (ImportError, OSError):
+    except Exception:  # noqa: BLE001 — malformed template (jinja2 syntax/
+        # render errors) must degrade to concatenation like a missing one,
+        # not 500 every chat request
         return "".join(texts)
 
 

@@ -147,7 +147,10 @@ def grpo_loss(
     ids: jax.Array,              # (B·G, L) prompt ‖ generated, right-padded
     attn_mask: jax.Array,        # (B·G, L) valid positions (prompt + gen)
     loss_mask: jax.Array,        # (B·G, L) generated positions only
-    old_lp: jax.Array,           # (B·G, L) behavior log-probs (rollout-time)
+    old_lp: jax.Array | None,    # (B·G, L) behavior log-probs, or None:
+                                 #   one-update-per-rollout ⇒ old ≡ new, so
+                                 #   stop_gradient(new_lp) stands in and the
+                                 #   extra behavior-forward is skipped
     advantages: jax.Array,       # (B·G,)
     ref_lp: jax.Array | None,    # (B·G, L) frozen-policy log-probs (KL) or None
     *,
@@ -155,14 +158,17 @@ def grpo_loss(
     clip_eps: float,
     kl_beta: float,
     policy: DTypePolicy,
+    remat: bool | str = False,
 ):
     """Clipped-surrogate GRPO objective. Per-sequence token mean, then batch
     mean (the GRPO paper's 1/|o_i| Σ normalization), so long rollouts don't
     dominate short ones."""
     new_lp = sv.grpo_forward(
         params, cfg, vision_embeds, ids, attn_mask,
-        num_generations=num_generations, policy=policy,
+        num_generations=num_generations, policy=policy, remat=remat,
     )
+    if old_lp is None:
+        old_lp = jax.lax.stop_gradient(new_lp)
     ratio = jnp.exp(new_lp - old_lp)
     adv = advantages.astype(jnp.float32)[:, None]
     surr = jnp.minimum(
@@ -198,10 +204,12 @@ def make_grpo_step(
     clip_eps: float = 0.2,
     kl_beta: float = 0.0,
     policy: DTypePolicy = DTypePolicy(),
+    remat: bool | str = False,
 ):
     """Returns grpo_step(params, opt_state, rollout, advantages) →
     (params, opt_state, metrics). `rollout` is the dict the trainer builds:
-    vision_embeds / ids / attn_mask / loss_mask / old_lp [/ ref_lp].
+    vision_embeds / ids / attn_mask / loss_mask [/ old_lp] [/ ref_lp]
+    (omit old_lp with one update per rollout — ratio ≡ 1, see grpo_loss).
     Params/opt_state are donated (in-place update, like the SFT step)."""
 
     use_kl = kl_beta > 0.0
@@ -213,10 +221,11 @@ def make_grpo_step(
         def wrapped(p):
             return grpo_loss(
                 p, cfg, rollout["vision_embeds"], rollout["ids"],
-                rollout["attn_mask"], rollout["loss_mask"], rollout["old_lp"],
+                rollout["attn_mask"], rollout["loss_mask"],
+                rollout.get("old_lp"),
                 advantages, rollout.get("ref_lp") if use_kl else None,
                 num_generations=num_generations, clip_eps=clip_eps,
-                kl_beta=kl_beta, policy=policy,
+                kl_beta=kl_beta, policy=policy, remat=remat,
             )
 
         (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
@@ -252,6 +261,7 @@ class GRPOTrainer:
         warmup_steps: int = 0,
         grad_clip: float = 1.0,
         weight_decay: float = 0.0,
+        remat: bool | str = "dots",
     ):
         from starvector_tpu.train.optim import build_optimizer
 
@@ -277,7 +287,7 @@ class GRPOTrainer:
         self._step_fn = make_grpo_step(
             model.cfg, self.tx, num_generations=grpo.num_generations,
             clip_eps=grpo.clip_eps, kl_beta=grpo.kl_beta,
-            policy=model.policy,
+            policy=model.policy, remat=remat,
         )
         self.step_count = 0
 
@@ -306,16 +316,12 @@ class GRPOTrainer:
         attn_mask = (pos < P + lengths[:, None]).astype(jnp.int32)
         loss_mask = attn_mask * (pos >= P).astype(jnp.int32)
 
-        old_lp = jax.lax.stop_gradient(
-            sv.grpo_forward(
-                self.model.params, self.model.cfg, vision_embeds, ids,
-                attn_mask, num_generations=g.num_generations,
-                policy=self.model.policy,
-            )
-        )
+        # No behavior-logprob forward: with exactly one update per rollout,
+        # old_lp ≡ new_lp (ratio ≡ 1), so grpo_loss substitutes
+        # stop_gradient(new_lp) — identical gradients, one forward fewer.
         rollout = {
             "vision_embeds": vision_embeds, "ids": ids,
-            "attn_mask": attn_mask, "loss_mask": loss_mask, "old_lp": old_lp,
+            "attn_mask": attn_mask, "loss_mask": loss_mask,
         }
         if self.ref_decoder is not None:
             rollout["ref_lp"] = sv.grpo_forward(

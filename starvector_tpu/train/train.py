@@ -85,10 +85,14 @@ def _to_device(batch: dict, mesh) -> dict:
 def _remat_mode(raw):
     """training.gradient_checkpointing: true | false | "dots".
 
-    "dots" maps to jax.checkpoint's dots_with_no_batch_dims_saveable policy
-    (ops/layers.py::maybe_checkpoint): matmul outputs are saved, only
-    elementwise ops recompute — trades activation HBM for the ~2/8 of MFU
-    that full per-layer remat burns re-running forward matmuls.
+    "dots" maps to a save_only_these_names checkpoint policy over bf16
+    residuals tagged after each matmul (ops/layers.py::maybe_checkpoint) —
+    matmul outputs are kept, only elementwise ops recompute, trading
+    activation HBM for the ~2/8 of MFU that full per-layer remat burns
+    re-running forward matmuls. It is deliberately NOT XLA's
+    dots_with_no_batch_dims_saveable, which saves fp32 dot accumulators
+    and OOMs 1B training at B=8/S=1024 on a 16 GB chip (see the
+    maybe_checkpoint docstring before "simplifying" this).
     """
     if isinstance(raw, str):
         return raw

@@ -423,3 +423,45 @@ def test_beam_exceeding_slots_errors(setup):
     kind, payload = req.out_queue.get(timeout=10)
     engine.stop()
     assert kind == "error" and "num_beams" in payload
+
+
+def test_beam_failure_fails_concurrent_requests_not_silently(setup):
+    """A beam-step failure consumes the donated cache; the rebuild zeroes
+    every slot's KV context, so concurrent requests must ERROR — silently
+    continuing them against a blank cache would stream garbage."""
+    import starvector_tpu.serve.engine as engine_mod
+
+    cfg, params = setup
+    engine = make_engine(cfg, params, max_batch=3)
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    sampling_req = Request(prefix_embeds=prefix, max_new_tokens=400,
+                           do_sample=False)
+    beam_req = Request(prefix_embeds=prefix, max_new_tokens=8,
+                       do_sample=False, num_beams=2)
+    orig = engine_mod._beam_step
+
+    def boom(*a, **k):
+        raise RuntimeError("injected beam failure")
+
+    engine_mod._beam_step = boom
+    try:
+        engine.submit(sampling_req)
+        engine.submit(beam_req)
+        engine.start()
+        outcomes = {}
+        for name, req in (("beam", beam_req), ("sampling", sampling_req)):
+            deadline = 60
+            while True:
+                kind, payload = req.out_queue.get(timeout=deadline)
+                if kind in ("error", "done"):
+                    outcomes[name] = (kind, payload)
+                    break
+    finally:
+        engine_mod._beam_step = orig
+        engine.stop()
+    assert outcomes["beam"][0] == "error"
+    assert outcomes["sampling"][0] == "error", (
+        "sampling request must fail with the cache rebuild, not decode "
+        f"from a zeroed cache: {outcomes['sampling']}"
+    )

@@ -250,6 +250,13 @@ def test_render_chat_template(tmp_path):
         msgs, template_path=str(tmp_path / "absent.jinja")
     ) == "a circle in red"
 
+    # malformed template (jinja syntax error) → same fallback, never a 500
+    broken = tmp_path / "broken.jinja"
+    broken.write_text("{% for m in %}")
+    assert render_chat_template(
+        msgs, template_path=str(broken)
+    ) == "a circle in red"
+
 
 @pytest.mark.slow
 def test_beam_and_sampling_stream_concurrently_rest(model):
