@@ -59,6 +59,7 @@ def main():
         top_p=float(config.get_path("grpo.top_p", 0.9)),
         clip_eps=float(config.get_path("grpo.clip_eps", 0.2)),
         kl_beta=float(config.get_path("grpo.kl_beta", 0.0)),
+        updates_per_rollout=int(config.get_path("grpo.updates_per_rollout", 1)),
         reward_resolution=int(config.get_path("grpo.reward_resolution", 224)),
         ssim_weight=float(config.get_path("grpo.ssim_weight", 0.5)),
     )

@@ -54,6 +54,8 @@ class GRPOConfig:
     top_p: float = 0.9
     clip_eps: float = 0.2             # PPO ratio clip
     kl_beta: float = 0.0              # weight of k3 KL to the frozen ref
+    updates_per_rollout: int = 1      # GRPO μ: >1 reuses each rollout batch
+                                      # (clip engages from the 2nd update)
     reward_resolution: int = 224      # raster size for the pixel reward
     ssim_weight: float = 0.5          # reward = w·SSIM + (1−w)·(1−MSE)
     advantage_eps: float = 1e-4       # z-score denominator floor
@@ -316,13 +318,22 @@ class GRPOTrainer:
         attn_mask = (pos < P + lengths[:, None]).astype(jnp.int32)
         loss_mask = attn_mask * (pos >= P).astype(jnp.int32)
 
-        # No behavior-logprob forward: with exactly one update per rollout,
-        # old_lp ≡ new_lp (ratio ≡ 1), so grpo_loss substitutes
-        # stop_gradient(new_lp) — identical gradients, one forward fewer.
         rollout = {
             "vision_embeds": vision_embeds, "ids": ids,
             "attn_mask": attn_mask, "loss_mask": loss_mask,
         }
+        mu = max(int(g.updates_per_rollout), 1)
+        if mu > 1:
+            # GRPO μ>1: later updates need the TRUE behavior log-probs for
+            # the importance ratio / clip. With μ=1 this forward is skipped —
+            # old_lp ≡ new_lp, grpo_loss substitutes stop_gradient(new_lp).
+            rollout["old_lp"] = jax.lax.stop_gradient(
+                sv.grpo_forward(
+                    self.model.params, self.model.cfg, vision_embeds, ids,
+                    attn_mask, num_generations=g.num_generations,
+                    policy=self.model.policy,
+                )
+            )
         if self.ref_decoder is not None:
             rollout["ref_lp"] = sv.grpo_forward(
                 {"svg_transformer": self.ref_decoder}, self.model.cfg,
@@ -339,9 +350,11 @@ class GRPOTrainer:
             jnp.asarray(rewards_np), g.num_generations, eps=g.advantage_eps
         )
 
-        params, self.opt_state, metrics = self._step_fn(
-            self.model.params, self.opt_state, rollout, advantages
-        )
+        params = self.model.params
+        for _ in range(mu):
+            params, self.opt_state, metrics = self._step_fn(
+                params, self.opt_state, rollout, advantages
+            )
         self.model.params = params
         self.step_count += 1
         out = {k: float(v) for k, v in metrics.items()}

@@ -158,6 +158,32 @@ def test_grpo_step_descends_surrogate():
     )
 
 
+def test_grpo_multi_update_engages_ratio():
+    """μ>1 (updates_per_rollout): the SECOND update against fixed behavior
+    log-probs sees ratio ≠ 1 (the regime the PPO clip exists for), and the
+    surrogate keeps descending."""
+    from starvector_tpu.api import StarVectorForCausalLM
+    from starvector_tpu.train.optim import build_optimizer
+
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    roll = _tiny_rollout(model)
+    adv = jnp.asarray([2.0, -2.0, 2.0, -2.0])
+    tx = build_optimizer(
+        model.params, lr=1e-2, weight_decay=0.0,
+        train_image_encoder=False, train_connector=False,
+    )
+    opt_state = jax.jit(tx.init)(model.params)
+    step = G.make_grpo_step(
+        model.cfg, tx, num_generations=2, clip_eps=0.2, policy=model.policy
+    )
+    p1, o1, m1 = step(model.params, opt_state, roll, adv)
+    np.testing.assert_allclose(float(m1["mean_ratio"]), 1.0, atol=1e-5)
+    p2, _, m2 = step(p1, o1, roll, adv)
+    assert abs(float(m2["mean_ratio"]) - 1.0) > 1e-4  # behavior policy fixed
+    assert float(m2["loss"]) < float(m1["loss"])
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_grpo_kl_penalizes_divergence():
     """With kl_beta > 0 and zero advantages the objective is pure k3 KL:
      0 at the reference policy, positive after the policy moves."""
