@@ -232,6 +232,59 @@ def merged_decode_attention(
     return out.reshape(B, 1, Hkv * G * D)
 
 
+def merged_verify_attention(
+    qg: jax.Array,        # (B, Hkv, G, W, D) queries for the draft chunk
+    k_new: jax.Array,     # (B, W, Hkv, D) the chunk's keys
+    v_new: jax.Array,     # (B, W, Hkv, D)
+    k_cached: jax.Array,  # (B, T, Hkv, D) cache BEFORE the chunk
+    v_cached: jax.Array,  # (B, T, Hkv, D)
+    old_mask: jax.Array,  # (B, T) or per-query (B, W, T) cached visibility
+    scale: float,
+    k_scale: jax.Array | None = None,  # (B, T, Hkv) int8-cache dequant scales
+    v_scale: jax.Array | None = None,  # (B, T, Hkv)
+) -> jax.Array:
+    """W-query generalization of merged_decode_attention for speculative
+    verification: each of the W chunk queries attends to the cached window
+    plus the chunk's own tokens causally (query w sees chunk keys u ≤ w),
+    in ONE merged softmax, without writing the chunk into the cache first
+    (chunk keys stay in compute dtype — same numerics as the W=1 decode
+    path). Returns (B, W, H*D)."""
+    B, Hkv, G, W, D = qg.shape
+    dt = qg.dtype
+    s_c = jnp.einsum(
+        "bkgwd,btkd->bkgwt", qg, k_cached.astype(dt),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32) * scale                     # (B, Hkv, G, W, T)
+    if k_scale is not None:
+        s_c = s_c * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, None, :]
+    om = (old_mask[:, None, None, None, :] if old_mask.ndim == 2
+          else old_mask[:, None, None, :, :])
+    s_c = jnp.where(om > 0, s_c, NEG_INF)
+    s_n = jnp.einsum(
+        "bkgwd,bukd->bkgwu", qg, k_new.astype(dt),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32) * scale                     # (B, Hkv, G, W, W)
+    tri = (jnp.arange(W)[:, None] >= jnp.arange(W)[None, :])
+    s_n = jnp.where(tri[None, None, None], s_n, NEG_INF)
+    m = jnp.maximum(jnp.max(s_c, axis=-1), jnp.max(s_n, axis=-1))
+    p_c = jnp.exp(s_c - m[..., None])
+    p_n = jnp.exp(s_n - m[..., None])
+    denom = jnp.sum(p_c, axis=-1) + jnp.sum(p_n, axis=-1)
+    if v_scale is not None:
+        p_c = p_c * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, None, :]
+    out = jnp.einsum(
+        "bkgwt,btkd->bkgwd", p_c.astype(dt), v_cached.astype(dt),
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bkgwu,bukd->bkgwd", p_n.astype(jnp.float32),
+        v_new.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out = (out / denom[..., None]).astype(dt)
+    # (B, Hkv, G, W, D) → (B, W, H*D), head-major like the decode path
+    return jnp.moveaxis(out, 3, 1).reshape(B, W, Hkv * G * D)
+
+
 # ---------------------------------------------------------------------------
 # layer scan + cache writes
 # ---------------------------------------------------------------------------
@@ -292,6 +345,41 @@ def write_new_kv_ragged(cache: dict, news: dict, write_pos) -> dict:
         .set(new.astype(cache[key].dtype))
         for key, new in news.items()
     }
+
+
+def write_new_kv_ragged_multi(
+    cache: dict, news: dict, write_pos: jax.Array
+) -> dict:
+    """Ragged cache: scatter a W-token chunk per slot at positions
+    `write_pos` (B, W). news values are (L, B, W, Hkv[, D])."""
+    L = cache["k"].shape[0]
+    B, W = write_pos.shape
+    li = jnp.arange(L)[:, None, None]
+    rows = jnp.arange(B)[None, :, None]
+    return {
+        key: cache[key]
+        .at[li, rows, write_pos[None]]
+        .set(new.astype(cache[key].dtype))
+        for key, new in news.items()
+    }
+
+
+def commit_verify(cache: dict, n_commit: jax.Array) -> dict:
+    """After speculative verification: advance each slot's length by its
+    accepted-token count and mark exactly those slots visible. Rejected
+    draft positions stay masked (and are overwritten by later writes)."""
+    B, T = cache["kv_mask"].shape
+    lengths = cache["lengths"]
+    new_len = jnp.minimum(lengths + n_commit.astype(jnp.int32), T)
+    slot = jnp.arange(T)[None, :]
+    kv_mask = jnp.where(
+        (slot >= lengths[:, None]) & (slot < new_len[:, None]),
+        1, cache["kv_mask"],
+    )
+    out = dict(cache)
+    out["lengths"] = new_len
+    out["kv_mask"] = kv_mask
+    return out
 
 
 def ragged_step_masks(cache: dict, active: jax.Array, window: int | None):

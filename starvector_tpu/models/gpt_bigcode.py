@@ -498,6 +498,87 @@ def forward_ragged_decode(
     return logits, new_cache
 
 
+def _verify_layer_fn(cfg: GPTBigCodeConfig, old_mask, policy):
+    """Per-layer W-token verify callback (speculative decoding): like
+    _decode_layer_fn but the chunk's queries attend to [cache ‖ chunk≤self]
+    via decode_common.merged_verify_attention."""
+    from starvector_tpu.models import decode_common as dc
+
+    E, H, D, Hkv = cfg.hidden_size, cfg.n_head, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    scale = D**-0.5
+
+    def fn(layer_p, h, lk, lv, lks=None, lvs=None):
+        B, W, _ = h.shape
+        hh = layer_norm(layer_p["ln_1"], h, cfg.layer_norm_epsilon)
+        qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
+        q = jnp.moveaxis(
+            qkv[..., :E].reshape(B, W, Hkv, G, D), 1, 3
+        )                                              # (B, Hkv, G, W, D)
+        k_new = qkv[..., E : E + Hkv * D].reshape(B, W, Hkv, D)
+        v_new = qkv[..., E + Hkv * D :].reshape(B, W, Hkv, D)
+        out = dc.merged_verify_attention(
+            q, k_new, v_new, lk, lv, old_mask, scale,
+            k_scale=lks, v_scale=lvs,
+        )
+        h = h + dense(layer_p["attn"]["c_proj"], out, policy)
+        hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        return h, k_new, v_new
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def forward_ragged_verify(
+    params: dict,
+    cfg: GPTBigCodeConfig,
+    token_ids: jax.Array,     # (B, W): [last accepted token ‖ drafts]
+    cache: dict,              # ragged cache (init_ragged_cache)
+    active: jax.Array,        # (B,)
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """Speculative-verification forward: every slot processes a W-token
+    chunk starting at its own cache position, producing logits for all W
+    positions in ONE pass over the cache. The chunk's K/V are written at
+    lengths[b]+[0..W) but `lengths`/`kv_mask` are NOT advanced — the caller
+    commits only the accepted tokens via decode_common.commit_verify, which
+    leaves rejected positions masked (stale data there is invisible and is
+    overwritten by the next write at the same slot). `active` is accepted
+    for signature parity with forward_ragged_decode; inactive rows compute
+    garbage and commit nothing (the caller's n_commit is 0 for them).
+    Returns (logits (B, W, V) fp32, new_cache)."""
+    from starvector_tpu.models import decode_common as dc
+
+    del active  # rows are gated at commit time (n_commit = 0)
+    B, W = token_ids.shape
+    x = policy.cast(embed_tokens(params, token_ids))   # (B, W, E)
+    positions = cache["lengths"][:, None] + jnp.arange(W)[None, :]
+    pe = maybe_constrain(params["wpe"], P(None, None))[
+        jnp.clip(positions, 0, cfg.n_positions - 1)
+    ]
+    x = x + policy.cast(pe)
+
+    T = cache["k"].shape[2]
+    write_pos = jnp.clip(positions, 0, T - 1)          # (B, W)
+    old_mask = cache["kv_mask"]
+    x, news = dc.decode_scan(
+        params["layers"], cache, x, _verify_layer_fn(cfg, old_mask, policy)
+    )
+    new_cache = dc.write_new_kv_ragged_multi(cache, news, write_pos)
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
+    logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(x), policy.cast(params["wte"]),
+        preferred_element_type=jnp.float32,
+    )
+    new_cache["lengths"] = cache["lengths"]
+    new_cache["kv_mask"] = cache["kv_mask"]
+    return logits, new_cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def insert_prefill_rows(
     cfg: GPTBigCodeConfig,

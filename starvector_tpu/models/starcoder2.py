@@ -414,6 +414,97 @@ def _decode_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
     return fn
 
 
+def _verify_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
+    """Per-layer W-token verify callback (speculative decoding): like
+    _decode_layer_fn with per-chunk RoPE and a per-query sliding-window
+    mask over the cached slots."""
+    from starvector_tpu.models import decode_common as dc
+
+    H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    scale = D**-0.5
+    inv_freq = rope_frequencies(D, cfg.rope_theta)
+
+    def fn(layer_p, h, lk, lv, lks=None, lvs=None):
+        B, W, _ = h.shape
+        hh = layer_norm(layer_p["input_layernorm"], h, cfg.norm_epsilon)
+        q = dense(layer_p["attn"]["q_proj"], hh, policy).reshape(B, W, H, D)
+        k_new = dense(layer_p["attn"]["k_proj"], hh, policy).reshape(
+            B, W, Hkv, D
+        )
+        v_new = dense(layer_p["attn"]["v_proj"], hh, policy).reshape(
+            B, W, Hkv, D
+        )
+        q = apply_rope(q, positions, inv_freq)
+        k_new = apply_rope(k_new, positions, inv_freq)
+        qg = jnp.moveaxis(q.reshape(B, W, Hkv, G, D), 1, 3)
+        out = dc.merged_verify_attention(
+            qg, k_new, v_new, lk, lv, old_mask, scale,
+            k_scale=lks, v_scale=lvs,
+        )
+        h = h + dense(layer_p["attn"]["o_proj"], out, policy)
+        hh = layer_norm(layer_p["post_attention_layernorm"], h,
+                        cfg.norm_epsilon)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h = h + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        return h, k_new, v_new
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def forward_ragged_verify(
+    params: dict,
+    cfg: StarCoder2Config,
+    token_ids: jax.Array,     # (B, W): [last accepted token ‖ drafts]
+    cache: dict,
+    active: jax.Array,        # (B,)
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """Speculative-verification forward (see gpt_bigcode.forward_ragged_
+    verify): W-token chunk per slot at its own position, per-slot RoPE,
+    per-query sliding-window visibility; lengths/kv_mask left for
+    decode_common.commit_verify."""
+    from starvector_tpu.models import decode_common as dc
+
+    del active
+    B, W = token_ids.shape
+    if cfg.sliding_window is not None and W > cfg.sliding_window:
+        raise ValueError(
+            f"verify chunk ({W}) exceeds sliding window "
+            f"({cfg.sliding_window}): within-chunk visibility assumes the "
+            f"whole chunk fits the window"
+        )
+    x = policy.cast(embed_tokens(params, token_ids))   # (B, W, E)
+    positions = cache["lengths"][:, None] + jnp.arange(W)[None, :]
+
+    T = cache["k"].shape[2]
+    write_pos = jnp.clip(positions, 0, T - 1)
+    old_mask = cache["kv_mask"][:, None, :]            # (B, 1, T)
+    if cfg.sliding_window is not None:
+        slot_ids = jnp.arange(T)[None, None, :]
+        old_mask = old_mask & (
+            slot_ids > (positions - cfg.sliding_window)[:, :, None]
+        )
+    old_mask = jnp.broadcast_to(old_mask, (B, W, T))
+    x, news = dc.decode_scan(
+        params["layers"], cache, x,
+        _verify_layer_fn(cfg, old_mask, positions, policy),
+    )
+    new_cache = dc.write_new_kv_ragged_multi(cache, news, write_pos)
+    x = layer_norm(params["norm"], x, cfg.norm_epsilon)
+    head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(x), policy.cast(head),
+        preferred_element_type=jnp.float32,
+    )
+    new_cache["lengths"] = cache["lengths"]
+    new_cache["kv_mask"] = cache["kv_mask"]
+    return logits, new_cache
+
+
 def init_ragged_cache(
     cfg: StarCoder2Config, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> dict:

@@ -22,6 +22,15 @@ Iteration-level scheduling over a slot-based ragged KV cache:
     decode in lockstep with one dispatch per round (parentage cache-reorder
     fused with the ragged decode + on-device top-2k), HF finished-pool
     semantics host-side; concurrent sampling traffic keeps streaming
+  * `spec_drafts>0` enables PROMPT-LOOKUP SPECULATIVE ticks (vLLM's ngram
+    speculation, engine-native): when a slot's current bigram recurred
+    earlier in [prompt ‖ output] — near-always for self-repetitive SVG —
+    one W-token verify dispatch (forward_ragged_verify + per-position
+    sampling + acceptance + commit, fully fused) emits the longest
+    sample-consistent prefix: up to spec_drafts+1 tokens at ~1 decode
+    step's device cost. Byte-exact for greedy; distribution-exact for
+    sampling (each accepted token is sampled from its true conditional).
+    Rejected draft positions stay uncommitted in the ragged cache.
 
 The engine runs two Python scheduler threads; all device work is jitted.
 """
@@ -81,6 +90,7 @@ class _Slot:
     last_token: int = 0
     reserved: bool = False             # held by the admission thread
     beam: Any = None                   # _BeamGroup when part of a beam group
+    prompt_ids: Any = None             # np.int32 prompt ids (draft lookup)
 
 
 NEG_INF = -1e9
@@ -331,6 +341,87 @@ def _fused_ragged_step(
     return toks.T, cache, counts  # (B, n_steps)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("dec_name", "cfg", "policy", "max_top_k"),
+    donate_argnames=("cache", "counts"),
+)
+def _fused_verify_step(
+    params: dict,
+    tokens: jax.Array,        # (B, W): [last sampled token ‖ drafted tokens]
+    cache: dict,
+    active: jax.Array,        # (B,)
+    n_drafts: jax.Array,      # (B,) valid drafts per slot (0..W-1)
+    base_rng: jax.Array,
+    step: jax.Array,
+    temps: jax.Array,
+    top_ps: jax.Array,
+    top_ks: jax.Array,
+    min_ps: jax.Array,
+    rep_pens: jax.Array,
+    freq_pens: jax.Array,
+    pres_pens: jax.Array,
+    counts: jax.Array,
+    prompt_presence: jax.Array,
+    bias_ids: jax.Array,
+    bias_vals: jax.Array,
+    *,
+    dec_name: str,
+    cfg: Any,
+    policy: DTypePolicy,
+    max_top_k: int,
+):
+    """One speculative engine tick (prompt-lookup drafting): a single
+    W-token verify forward replaces up to W single-token steps. Position i's
+    logits are sampled through the FULL per-slot processor chain (so greedy
+    slots get argmax, sampled slots a true conditional sample); draft i+1 is
+    accepted iff the sampled token equals it, and the emitted tokens are the
+    sampled chain itself — byte-exact greedy, distribution-exact sampling
+    (each accepted position is sampled from its true conditional given the
+    accepted prefix). Rejected cache positions are left uncommitted
+    (decode_common.commit_verify). Returns ((B, W) tokens, (B, W) 0/1
+    accepted flags — cumulative, so row sums are the emit counts —, cache,
+    counts)."""
+    from starvector_tpu.models import decode_common as dc
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B, W = tokens.shape
+    logits_all, cache = dec.forward_ragged_verify(
+        params, cfg, tokens, cache, active, policy=policy
+    )
+
+    def body(carry, i):
+        counts, chain, prev = carry
+        lg = logits_all[:, i]
+        # distinct fold stream from the regular tick (0x40000000 offset)
+        rng = jax.random.fold_in(base_rng, 0x40000000 + step * W + i)
+        t = sample_token(
+            rng, lg, do_sample=True,
+            temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
+            presence=jnp.maximum((counts > 0).astype(jnp.int32),
+                                 prompt_presence),
+            repetition_penalty=rep_pens,
+            counts=counts, frequency_penalty=freq_pens,
+            presence_penalty=pres_pens,
+            bias_ids=bias_ids, bias_vals=bias_vals,
+            max_top_k=max_top_k,
+        )
+        ok = jnp.where(
+            i == 0, active > 0,
+            chain & (prev == tokens[:, i]) & (i <= n_drafts),
+        )
+        counts = counts.at[jnp.arange(B), t].add(ok.astype(jnp.int32))
+        return (counts, ok, t), (t, ok)
+
+    init = (counts, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+    (counts, _, _), (toks, chain) = jax.lax.scan(body, init, jnp.arange(W))
+    toks, chain = toks.T, chain.T                      # (B, W)
+    n_out = jnp.sum(chain.astype(jnp.int32), axis=1)
+    cache = dc.commit_verify(cache, n_out)
+    return toks, chain.astype(jnp.int32), cache, counts
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _admit_sampling_state(
     counts: jax.Array,            # (B, V) int32, donated
@@ -439,6 +530,8 @@ class ServeEngine:
         steps_per_tick: int = 4,
         prefill_chunk: int = 1024,
         kv_cache_dtype=None,     # e.g. jnp.int8: halves KV decode traffic
+        spec_drafts: int = 0,    # >0: prompt-lookup speculative ticks with
+                                 # up to this many drafted tokens per tick
     ):
         from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -459,6 +552,13 @@ class ServeEngine:
         # overhead; admissions join between ticks (latency granularity =
         # steps_per_tick tokens). Tokens past a stop/eos are discarded.
         self.steps_per_tick = max(1, steps_per_tick)
+        # speculative ticks: when any slot's context contains an earlier
+        # occurrence of its current bigram (host-side prompt-lookup — SVG
+        # output is extremely self-repetitive), ONE verify dispatch scores
+        # [pending ‖ up to spec_drafts copied tokens] and emits the longest
+        # sample-consistent prefix: up to spec_drafts+1 tokens per dispatch
+        # at roughly the device cost of a single decode step.
+        self.spec_drafts = max(0, int(spec_drafts))
         # admission prefill chunk: bounds device occupancy per dispatch so
         # a long prompt never stalls running decodes for its full length.
         # Default 1024 keeps typical prompts single-dispatch (each extra
@@ -492,6 +592,7 @@ class ServeEngine:
         self._admit_step = 0   # admission counter (mutated under _lock)
         self._knob_cache = None  # per-slot sampling knobs on device
         self._stats = {"tokens": 0, "ticks": 0, "admissions": 0,
+                       "spec_ticks": 0, "spec_extra_tokens": 0,
                        "start_time": time.time()}
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -502,13 +603,15 @@ class ServeEngine:
     # -- public API ----------------------------------------------------------
     def submit(self, req: Request) -> Request:
         P = int(req.prefix_embeds.shape[1])
-        # steps_per_tick - 1 slack: a multi-step tick may overshoot a stop
-        if P + req.max_new_tokens + self.steps_per_tick - 1 > self.max_len:
+        # slack: a multi-step tick may overshoot a stop by steps_per_tick-1
+        # tokens; a speculative tick commits up to spec_drafts extra
+        slack = max(self.steps_per_tick - 1, self.spec_drafts)
+        if P + req.max_new_tokens + slack > self.max_len:
             req.out_queue.put((
                 "error",
                 f"prompt ({P}) + max_new_tokens ({req.max_new_tokens}) "
                 f"exceeds engine max_len ({self.max_len}, incl. "
-                f"{self.steps_per_tick - 1} multi-step slack)",
+                f"{slack} multi-step/speculative slack)",
             ))
             return req
         if req.logit_bias and len(req.logit_bias) > self.max_bias:
@@ -615,6 +718,20 @@ class ServeEngine:
                             break
                         if kind == "error":
                             raise RuntimeError(f"warmup failed: {payload}")
+        if self.spec_drafts > 0:
+            # compile the verify dispatch too (drafting is data-dependent,
+            # so the dummy requests above may never trigger it). All slots
+            # are idle ⇒ active = 0 everywhere ⇒ nothing commits or emits.
+            with self._lock:
+                before = dict(self._stats)
+                self._knob_cache = None
+                self._verify_tick([None] * self.max_batch,
+                                  {0: [0] * self.spec_drafts})
+                self._knob_cache = None
+                self._stats.update(
+                    {k: before[k] for k in
+                     ("ticks", "spec_ticks", "spec_extra_tokens")}
+                )
 
     def stats(self) -> dict:
         """Serving observability counters (vLLM-style gauges): emitted
@@ -624,6 +741,8 @@ class ServeEngine:
             "tokens_emitted": self._stats["tokens"],
             "ticks": self._stats["ticks"],
             "admissions": self._stats["admissions"],
+            "spec_ticks": self._stats["spec_ticks"],
+            "spec_extra_tokens": self._stats["spec_extra_tokens"],
             "uptime_s": round(up, 1),
             "avg_tokens_per_s": round(self._stats["tokens"] / up, 2),
             "active_slots": self.num_active,
@@ -882,12 +1001,15 @@ class ServeEngine:
                 raise
             self._knob_cache = None       # slot composition changes below
             self._stats["admissions"] += len(reqs)
-            for r, i, tok in zip(reqs, slot_idxs, firsts):
+            for row, (r, i, tok) in enumerate(zip(reqs, slot_idxs, firsts)):
                 slot = self.slots[i]
                 slot.req = r
                 slot.generated = [tok]
                 slot.last_token = tok
                 slot.reserved = False
+                # real (≥0) prompt ids seed the speculative draft lookup
+                ids = pid_rows[row]
+                slot.prompt_ids = ids[ids >= 0].copy()
                 self._emit(i)
 
     def _rebuild_state_locked(self):
@@ -952,9 +1074,7 @@ class ServeEngine:
             self._beam_tick(group)
         return worked
 
-    def _sampling_tick(self, reqs) -> None:
-        K = self.steps_per_tick
-        tokens = np.array([s.last_token for s in self.slots], np.int32)
+    def _knobs(self, reqs):
         if self._knob_cache is None:
             # per-slot sampling knobs are request constants: ship them to
             # the device only when the slot composition changes, not every
@@ -983,8 +1103,24 @@ class ServeEngine:
                     np.float32)),
                 bias_ids, bias_vals,
             )
+        return self._knob_cache
+
+    def _sampling_tick(self, reqs) -> None:
+        if self.spec_drafts > 0:
+            drafts: dict[int, list[int]] = {}
+            for i, r in enumerate(reqs):
+                if r is None:
+                    continue
+                d = self._draft_for_slot(self.slots[i])
+                if d:
+                    drafts[i] = d
+            if drafts:
+                self._verify_tick(reqs, drafts)
+                return
+        K = self.steps_per_tick
+        tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
-         bias_ids, bias_vals) = self._knob_cache
+         bias_ids, bias_vals) = self._knobs(reqs)
         self._step += 1
         self._stats["ticks"] += 1
         nxt, self.cache, self._counts = _fused_ragged_step(
@@ -1003,6 +1139,77 @@ class ServeEngine:
                 continue
             for j in range(K):
                 tok = int(nxt[i, j])
+                slot = self.slots[i]
+                slot.generated.append(tok)
+                slot.last_token = tok
+                if self._emit(i):
+                    break  # tokens past the stop are discarded
+
+    def _draft_for_slot(self, slot: _Slot) -> list[int]:
+        """Prompt-lookup draft: the tokens that followed the most recent
+        earlier occurrence of the slot's current (second-to-last, last)
+        bigram anywhere in [prompt ids ‖ generated]. O(context) numpy per
+        tick — microseconds against a multi-ms device dispatch."""
+        gen = np.asarray(slot.generated, np.int32)
+        if slot.prompt_ids is not None and slot.prompt_ids.size:
+            a = np.concatenate([slot.prompt_ids, gen])
+        else:
+            a = gen
+        if a.size < 3:
+            return []
+        m = (a[:-2] == a[-2]) & (a[1:-1] == a[-1])
+        idx = np.nonzero(m)[0]
+        if idx.size == 0:
+            return []
+        # the LATEST match typically sits near the end with almost nothing
+        # following it; prefer the latest match with a FULL continuation
+        need = self.spec_drafts
+        full = idx[a.size - (idx + 2) >= need]
+        j = int(full[-1]) if full.size else int(idx[-1])
+        d = a[j + 2 : j + 2 + need].tolist()
+        # pad short drafts by repeating the tail (free on constant runs;
+        # mismatches only cost acceptance, like the offline draft())
+        if len(d) < need:
+            d += [d[-1]] * (need - len(d))
+        return d
+
+    def _verify_tick(self, reqs, drafts: dict[int, list[int]]) -> None:
+        """One speculative tick: verify each slot's drafted continuation in
+        a single dispatch and emit the accepted prefix (1..spec_drafts+1
+        tokens per slot)."""
+        W = self.spec_drafts + 1
+        B = len(self.slots)
+        tok_np = np.zeros((B, W), np.int32)
+        nd_np = np.zeros((B,), np.int32)
+        for i, s in enumerate(self.slots):
+            tok_np[i, 0] = s.last_token
+            d = drafts.get(i, [])
+            if d:
+                tok_np[i, 1 : 1 + len(d)] = d
+                nd_np[i] = len(d)
+        (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
+         bias_ids, bias_vals) = self._knobs(reqs)
+        self._step += 1
+        self._stats["ticks"] += 1
+        self._stats["spec_ticks"] += 1
+        toks, chain, self.cache, self._counts = _fused_verify_step(
+            self.params, jnp.asarray(tok_np), self.cache, active,
+            jnp.asarray(nd_np), self.base_rng,
+            jnp.asarray(self._step, jnp.int32),
+            temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
+            self._counts, self._prompt_presence, bias_ids, bias_vals,
+            dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
+            max_top_k=self.max_top_k,
+        )
+        toks = np.asarray(toks)
+        chain = np.asarray(chain)
+        for i in range(B):
+            if self.slots[i].req is None or self.slots[i].beam is not None:
+                continue
+            accepted = int(chain[i].sum())  # cumulative flags: sum = count
+            self._stats["spec_extra_tokens"] += max(accepted - 1, 0)
+            for j in range(accepted):
+                tok = int(toks[i, j])
                 slot = self.slots[i]
                 slot.generated.append(tok)
                 slot.last_token = tok

@@ -72,6 +72,7 @@ class ModelWorker:
         max_batch: int = 8,
         max_len: int = 8192,
         kv_cache_dtype=None,
+        spec_drafts: int = 0,       # engine prompt-lookup speculation
     ):
         self.model = model
         self.worker_addr = worker_addr
@@ -81,7 +82,7 @@ class ModelWorker:
         self.engine = ServeEngine(
             model.params["svg_transformer"], model.cfg.llm, model.cfg.decoder,
             max_batch=max_batch, max_len=max_len, policy=model.policy,
-            kv_cache_dtype=kv_cache_dtype,
+            kv_cache_dtype=kv_cache_dtype, spec_drafts=spec_drafts,
         )
         self.engine.start()
         self._hb_thread: threading.Thread | None = None
@@ -424,6 +425,11 @@ def main():
                         help="int8 weight-only decoder (halves HBM traffic)")
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (halves decode cache traffic)")
+    parser.add_argument("--spec-drafts", type=int, default=0,
+                        help="engine prompt-lookup speculation: verify up "
+                             "to this many drafted tokens per tick (exact "
+                             "for greedy AND sampling; big win on "
+                             "self-repetitive SVG output)")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile prefill/tick chains before serving "
                              "(visual-prefix and 512/1024/2048 buckets)")
@@ -441,6 +447,7 @@ def main():
         limit_model_concurrency=args.limit_model_concurrency,
         max_batch=args.max_batch,
         kv_cache_dtype=jnp.int8 if args.kv_int8 else None,
+        spec_drafts=args.spec_drafts,
     )
     if args.warmup:
         q = model.cfg.query_length
