@@ -48,11 +48,16 @@ def main():
     policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     params = gbc.init_params(llm, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     kv_int8 = os.environ.get("STARVECTOR_KV_INT8", "") == "1"
+    # engine prompt-lookup speculation (STARVECTOR_SPEC_DRAFTS=N): drafting
+    # depends on the output stream actually repeating, so the reported
+    # spec_* stats carry the measured acceptance alongside tokens/s
+    spec = int(os.environ.get("STARVECTOR_SPEC_DRAFTS", "0"))
     engine = ServeEngine(
         params, llm, "gpt_bigcode", max_batch=MAX_BATCH, max_len=MAX_LEN,
         policy=policy,
         steps_per_tick=int(os.environ.get("STARVECTOR_STEPS_PER_TICK", "4")),
         kv_cache_dtype=jnp.int8 if kv_int8 else None,
+        spec_drafts=spec,
     )
     engine.start()
 
@@ -112,6 +117,7 @@ def main():
             time.sleep(0.01)
     sub.join()
     wall = time.time() - t0
+    stats = engine.stats()
     engine.stop()
 
     if finished < N_REQ:
@@ -127,6 +133,10 @@ def main():
         "p50_request_latency_s": round(lat[len(lat) // 2], 3),
         "p95_request_latency_s": round(lat[int(len(lat) * 0.95)], 3),
         "kv_cache": "int8" if kv_int8 else "bf16",
+        "spec_drafts": spec,
+        "spec_ticks": stats["spec_ticks"],
+        "spec_extra_tokens": stats["spec_extra_tokens"],
+        "ticks": stats["ticks"],
         "backend": jax.default_backend(),
     }))
 

@@ -125,9 +125,11 @@ class StarVectorForCausalLM:
     def generate_im2svg(self, batch: dict, **kwargs) -> list[str]:
         """reference generate_im2svg (starvector_base.py:243-259).
 
-        `use_speculative=True` (greedy, batch 1) switches to prompt-lookup
+        `use_speculative=True` (greedy) switches to prompt-lookup
         speculative decoding — typically several-x fewer decoder forwards on
-        repetitive SVG output, identical tokens."""
+        repetitive SVG output, identical tokens. B=1 uses the linear-cache
+        p50 path; B>1 the ragged batched path (rows accept independently),
+        which accelerates the greedy validation workload."""
         images = jnp.asarray(batch["image"])
         prompt = kwargs.get("prompt") or self.tokenizer.prompt
         B = images.shape[0]
@@ -165,10 +167,9 @@ class StarVectorForCausalLM:
                 self.tokenizer.decode(row[: prompt_ids.shape[1] + int(L)])
                 for row, L in zip(np.asarray(outs), np.asarray(lengths))
             ]
-        if kwargs.get("use_speculative") and B == 1 and not gen.do_sample:
-            from starvector_tpu.generation.speculative import (
-                generate_greedy_speculative,
-            )
+        if (kwargs.get("use_speculative") and not gen.do_sample
+                and gen.num_return_sequences == 1):
+            from starvector_tpu.generation import speculative as spec
             from starvector_tpu.models import starvector as sv_mod
 
             cond = sv_mod.encode_image(
@@ -180,12 +181,10 @@ class StarVectorForCausalLM:
             prefix = jnp.concatenate([cond, self.policy.cast(pe)], axis=1)
             Q = cond.shape[1]
             ids_aligned = jnp.concatenate(
-                [jnp.full((1, Q), -1, jnp.int32), prompt_ids.astype(jnp.int32)],
+                [jnp.full((B, Q), -1, jnp.int32), prompt_ids.astype(jnp.int32)],
                 axis=1,
             )
-            toks, lengths, _ = generate_greedy_speculative(
-                self.params["svg_transformer"], prefix,
-                jnp.ones((1, prefix.shape[1]), jnp.int32), ids_aligned,
+            common = dict(
                 dec_name=self.cfg.decoder, llm_cfg=self.cfg.llm,
                 max_new_tokens=gen.max_new_tokens,
                 draft_len=int(kwargs.get("draft_len", 8)),
@@ -194,9 +193,28 @@ class StarVectorForCausalLM:
                 pad_token_id=gen.pad_token_id,
                 policy=self.policy,
             )
-            row = np.asarray(toks[0][: int(lengths[0])])
-            return [self.tokenizer.decode(np.asarray(prompt_ids[0])) +
-                    self.tokenizer.decode(row)]
+            mask = jnp.ones((B, prefix.shape[1]), jnp.int32)
+            if B == 1:
+                # B=1 keeps the linear-cache p50 path (benched)
+                toks, lengths, _ = spec.generate_greedy_speculative(
+                    self.params["svg_transformer"], prefix, mask,
+                    ids_aligned, **common,
+                )
+            else:
+                # batched greedy (the validation workload): ragged rows
+                # accept drafts independently — exact tokens, several-x
+                # fewer decoder forwards on repetitive SVG
+                toks, lengths, _ = spec.generate_greedy_speculative_batched(
+                    self.params["svg_transformer"], prefix, mask,
+                    ids_aligned, **common,
+                )
+            texts = []
+            pnp = np.asarray(prompt_ids)
+            for b in range(B):
+                row = np.asarray(toks[b][: int(lengths[b])])
+                texts.append(self.tokenizer.decode(pnp[b]) +
+                             self.tokenizer.decode(row))
+            return texts
         tokens, lengths = generate_im2svg(
             self.params, self.cfg, images, prompt_ids, gen,
             self._next_rng(), policy=self.policy,

@@ -181,3 +181,183 @@ def generate_greedy_speculative(
         jax.lax.while_loop(cond, body, state)
     )
     return tokens[None, :max_new_tokens], lengths[None], n_fwd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dec_name", "llm_cfg", "max_new_tokens", "draft_len",
+        "stop_sequences", "eos_token_id", "pad_token_id", "policy",
+    ),
+)
+def generate_greedy_speculative_batched(
+    params: dict,
+    inputs_embeds: jax.Array,     # (B, P, E) RIGHT-padded prompt rows
+    attention_mask: jax.Array,    # (B, P) 1 = real token, contiguous from 0
+    prompt_ids: jax.Array,        # (B, P) ids aligned with the prefix;
+                                  # visual/pad positions = -1
+    *,
+    dec_name: str,
+    llm_cfg: Any,
+    max_new_tokens: int,
+    draft_len: int = 8,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
+    eos_token_id: int | None = None,
+    pad_token_id: int = 0,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """Batched prompt-lookup speculative decoding (greedy) — the whole-
+    dataset analogue of the B=1 path above, built on the serving engine's
+    per-slot machinery: a RAGGED cache (per-row lengths) + one
+    `forward_ragged_verify` dispatch per round scores every row's K-token
+    proposal; each row advances by its own accepted count, so fast-
+    accepting rows never wait on slow ones. Greedy outputs are exactly
+    identical to token-at-a-time decoding. Rows must be RIGHT-padded
+    (unlike `generation/engine.py`'s left padding): each row's cache
+    occupies [0, len) like a serving slot. Returns
+    (tokens (B, max_new_tokens) pad-filled after the stop, lengths (B,),
+    n_forwards)."""
+    from starvector_tpu.models import decode_common as dc
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B, P, E = inputs_embeds.shape
+    K = draft_len
+    total = P + max_new_tokens + K + 1
+    BUF = max_new_tokens + K
+    CTX = prompt_ids.shape[1] + BUF
+    rows = jnp.arange(B)
+
+    # prefill into a linear cache (shared index; right padding keeps each
+    # row's valid K/V contiguous from 0), then adopt it as a ragged cache
+    cache = dec.init_cache(llm_cfg, B, total, dtype=policy.compute_dtype)
+    h, cache = dec.forward(
+        params, llm_cfg, inputs_embeds, attention_mask=attention_mask,
+        cache=cache, policy=policy, return_hidden=True,
+    )
+    n_prompt = jnp.sum(attention_mask, axis=1).astype(jnp.int32)  # (B,)
+    h_last = jnp.take_along_axis(
+        h, jnp.maximum(n_prompt - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    logits0 = jnp.einsum(
+        "be,ve->bv", policy.cast(h_last),
+        policy.cast(dec.lm_head_table(params, llm_cfg)),
+        preferred_element_type=jnp.float32,
+    )
+    pending = jnp.argmax(logits0, -1).astype(jnp.int32)           # (B,)
+    rag = {
+        "k": cache["k"], "v": cache["v"],
+        "lengths": n_prompt,
+        # right padding ⇒ the prefill kv_mask is already contiguous-from-0
+        "kv_mask": cache["kv_mask"].astype(jnp.int32),
+    }
+
+    # draft context: the FULL prompt_ids width per row (as in the B=1 path;
+    # -1 holes — visual tokens, right padding — can never match a bigram and
+    # the `prop >= 0` guard patches continuations that cross them). The
+    # draft-context length P is deliberately distinct from the CACHE length
+    # n_prompt: prompt_ids may carry extra lookup-only context.
+    ctx0 = jnp.full((B, CTX), -1, jnp.int32)
+    ctx0 = jax.lax.dynamic_update_slice(
+        ctx0, prompt_ids.astype(jnp.int32), (0, 0)
+    )
+    n_ctx0 = jnp.full((B,), prompt_ids.shape[1], jnp.int32)
+    tokens0 = jnp.full((B, BUF), pad_token_id, jnp.int32)
+
+    def draft_row(ctx, n_ctx, pending):
+        """Per-row copy of the B=1 draft(): K-1 tokens after the latest
+        earlier (ctx[n_ctx-1], pending) bigram; fallback repeats pending."""
+        last = ctx[n_ctx - 1]
+        nxt = jnp.roll(ctx, -1)
+        hit = (ctx == last) & (nxt == pending)
+        pos = jnp.arange(CTX)
+        hit &= pos < (n_ctx - 1)
+        any_hit = jnp.any(hit)
+        j = jnp.where(any_hit, CTX - 1 - jnp.argmax(hit[::-1]), 0)
+        start = jnp.where(any_hit, j + 2, 0)
+        prop = jax.lax.dynamic_slice(ctx, (start,), (K,))[: K - 1]
+        return jnp.where(any_hit & (prop >= 0), prop, pending)
+
+    def find_stop_row(tok_buf, upto):
+        """(first stop end-index within tok_buf[:upto], fired?)."""
+        fire = jnp.zeros((BUF,), bool)
+        pos = jnp.arange(BUF)
+        for stop in stop_sequences:
+            L = len(stop)
+            if L == 0 or L > max_new_tokens:
+                continue
+            s = jnp.asarray(stop, jnp.int32)
+            windows = jnp.stack(
+                [jnp.roll(tok_buf, L - 1 - i) for i in range(L)], axis=-1
+            )
+            fire |= jnp.all(windows == s[None, :], axis=-1) & (pos >= L - 1)
+        if eos_token_id is not None:
+            fire |= tok_buf == eos_token_id
+        fire &= pos < upto
+        any_fire = jnp.any(fire)
+        return jnp.where(any_fire, jnp.argmax(fire) + 1, max_new_tokens), any_fire
+
+    def cond(state):
+        t, done = state[0], state[5]
+        return jnp.any(jnp.logical_and(t < max_new_tokens, ~done))
+
+    def body(state):
+        t, rag, ctx, tokens, n_ctx, done, lengths, pending, n_fwd = state
+        drafted = jax.vmap(draft_row)(ctx, n_ctx, pending)       # (B, K-1)
+        proposal = jnp.concatenate([pending[:, None], drafted], 1)  # (B, K)
+
+        lg, rag = dec.forward_ragged_verify(
+            params, llm_cfg, proposal, rag, jnp.logical_not(done), policy=policy
+        )
+        g = jnp.argmax(lg.astype(jnp.float32), -1).astype(jnp.int32)  # (B, K)
+
+        agree = (proposal[:, 1:] == g[:, : K - 1]).astype(jnp.int32)
+        a = 1 + jnp.sum(jnp.cumprod(agree, axis=1), axis=1)      # (B,) 1..K
+        a = jnp.where(done, 0, a)
+        rag = dc.commit_verify(rag, a)
+
+        colw = jnp.arange(K)[None, :]                            # (1, K)
+        write = colw < a[:, None]                                # (B, K)
+        posb = jnp.clip(t[:, None] + colw, 0, BUF - 1)
+        cur = tokens[rows[:, None], posb]
+        tokens = tokens.at[rows[:, None], posb].set(
+            jnp.where(write, proposal, cur)
+        )
+        posc = jnp.clip(n_ctx[:, None] + colw, 0, CTX - 1)
+        curc = ctx[rows[:, None], posc]
+        ctx = ctx.at[rows[:, None], posc].set(
+            jnp.where(write, proposal, curc)
+        )
+        pending = jnp.where(
+            done, pending, g[rows, jnp.clip(a - 1, 0, K - 1)]
+        )
+        n_ctx = n_ctx + a
+        t_new = t + a
+
+        upto = jnp.minimum(t_new, max_new_tokens)
+        stop_at, fired = jax.vmap(find_stop_row)(tokens, upto)
+        newly = (fired | (t_new >= max_new_tokens)) & ~done
+        lengths = jnp.where(
+            newly, jnp.where(fired, stop_at, jnp.minimum(t_new, max_new_tokens)),
+            lengths,
+        )
+        done = done | newly
+        return (t_new, rag, ctx, tokens, n_ctx, done, lengths, pending,
+                n_fwd + 1)
+
+    state = (
+        jnp.zeros((B,), jnp.int32), rag, ctx0, tokens0, n_ctx0,
+        jnp.zeros((B,), bool), jnp.full((B,), max_new_tokens, jnp.int32),
+        pending, jnp.asarray(1, jnp.int32),
+    )
+    t, rag, ctx, tokens, n_ctx, done, lengths, pending, n_fwd = (
+        jax.lax.while_loop(cond, body, state)
+    )
+    tokens = tokens[:, :max_new_tokens]
+    # pad-fill past each row's stop (junk from rejected proposals may linger
+    # after the final round)
+    tokens = jnp.where(
+        jnp.arange(max_new_tokens)[None, :] < lengths[:, None],
+        tokens, pad_token_id,
+    )
+    return tokens, lengths, n_fwd
