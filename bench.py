@@ -264,6 +264,44 @@ def bench_1b(jax, jnp, np, on_tpu):
         e2e_tok_s = B * NEW2 / (t_pre + t_dec)
         del cache_r
 
+    # batched prompt-lookup speculative decoding at the same e2e shape
+    # (greedy — the SVG-Bench validation workload). Greedy decode of the
+    # random-weight model degenerates into repetition much like real SVG's
+    # recurring path/attribute structure, so the measured acceptance is
+    # indicative, not a guarantee; n_forwards makes it auditable.
+    spec_tok_s = None
+    spec_n_fwd = None
+    if on_tpu:
+        from starvector_tpu.generation.speculative import (
+            generate_greedy_speculative_batched,
+        )
+
+        @jax.jit
+        def make_prefix(params, images, prompt_ids):
+            cond = sv.encode_image(params, cfg, images, policy=policy)
+            pe = cfg.decoder_module.embed_tokens(
+                params["svg_transformer"], prompt_ids
+            )
+            return jnp.concatenate([cond, policy.cast(pe)], axis=1)
+
+        prefix_sp = make_prefix(params, images, prompt_ids)
+        ids_al = jnp.concatenate(
+            [jnp.full((B, Q), -1, jnp.int32), prompt_ids], axis=1
+        )
+        mask_sp = jnp.ones((B, prefix_sp.shape[1]), jnp.int32)
+
+        def run_spec():
+            toks, lens, nf = generate_greedy_speculative_batched(
+                dec_params, prefix_sp, mask_sp, ids_al,
+                dec_name=cfg.decoder, llm_cfg=llm, max_new_tokens=NEW2,
+                draft_len=8, pad_token_id=0, policy=policy,
+            )
+            return int(np.asarray(nf))
+
+        spec_n_fwd = run_spec()
+        t_spec = _median_time(run_spec, reps)
+        spec_tok_s = B * NEW2 / t_spec
+
     # speed-of-light accounting for the decode step
     L, Hkv, D = llm.n_layer, llm.kv_heads, llm.head_dim
     kv_read = 2 * L * B * (PREFIX_CTX + NEW / 2) * Hkv * D * 2
@@ -328,6 +366,13 @@ def bench_1b(jax, jnp, np, on_tpu):
         "e2e_prefill1k_tok_per_s": round(
             B * NEW / (decode_s + prefill_s), 1
         ),
+        # greedy batched prompt-lookup speculation at the e2e shape (the
+        # validation workload); n_forwards audits the measured acceptance
+        # (B*NEW2 tokens in n_forwards verify dispatches + 1 prefill)
+        "spec_batched_tok_per_s": (
+            round(spec_tok_s, 1) if spec_tok_s else None
+        ),
+        "spec_batched_n_forwards": spec_n_fwd,
         "vision_encode_s": round(vision_s, 4),
         "prefill_s": round(prefill_s, 4),
         # decoder-only flash-prefill throughput: matmul+attention FLOPs over

@@ -167,8 +167,21 @@ class StarVectorForCausalLM:
                 self.tokenizer.decode(row[: prompt_ids.shape[1] + int(L)])
                 for row, L in zip(np.asarray(outs), np.asarray(lengths))
             ]
-        if (kwargs.get("use_speculative") and not gen.do_sample
-                and gen.num_return_sequences == 1):
+        # speculation does raw argmax — route to it only when the plain
+        # greedy path's logits-processor chain is a no-op (penalties
+        # neutral, no bias), or the 'identical tokens' contract would break
+        spec_ok = (
+            not gen.do_sample
+            and gen.num_return_sequences == 1
+            and gen.repetition_penalty == 1.0
+            and gen.frequency_penalty == 0.0
+            and gen.presence_penalty == 0.0
+            and not gen.logit_bias
+            # min_new_tokens only acts through eos suppression, which the
+            # speculative paths don't implement
+            and (gen.eos_token_id is None or gen.min_new_tokens <= 1)
+        )
+        if kwargs.get("use_speculative") and spec_ok:
             from starvector_tpu.generation import speculative as spec
             from starvector_tpu.models import starvector as sv_mod
 

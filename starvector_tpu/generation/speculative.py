@@ -32,6 +32,51 @@ import jax.numpy as jnp
 from starvector_tpu.ops.layers import DTypePolicy
 
 
+def _lookup_draft(ctx: jax.Array, n_ctx, pending, K: int) -> jax.Array:
+    """K-1 tokens following an earlier occurrence of the current
+    (ctx[n_ctx-1], pending) bigram — shared by the B=1 and batched paths
+    (vmap the latter). Prefers the latest match with a FULL K-1-token
+    continuation (the newest match sits at the end of the context with
+    almost nothing after it); -1 holes and missing matches fall back to
+    repeating `pending` (mismatches only cost acceptance)."""
+    C = ctx.shape[0]
+    last = ctx[n_ctx - 1]
+    nxt = jnp.roll(ctx, -1)
+    hit = (ctx == last) & (nxt == pending)
+    pos = jnp.arange(C)
+    hit &= pos < (n_ctx - 1)
+    any_hit = jnp.any(hit)
+    full = hit & (pos <= n_ctx - 1 - K)
+    pick = jnp.where(jnp.any(full), full, hit)
+    j = jnp.where(any_hit, C - 1 - jnp.argmax(pick[::-1]), 0)
+    start = jnp.where(any_hit, j + 2, 0)  # tokens after the bigram
+    prop = jax.lax.dynamic_slice(ctx, (start,), (K,))[: K - 1]
+    return jnp.where(any_hit & (prop >= 0), prop, pending)
+
+
+def _find_stop_in(tok_buf: jax.Array, upto, stop_sequences,
+                  eos_token_id, max_new_tokens: int):
+    """(first stop end-index within tok_buf[:upto], fired?) — shared stop
+    scan over an emit buffer (vmap for the batched path)."""
+    n = tok_buf.shape[0]
+    fire = jnp.zeros((n,), bool)
+    pos = jnp.arange(n)
+    for stop in stop_sequences:
+        L = len(stop)
+        if L == 0 or L > max_new_tokens:
+            continue
+        s = jnp.asarray(stop, jnp.int32)
+        windows = jnp.stack(
+            [jnp.roll(tok_buf, L - 1 - i) for i in range(L)], axis=-1
+        )
+        fire |= jnp.all(windows == s[None, :], axis=-1) & (pos >= L - 1)
+    if eos_token_id is not None:
+        fire |= tok_buf == eos_token_id
+    fire &= pos < upto
+    any_fire = jnp.any(fire)
+    return jnp.where(any_fire, jnp.argmax(fire) + 1, max_new_tokens), any_fire
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -80,39 +125,11 @@ def generate_greedy_speculative(
     tokens0 = jnp.full((BUF,), pad_token_id, jnp.int32)
 
     def draft(ctx, n_ctx, pending):
-        """K-1 tokens following the latest earlier (ctx[n_ctx-1], pending)
-        bigram; fallback repeats pending (mismatches only cost acceptance)."""
-        last = ctx[n_ctx - 1]
-        nxt = jnp.roll(ctx, -1)
-        hit = (ctx == last) & (nxt == pending)
-        pos = jnp.arange(total)
-        hit &= pos < (n_ctx - 1)
-        any_hit = jnp.any(hit)
-        j = jnp.where(any_hit, total - 1 - jnp.argmax(hit[::-1]), 0)
-        start = jnp.where(any_hit, j + 2, 0)  # tokens after the bigram
-        prop = jax.lax.dynamic_slice(ctx, (start,), (K,))[: K - 1]
-        prop = jnp.where(any_hit & (prop >= 0), prop, pending)
-        return prop
+        return _lookup_draft(ctx, n_ctx, pending, K)
 
     def find_stop(tok_buf, upto):
-        """(first stop end-index within tok_buf[:upto], fired?)"""
-        n = BUF
-        fire = jnp.zeros((n,), bool)
-        pos = jnp.arange(n)
-        for stop in stop_sequences:
-            L = len(stop)
-            if L == 0 or L > max_new_tokens:
-                continue
-            s = jnp.asarray(stop, jnp.int32)
-            windows = jnp.stack(
-                [jnp.roll(tok_buf, L - 1 - i) for i in range(L)], axis=-1
-            )
-            fire |= jnp.all(windows == s[None, :], axis=-1) & (pos >= L - 1)
-        if eos_token_id is not None:
-            fire |= tok_buf == eos_token_id
-        fire &= pos < upto
-        any_fire = jnp.any(fire)
-        return jnp.where(any_fire, jnp.argmax(fire) + 1, max_new_tokens), any_fire
+        return _find_stop_in(tok_buf, upto, stop_sequences, eos_token_id,
+                             max_new_tokens)
 
     def cond(state):
         t, done = state[0], state[6]
@@ -265,37 +282,11 @@ def generate_greedy_speculative_batched(
     tokens0 = jnp.full((B, BUF), pad_token_id, jnp.int32)
 
     def draft_row(ctx, n_ctx, pending):
-        """Per-row copy of the B=1 draft(): K-1 tokens after the latest
-        earlier (ctx[n_ctx-1], pending) bigram; fallback repeats pending."""
-        last = ctx[n_ctx - 1]
-        nxt = jnp.roll(ctx, -1)
-        hit = (ctx == last) & (nxt == pending)
-        pos = jnp.arange(CTX)
-        hit &= pos < (n_ctx - 1)
-        any_hit = jnp.any(hit)
-        j = jnp.where(any_hit, CTX - 1 - jnp.argmax(hit[::-1]), 0)
-        start = jnp.where(any_hit, j + 2, 0)
-        prop = jax.lax.dynamic_slice(ctx, (start,), (K,))[: K - 1]
-        return jnp.where(any_hit & (prop >= 0), prop, pending)
+        return _lookup_draft(ctx, n_ctx, pending, K)
 
     def find_stop_row(tok_buf, upto):
-        """(first stop end-index within tok_buf[:upto], fired?)."""
-        fire = jnp.zeros((BUF,), bool)
-        pos = jnp.arange(BUF)
-        for stop in stop_sequences:
-            L = len(stop)
-            if L == 0 or L > max_new_tokens:
-                continue
-            s = jnp.asarray(stop, jnp.int32)
-            windows = jnp.stack(
-                [jnp.roll(tok_buf, L - 1 - i) for i in range(L)], axis=-1
-            )
-            fire |= jnp.all(windows == s[None, :], axis=-1) & (pos >= L - 1)
-        if eos_token_id is not None:
-            fire |= tok_buf == eos_token_id
-        fire &= pos < upto
-        any_fire = jnp.any(fire)
-        return jnp.where(any_fire, jnp.argmax(fire) + 1, max_new_tokens), any_fire
+        return _find_stop_in(tok_buf, upto, stop_sequences, eos_token_id,
+                             max_new_tokens)
 
     def cond(state):
         t, done = state[0], state[5]

@@ -91,6 +91,8 @@ class _Slot:
     reserved: bool = False             # held by the admission thread
     beam: Any = None                   # _BeamGroup when part of a beam group
     prompt_ids: Any = None             # np.int32 prompt ids (draft lookup)
+    spec_miss: int = 0                 # consecutive 0-extra verify ticks
+    spec_backoff: int = 0              # ticks to skip drafting this slot
 
 
 NEG_INF = -1e9
@@ -559,6 +561,14 @@ class ServeEngine:
         # sample-consistent prefix: up to spec_drafts+1 tokens per dispatch
         # at roughly the device cost of a single decode step.
         self.spec_drafts = max(0, int(spec_drafts))
+        win = getattr(llm_cfg, "sliding_window", None)
+        if self.spec_drafts and win is not None and self.spec_drafts + 1 > win:
+            # fail at construction, not mid-serving inside the decode loop
+            raise ValueError(
+                f"spec_drafts+1 ({self.spec_drafts + 1}) exceeds the "
+                f"model's sliding window ({win}): the verify chunk must fit "
+                f"the window"
+            )
         # admission prefill chunk: bounds device occupancy per dispatch so
         # a long prompt never stalls running decodes for its full length.
         # Default 1024 keeps typical prompts single-dispatch (each extra
@@ -1108,15 +1118,36 @@ class ServeEngine:
     def _sampling_tick(self, reqs) -> None:
         if self.spec_drafts > 0:
             drafts: dict[int, list[int]] = {}
+            active_n = 0
             for i, r in enumerate(reqs):
                 if r is None:
                     continue
-                d = self._draft_for_slot(self.slots[i])
+                active_n += 1
+                slot = self.slots[i]
+                if slot.spec_backoff > 0:
+                    # recent 0-extra verifies: skip drafting this slot for
+                    # a while (exponential backoff) so one persistently
+                    # non-repetitive stream can't drag ticks to W=1 pace
+                    slot.spec_backoff -= 1
+                    continue
+                # drafts beyond the request's remaining budget are scored,
+                # committed, then discarded by _emit — clip them out
+                cap = r.max_new_tokens - len(slot.generated) - 1
+                if cap <= 0:
+                    continue
+                d = self._draft_for_slot(slot)
                 if d:
-                    drafts[i] = d
+                    drafts[i] = d[:cap]
             if drafts:
-                self._verify_tick(reqs, drafts)
-                return
+                # speculate only when the OPTIMISTIC verify yield (full
+                # acceptance; non-drafted slots emit 1) beats the regular
+                # steps_per_tick yield for the whole batch — a lone
+                # drafting slot must not quarter everyone else's pace
+                est = (sum(len(d) + 1 for d in drafts.values())
+                       + (active_n - len(drafts)))
+                if est >= active_n * self.steps_per_tick:
+                    self._verify_tick(reqs, drafts)
+                    return
         K = self.steps_per_tick
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
@@ -1204,13 +1235,20 @@ class ServeEngine:
         toks = np.asarray(toks)
         chain = np.asarray(chain)
         for i in range(B):
-            if self.slots[i].req is None or self.slots[i].beam is not None:
+            slot = self.slots[i]
+            if slot.req is None or slot.beam is not None:
                 continue
             accepted = int(chain[i].sum())  # cumulative flags: sum = count
-            self._stats["spec_extra_tokens"] += max(accepted - 1, 0)
+            extra = max(accepted - 1, 0)
+            self._stats["spec_extra_tokens"] += extra
+            if i in drafts:
+                if extra == 0:
+                    slot.spec_miss += 1
+                    slot.spec_backoff = min(1 << slot.spec_miss, 32)
+                else:
+                    slot.spec_miss = 0
             for j in range(accepted):
                 tok = int(toks[i, j])
-                slot = self.slots[i]
                 slot.generated.append(tok)
                 slot.last_token = tok
                 if self._emit(i):

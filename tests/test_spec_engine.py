@@ -102,9 +102,11 @@ def test_spec_no_draft_context_matches_offline(setup):
 
 def test_spec_concurrent_greedy_and_sampling(setup):
     """A drafted greedy request and a sampling request share verify ticks;
-    the greedy stream stays byte-exact, the sampled one completes."""
+    the greedy stream stays byte-exact, the sampled one completes.
+    steps_per_tick=2 so the optimistic-yield policy chooses verify ticks
+    with one drafted slot of two active (5+1 >= 2*2)."""
     cfg, params = setup
-    engine = make_engine(cfg, params)
+    engine = make_engine(cfg, params, steps_per_tick=2)
     engine.start()
     ids = jnp.array([[3, 1, 4]])
     prefix = gbc.embed_tokens(params, ids)
@@ -127,11 +129,53 @@ def test_spec_concurrent_greedy_and_sampling(setup):
             if kind == "done":
                 outs[req.request_id] = payload
             assert kind != "error", payload
+    stats = engine.stats()
     engine.stop()
     assert outs[greedy.request_id] == ref
+    assert stats["spec_ticks"] > 0
     toks = outs[sampled.request_id]
     assert len(toks) == N
     assert all(0 <= t < cfg.vocab_size for t in toks)
+
+
+def test_spec_policy_skips_lone_drafter_in_full_batch(setup):
+    """With steps_per_tick=4 and spec_drafts=4, one drafted slot out of two
+    active fails the optimistic-yield test (5+1 < 2*4), so the engine keeps
+    multi-step ticks — mixed traffic is never dragged to 1 token/dispatch."""
+    cfg, params = setup
+    engine = make_engine(cfg, params)  # steps_per_tick=4, spec_drafts=4
+    engine.start()
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    N = 12
+    ref = offline_greedy(params, cfg, prefix, N)
+    greedy = Request(prefix_embeds=prefix, max_new_tokens=N, do_sample=False,
+                     prompt_token_ids=[3, 1, 4] + ref)
+    sampled = Request(
+        prefix_embeds=gbc.embed_tokens(params, jnp.array([[7, 8]])),
+        max_new_tokens=N, do_sample=True, temperature=1.3, top_k=50,
+    )
+    engine.submit(greedy)
+    engine.submit(sampled)
+    outs = {}
+    for req in (greedy, sampled):
+        while req.request_id not in outs:
+            kind, payload = req.out_queue.get(timeout=180)
+            if kind == "done":
+                outs[req.request_id] = payload
+            assert kind != "error", payload
+    engine.stop()
+    assert outs[greedy.request_id] == ref
+
+
+def test_spec_drafts_must_fit_sliding_window():
+    from starvector_tpu.models import starcoder2 as sc2
+
+    cfg = sc2.tiny_config(sliding_window=4)
+    params = sc2.init_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="sliding window"):
+        ServeEngine(params, cfg, "starcoder2", max_batch=2, max_len=64,
+                    policy=F32, spec_drafts=8)
 
 
 def test_spec_int8_kv_smoke(setup):
