@@ -271,6 +271,8 @@ def bench_1b(jax, jnp, np, on_tpu):
     # indicative, not a guarantee; n_forwards makes it auditable.
     spec_tok_s = None
     spec_n_fwd = None
+    spec_q_tok_s = None
+    spec_q_n_fwd = None
     if on_tpu:
         from starvector_tpu.generation.speculative import (
             generate_greedy_speculative_batched,
@@ -290,17 +292,27 @@ def bench_1b(jax, jnp, np, on_tpu):
         )
         mask_sp = jnp.ones((B, prefix_sp.shape[1]), jnp.int32)
 
-        def run_spec():
+        def run_spec(p):
             toks, lens, nf = generate_greedy_speculative_batched(
-                dec_params, prefix_sp, mask_sp, ids_al,
+                p, prefix_sp, mask_sp, ids_al,
                 dec_name=cfg.decoder, llm_cfg=llm, max_new_tokens=NEW2,
                 draft_len=8, pad_token_id=0, policy=policy,
             )
             return int(np.asarray(nf))
 
-        spec_n_fwd = run_spec()
-        t_spec = _median_time(run_spec, reps)
+        spec_n_fwd = run_spec(dec_params)
+        t_spec = _median_time(lambda: run_spec(dec_params), reps)
         spec_tok_s = B * NEW2 / t_spec
+
+        # + int8 weights (the production serving stack: speculation cuts
+        # dispatches, int8 halves the bytes each dispatch reads)
+        from starvector_tpu.ops.quantization import quantize_tree
+
+        qd = quantize_tree(dec_params, consume=False)
+        spec_q_n_fwd = run_spec(qd)
+        t_spec_q = _median_time(lambda: run_spec(qd), reps)
+        spec_q_tok_s = B * NEW2 / t_spec_q
+        del qd
 
     # speed-of-light accounting for the decode step
     L, Hkv, D = llm.n_layer, llm.kv_heads, llm.head_dim
@@ -373,6 +385,10 @@ def bench_1b(jax, jnp, np, on_tpu):
             round(spec_tok_s, 1) if spec_tok_s else None
         ),
         "spec_batched_n_forwards": spec_n_fwd,
+        "spec_batched_int8_tok_per_s": (
+            round(spec_q_tok_s, 1) if spec_q_tok_s else None
+        ),
+        "spec_batched_int8_n_forwards": spec_q_n_fwd,
         "vision_encode_s": round(vision_s, 4),
         "prefill_s": round(prefill_s, 4),
         # decoder-only flash-prefill throughput: matmul+attention FLOPs over
