@@ -296,9 +296,69 @@ class StarVectorForCausalLM:
             max_length=kwargs.get("max_length", 30),
             add_special_tokens=False,
         )
-        ids = jnp.asarray(enc["input_ids"])
-        mask = jnp.asarray(enc["attention_mask"])
+        idn = np.asarray(enc["input_ids"])
+        idm = np.asarray(enc["attention_mask"])
+        if (idm[:, -1] == 0).any():
+            # normalize ragged rows to LEFT padding: the engine reads the
+            # prompt's last logits as logits[:, -1], so a right-padded row
+            # (v1 tokenizer) would condition its first generated token on
+            # trailing [PAD]s
+            Bp, Pp = idn.shape
+            left_ids = np.full_like(idn, self.tokenizer.pad_token_id)
+            left_mask = np.zeros_like(idm)
+            for b in range(Bp):
+                row = idn[b][idm[b] > 0]
+                left_ids[b, Pp - len(row):] = row
+                left_mask[b, Pp - len(row):] = 1
+            idn, idm = left_ids, left_mask
+        ids = jnp.asarray(idn)
+        mask = jnp.asarray(idm)
         gen = self._gen_config(kwargs, text2svg=True)
+        spec_ok = (
+            not gen.do_sample
+            and gen.num_return_sequences == 1
+            and gen.repetition_penalty == 1.0
+            and gen.frequency_penalty == 0.0
+            and gen.presence_penalty == 0.0
+            and not gen.logit_bias
+            and (gen.eos_token_id is None or gen.min_new_tokens <= 1)
+        )
+        if kwargs.get("use_speculative") and spec_ok:
+            from starvector_tpu.generation import speculative as spec
+
+            # the ragged speculative path wants RIGHT-padded rows (each
+            # row's cache occupies [0, len) like a serving slot); the
+            # tokenizer pads left for v2
+            idm = np.asarray(mask)
+            idn = np.asarray(ids)
+            B, P = idn.shape
+            idsr = np.zeros((B, P), np.int32)
+            pidr = np.full((B, P), -1, np.int32)
+            maskr = np.zeros((B, P), np.int32)
+            for b in range(B):
+                row = idn[b][idm[b] > 0]
+                idsr[b, : len(row)] = row
+                pidr[b, : len(row)] = row
+                maskr[b, : len(row)] = 1
+            dec = self.cfg.decoder_module
+            embeds = self.policy.cast(dec.embed_tokens(
+                self.params["svg_transformer"], jnp.asarray(idsr)
+            ))
+            toks, lengths, _ = spec.generate_greedy_speculative_batched(
+                self.params["svg_transformer"], embeds,
+                jnp.asarray(maskr), jnp.asarray(pidr),
+                dec_name=self.cfg.decoder, llm_cfg=self.cfg.llm,
+                max_new_tokens=gen.max_new_tokens,
+                draft_len=int(kwargs.get("draft_len", 8)),
+                stop_sequences=gen.stop_sequences,
+                eos_token_id=gen.eos_token_id,
+                pad_token_id=gen.pad_token_id,
+                policy=self.policy,
+            )
+            return [
+                self.tokenizer.decode(row[: int(L)])
+                for row, L in zip(np.asarray(toks), np.asarray(lengths))
+            ]
         tokens, lengths = generate_text2svg(
             self.params, self.cfg, ids, mask, gen, self._next_rng(),
             policy=self.policy,

@@ -127,3 +127,48 @@ def test_api_batched_speculative_matches_plain_greedy():
                                  use_nucleus_sampling=False,
                                  use_speculative=True)
     assert spec == plain
+
+
+def test_api_text2svg_speculative_matches_plain_greedy(monkeypatch):
+    """generate_text2svg(use_speculative=True) re-pads right and matches
+    the plain greedy path despite the v2 tokenizer's left padding — and the
+    speculative route genuinely fires (guarded against a silently-failing
+    spec_ok gate making this comparison vacuous)."""
+    import starvector_tpu.generation.speculative as spec_mod
+    from starvector_tpu.api import StarVectorForCausalLM
+    from starvector_tpu.models import starvector as sv
+
+    calls = []
+    orig = spec_mod.generate_greedy_speculative_batched
+    monkeypatch.setattr(
+        spec_mod, "generate_greedy_speculative_batched",
+        lambda *a, **k: calls.append(1) or orig(*a, **k),
+    )
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    batch = {"caption": ["a red circle", "blue"]}
+    plain = model.generate_text2svg(batch, max_new_tokens=12,
+                                    use_nucleus_sampling=False)
+    spec = model.generate_text2svg(batch, max_new_tokens=12,
+                                   use_nucleus_sampling=False,
+                                   use_speculative=True)
+    assert spec == plain
+    assert len(calls) == 1
+
+
+def test_text2svg_ragged_batch_rows_match_single():
+    """Regression: a ragged text2svg batch row must produce the same tokens
+    as running that caption alone. The v1 tokenizer pads RIGHT while the
+    engine reads last-token logits at position -1, so api.generate_text2svg
+    must normalize to left padding (it used to condition the short row's
+    first token on trailing [PAD]s)."""
+    from starvector_tpu.api import StarVectorForCausalLM
+    from starvector_tpu.models import starvector as sv
+
+    model = StarVectorForCausalLM.from_config(sv.tiny_config())
+    caps = ["a tiny red circle icon", "blue square"]
+    batched = model.generate_text2svg({"caption": caps}, max_new_tokens=10,
+                                      use_nucleus_sampling=False)
+    for i, c in enumerate(caps):
+        single = model.generate_text2svg({"caption": [c]}, max_new_tokens=10,
+                                         use_nucleus_sampling=False)
+        assert batched[i] == single[0], c
