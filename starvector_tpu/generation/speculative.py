@@ -14,7 +14,9 @@ everything emitted so far. Each iteration:
   3. accept a = 1 + longest prefix with p[i+1] == g[i]
   4. emit p[0..a-1], set pending = g[a-1], cache index += a (of K written)
 
-Greedy outputs are exactly identical to one-token-at-a-time decoding; an
+Greedy outputs match one-token-at-a-time decoding exactly in exact
+arithmetic (bit-exact in the fp32 test suite; bf16 argmax can flip on
+near-ties — measured logit shift <=0.06 at 1B geometry); an
 accepted run of a tokens costs one forward instead of a.
 
 Single-sequence (B=1): this is the p50 image→SVG latency path; batched

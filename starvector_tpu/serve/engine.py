@@ -28,8 +28,12 @@ Iteration-level scheduling over a slot-based ragged KV cache:
     one W-token verify dispatch (forward_ragged_verify + per-position
     sampling + acceptance + commit, fully fused) emits the longest
     sample-consistent prefix: up to spec_drafts+1 tokens at ~1 decode
-    step's device cost. Byte-exact for greedy; distribution-exact for
-    sampling (each accepted token is sampled from its true conditional).
+    step's device cost. Exact in exact arithmetic — greedy streams match
+    token-at-a-time decoding (bit-exact in the fp32 test suite) and each
+    accepted sampled token draws from its true conditional. In bf16 the
+    verify forward's different reduction order shifts logits ≤0.06
+    (measured, 1B geometry), so argmax can flip on near-ties — rare for
+    trained models' decisive margins, same caveat as the int8 KV cache.
     Rejected draft positions stay uncommitted in the ragged cache.
 
 The engine runs two Python scheduler threads; all device work is jitted.
@@ -378,7 +382,9 @@ def _fused_verify_step(
     logits are sampled through the FULL per-slot processor chain (so greedy
     slots get argmax, sampled slots a true conditional sample); draft i+1 is
     accepted iff the sampled token equals it, and the emitted tokens are the
-    sampled chain itself — byte-exact greedy, distribution-exact sampling
+    sampled chain itself — greedy matches token-at-a-time decoding (exact
+    arithmetic; bf16 near-ties can flip, see module docstring), sampling
+    draws each accepted token from its true conditional
     (each accepted position is sampled from its true conditional given the
     accepted prefix). Rejected cache positions are left uncommitted
     (decode_common.commit_verify). Returns ((B, W) tokens, (B, W) 0/1

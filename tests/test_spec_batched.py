@@ -108,6 +108,7 @@ def test_batched_spec_per_row_stop_and_fewer_forwards():
     assert int(n_fwd) <= N // 2 + 2
 
 
+@pytest.mark.slow
 def test_api_batched_speculative_matches_plain_greedy():
     """generate_im2svg(use_speculative=True) at B>1 routes through the
     batched ragged path and returns the same SVG texts as the plain greedy
@@ -129,6 +130,7 @@ def test_api_batched_speculative_matches_plain_greedy():
     assert spec == plain
 
 
+@pytest.mark.slow
 def test_api_text2svg_speculative_matches_plain_greedy(monkeypatch):
     """generate_text2svg(use_speculative=True) re-pads right and matches
     the plain greedy path despite the v2 tokenizer's left padding — and the
@@ -155,6 +157,7 @@ def test_api_text2svg_speculative_matches_plain_greedy(monkeypatch):
     assert len(calls) == 1
 
 
+@pytest.mark.slow
 def test_text2svg_ragged_batch_rows_match_single():
     """Regression: a ragged text2svg batch row must produce the same tokens
     as running that caption alone. The v1 tokenizer pads RIGHT while the
