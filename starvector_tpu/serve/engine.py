@@ -22,19 +22,25 @@ Iteration-level scheduling over a slot-based ragged KV cache:
     decode in lockstep with one dispatch per round (parentage cache-reorder
     fused with the ragged decode + on-device top-2k), HF finished-pool
     semantics host-side; concurrent sampling traffic keeps streaming
-  * `spec_drafts>0` enables PROMPT-LOOKUP SPECULATIVE ticks (vLLM's ngram
-    speculation, engine-native): when a slot's current bigram recurred
-    earlier in [prompt ‖ output] — near-always for self-repetitive SVG —
-    one W-token verify dispatch (forward_ragged_verify + per-position
-    sampling + acceptance + commit, fully fused) emits the longest
-    sample-consistent prefix: up to spec_drafts+1 tokens at ~1 decode
-    step's device cost. Exact in exact arithmetic — greedy streams match
-    token-at-a-time decoding (bit-exact in the fp32 test suite) and each
-    accepted sampled token draws from its true conditional. In bf16 the
-    verify forward's different reduction order shifts logits ≤0.06
-    (measured, 1B geometry), so argmax can flip on near-ties — rare for
-    trained models' decisive margins, same caveat as the int8 KV cache.
-    Rejected draft positions stay uncommitted in the ragged cache.
+  * `spec_drafts>0` upgrades every sampling tick to PROMPT-LOOKUP
+    SPECULATIVE rounds (vLLM's ngram speculation, engine-native):
+    steps_per_tick verify rounds fuse into ONE dispatch, each drafting ON
+    DEVICE from the slot's [prompt ids ‖ accepted output] context
+    (generation.speculative._lookup_draft vmapped) and verifying
+    spec_drafts tokens through forward_ragged_verify + per-position
+    sampling + acceptance + commit. A round emits BETWEEN 1 and
+    spec_drafts+1 tokens per slot, so the tick strictly generalizes the
+    plain multi-step tick — worst case the same steps_per_tick tokens
+    (drafting falls back to repeating the pending token, costing only
+    acceptance), best case steps_per_tick*(spec_drafts+1), which is where
+    self-repetitive SVG output lives. Exact in exact arithmetic — greedy
+    streams match token-at-a-time decoding (bit-exact in the fp32 test
+    suite) and each accepted sampled token draws from its true
+    conditional. In bf16 the verify forward's different reduction order
+    shifts logits ≤0.06 (measured, 1B geometry), so argmax can flip on
+    near-ties — rare for trained models' decisive margins, same caveat as
+    the int8 KV cache. Rejected draft positions stay uncommitted in the
+    ragged cache.
 
 The engine runs two Python scheduler threads; all device work is jitted.
 """
@@ -94,9 +100,6 @@ class _Slot:
     last_token: int = 0
     reserved: bool = False             # held by the admission thread
     beam: Any = None                   # _BeamGroup when part of a beam group
-    prompt_ids: Any = None             # np.int32 prompt ids (draft lookup)
-    spec_miss: int = 0                 # consecutive 0-extra verify ticks
-    spec_backoff: int = 0              # ticks to skip drafting this slot
 
 
 NEG_INF = -1e9
@@ -349,15 +352,18 @@ def _fused_ragged_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dec_name", "cfg", "policy", "max_top_k"),
-    donate_argnames=("cache", "counts"),
+    static_argnames=("dec_name", "cfg", "policy", "max_top_k", "n_rounds",
+                     "draft_len"),
+    donate_argnames=("cache", "counts", "ctx", "ctx_len"),
 )
-def _fused_verify_step(
+def _fused_verify_multi(
     params: dict,
-    tokens: jax.Array,        # (B, W): [last sampled token ‖ drafted tokens]
+    tokens: jax.Array,        # (B,) last sampled token per slot
     cache: dict,
+    ctx: jax.Array,           # (B, C) device draft context ([prompt ids ‖
+                              # accepted output]; -1 holes allowed)
+    ctx_len: jax.Array,       # (B,)
     active: jax.Array,        # (B,)
-    n_drafts: jax.Array,      # (B,) valid drafts per slot (0..W-1)
     base_rng: jax.Array,
     step: jax.Array,
     temps: jax.Array,
@@ -376,58 +382,125 @@ def _fused_verify_step(
     cfg: Any,
     policy: DTypePolicy,
     max_top_k: int,
+    n_rounds: int,
+    draft_len: int,
 ):
-    """One speculative engine tick (prompt-lookup drafting): a single
-    W-token verify forward replaces up to W single-token steps. Position i's
-    logits are sampled through the FULL per-slot processor chain (so greedy
-    slots get argmax, sampled slots a true conditional sample); draft i+1 is
-    accepted iff the sampled token equals it, and the emitted tokens are the
-    sampled chain itself — greedy matches token-at-a-time decoding (exact
-    arithmetic; bf16 near-ties can flip, see module docstring), sampling
-    draws each accepted token from its true conditional
-    (each accepted position is sampled from its true conditional given the
-    accepted prefix). Rejected cache positions are left uncommitted
-    (decode_common.commit_verify). Returns ((B, W) tokens, (B, W) 0/1
-    accepted flags — cumulative, so row sums are the emit counts —, cache,
-    counts)."""
+    """`n_rounds` speculative rounds in ONE dispatch — the speculative
+    generalization of the multi-step tick, with the draft lookup ON DEVICE
+    (generation.speculative._lookup_draft vmapped over slots) so later
+    rounds draft from tokens accepted earlier in the same dispatch.
+
+    Each round is one W=draft_len+1-token verify forward: position i's
+    logits run the FULL per-slot processor chain (greedy slots argmax,
+    sampled slots a true conditional sample), draft i+1 is accepted iff the
+    sampled token equals it, and the emitted tokens are the sampled chain
+    itself. A round therefore emits BETWEEN 1 and W tokens per slot — the
+    worst case degenerates to the plain multi-step tick (the lookup's
+    repeat-pending fallback still costs only acceptance), the best case
+    emits n_rounds*W tokens per dispatch. Greedy matches token-at-a-time
+    decoding in exact arithmetic (bf16 near-ties can flip, see module
+    docstring); sampling draws every accepted token from its true
+    conditional. Rejected cache positions stay uncommitted
+    (decode_common.commit_verify). Returns ((B, n_rounds, W) tokens,
+    (B, n_rounds, W) cumulative accept flags, cache, counts, ctx, ctx_len).
+    """
+    from starvector_tpu.generation.speculative import _lookup_draft
     from starvector_tpu.models import decode_common as dc
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
-    B, W = tokens.shape
-    logits_all, cache = dec.forward_ragged_verify(
-        params, cfg, tokens, cache, active, policy=policy
+    B = tokens.shape[0]
+    W = draft_len + 1
+    C = ctx.shape[1]
+    rows = jnp.arange(B)
+
+    def round_body(carry, m):
+        pending, cache, counts, ctx, ctx_len = carry
+        drafts = jax.vmap(
+            lambda c, n, p: _lookup_draft(c, n, p, W)
+        )(ctx, ctx_len, pending)                          # (B, W-1)
+        proposal = jnp.concatenate([pending[:, None], drafts], axis=1)
+        logits_all, cache = dec.forward_ragged_verify(
+            params, cfg, proposal, cache, active, policy=policy
+        )
+
+        def pos_body(pcarry, i):
+            counts, chain, prev = pcarry
+            lg = logits_all[:, i]
+            # distinct fold stream from the regular tick (0x40000000 offset)
+            rng = jax.random.fold_in(
+                base_rng, 0x40000000 + (step * n_rounds + m) * W + i
+            )
+            t = sample_token(
+                rng, lg, do_sample=True,
+                temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
+                presence=jnp.maximum((counts > 0).astype(jnp.int32),
+                                     prompt_presence),
+                repetition_penalty=rep_pens,
+                counts=counts, frequency_penalty=freq_pens,
+                presence_penalty=pres_pens,
+                bias_ids=bias_ids, bias_vals=bias_vals,
+                max_top_k=max_top_k,
+            )
+            ok = jnp.where(i == 0, active > 0,
+                           chain & (prev == proposal[:, i]))
+            counts = counts.at[rows, t].add(ok.astype(jnp.int32))
+            return (counts, ok, t), (t, ok)
+
+        (counts, _, _), (toks, chain) = jax.lax.scan(
+            pos_body,
+            (counts, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32)),
+            jnp.arange(W),
+        )
+        toks, chain = toks.T, chain.T                     # (B, W)
+        n_out = jnp.sum(chain.astype(jnp.int32), axis=1)
+        cache = dc.commit_verify(cache, n_out)
+        # ctx gains the accepted PROPOSAL tokens (the emitted history's
+        # inputs: pending + matched drafts); the new pending is the last
+        # sampled token, emitted to the caller but not yet in the cache/ctx
+        colw = jnp.arange(W)[None, :]
+        write = colw < n_out[:, None]
+        posc = jnp.clip(ctx_len[:, None] + colw, 0, C - 1)
+        cur = ctx[rows[:, None], posc]
+        ctx = ctx.at[rows[:, None], posc].set(
+            jnp.where(write, proposal, cur)
+        )
+        ctx_len = ctx_len + n_out
+        pending = jnp.where(
+            n_out > 0, toks[rows, jnp.clip(n_out - 1, 0, W - 1)], pending
+        )
+        return (pending, cache, counts, ctx, ctx_len), (toks, chain)
+
+    (pending, cache, counts, ctx, ctx_len), (toks, chain) = jax.lax.scan(
+        round_body, (tokens, cache, counts, ctx, ctx_len),
+        jnp.arange(n_rounds),
     )
+    # (M, B, W) -> (B, M, W)
+    return (jnp.moveaxis(toks, 0, 1),
+            jnp.moveaxis(chain, 0, 1).astype(jnp.int32),
+            cache, counts, ctx, ctx_len)
 
-    def body(carry, i):
-        counts, chain, prev = carry
-        lg = logits_all[:, i]
-        # distinct fold stream from the regular tick (0x40000000 offset)
-        rng = jax.random.fold_in(base_rng, 0x40000000 + step * W + i)
-        t = sample_token(
-            rng, lg, do_sample=True,
-            temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
-            presence=jnp.maximum((counts > 0).astype(jnp.int32),
-                                 prompt_presence),
-            repetition_penalty=rep_pens,
-            counts=counts, frequency_penalty=freq_pens,
-            presence_penalty=pres_pens,
-            bias_ids=bias_ids, bias_vals=bias_vals,
-            max_top_k=max_top_k,
-        )
-        ok = jnp.where(
-            i == 0, active > 0,
-            chain & (prev == tokens[:, i]) & (i <= n_drafts),
-        )
-        counts = counts.at[jnp.arange(B), t].add(ok.astype(jnp.int32))
-        return (counts, ok, t), (t, ok)
 
-    init = (counts, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
-    (counts, _, _), (toks, chain) = jax.lax.scan(body, init, jnp.arange(W))
-    toks, chain = toks.T, chain.T                      # (B, W)
-    n_out = jnp.sum(chain.astype(jnp.int32), axis=1)
-    cache = dc.commit_verify(cache, n_out)
-    return toks, chain.astype(jnp.int32), cache, counts
+@functools.partial(jax.jit, donate_argnames=("ctx", "ctx_len"))
+def _admit_ctx_rows(
+    ctx: jax.Array,       # (B, C), donated
+    ctx_len: jax.Array,   # (B,), donated
+    slots: jax.Array,     # (k,)
+    pid_rows: jax.Array,  # (k, Pb) prompt ids, -1 padding/holes
+):
+    """Reset admitted slots' device draft context to their prompt ids.
+    The first sampled token is NOT written — it is the slot's pending
+    token and enters ctx as round 0's proposal[0] (mirrors the offline
+    path, where ctx0 = prompt only)."""
+    C = ctx.shape[1]
+    k, Pb = pid_rows.shape
+    rowfill = jnp.full((k, C), -1, jnp.int32)
+    rowfill = jax.lax.dynamic_update_slice(
+        rowfill, pid_rows.astype(jnp.int32), (0, 0)
+    )
+    ctx = ctx.at[slots].set(rowfill)
+    ctx_len = ctx_len.at[slots].set(Pb)
+    return ctx, ctx_len
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -597,6 +670,15 @@ class ServeEngine:
         V = llm_cfg.vocab_size
         self._counts = jnp.zeros((max_batch, V), jnp.int32)
         self._prompt_presence = jnp.zeros((max_batch, V), jnp.int32)
+        # device draft context for speculative ticks: [prompt ids ‖ accepted
+        # output] per slot, -1 holes allowed ((B, C) int32 — a few hundred
+        # KB). Drafting happens ON DEVICE inside the fused tick.
+        self._ctx = None
+        self._ctx_len = None
+        if self.spec_drafts:
+            C = max_len + self.steps_per_tick * (self.spec_drafts + 1)
+            self._ctx = jnp.full((max_batch, C), -1, jnp.int32)
+            self._ctx_len = jnp.zeros((max_batch,), jnp.int32)
         self.max_bias = 4                 # static bound on logit_bias entries
         self.slots = [_Slot() for _ in range(max_batch)]
         self.beam_groups: list[_BeamGroup] = []
@@ -620,8 +702,8 @@ class ServeEngine:
     def submit(self, req: Request) -> Request:
         P = int(req.prefix_embeds.shape[1])
         # slack: a multi-step tick may overshoot a stop by steps_per_tick-1
-        # tokens; a speculative tick commits up to spec_drafts extra
-        slack = max(self.steps_per_tick - 1, self.spec_drafts)
+        # tokens; a speculative tick commits up to steps_per_tick*(W)-1 extra
+        slack = self.steps_per_tick * (self.spec_drafts + 1) - 1
         if P + req.max_new_tokens + slack > self.max_len:
             req.out_queue.put((
                 "error",
@@ -682,8 +764,12 @@ class ServeEngine:
 
         Dummy requests run through the REAL `_admit_group` (deterministic k,
         unlike racing the admission thread) and decode one multi-step tick.
-        Call on an idle engine."""
+        Call on an idle engine. Warmup traffic does not pollute the stats()
+        gauges (counters are restored afterwards)."""
         self.start()
+        counter_keys = ("tokens", "ticks", "admissions", "spec_ticks",
+                        "spec_extra_tokens")
+        stats_before = {k: self._stats[k] for k in counter_keys}
         if group_sizes is None:
             group_sizes, g = [], 1
             while g <= self.max_batch:
@@ -735,19 +821,16 @@ class ServeEngine:
                         if kind == "error":
                             raise RuntimeError(f"warmup failed: {payload}")
         if self.spec_drafts > 0:
-            # compile the verify dispatch too (drafting is data-dependent,
-            # so the dummy requests above may never trigger it). All slots
-            # are idle ⇒ active = 0 everywhere ⇒ nothing commits or emits.
+            # the dummy requests above already ran through verify ticks
+            # (speculative mode replaces the regular sampling tick), but
+            # keep an explicit idle-engine compile for the empty-slot
+            # composition: active = 0 everywhere ⇒ nothing commits or emits
             with self._lock:
-                before = dict(self._stats)
                 self._knob_cache = None
-                self._verify_tick([None] * self.max_batch,
-                                  {0: [0] * self.spec_drafts})
+                self._verify_tick([None] * self.max_batch)
                 self._knob_cache = None
-                self._stats.update(
-                    {k: before[k] for k in
-                     ("ticks", "spec_ticks", "spec_extra_tokens")}
-                )
+        with self._lock:
+            self._stats.update(stats_before)
 
     def stats(self) -> dict:
         """Serving observability counters (vLLM-style gauges): emitted
@@ -1009,6 +1092,12 @@ class ServeEngine:
                     jnp.asarray(slot_idxs, jnp.int32), firsts_arr,
                     presence_rows,
                 )
+                if self.spec_drafts:
+                    self._ctx, self._ctx_len = _admit_ctx_rows(
+                        self._ctx, self._ctx_len,
+                        jnp.asarray(slot_idxs, jnp.int32),
+                        jnp.asarray(pid_rows),
+                    )
             except Exception:
                 # these calls donate the engine's cache/count buffers; a
                 # failure mid-way may have consumed them — rebuild so the
@@ -1017,15 +1106,12 @@ class ServeEngine:
                 raise
             self._knob_cache = None       # slot composition changes below
             self._stats["admissions"] += len(reqs)
-            for row, (r, i, tok) in enumerate(zip(reqs, slot_idxs, firsts)):
+            for r, i, tok in zip(reqs, slot_idxs, firsts):
                 slot = self.slots[i]
                 slot.req = r
                 slot.generated = [tok]
                 slot.last_token = tok
                 slot.reserved = False
-                # real (≥0) prompt ids seed the speculative draft lookup
-                ids = pid_rows[row]
-                slot.prompt_ids = ids[ids >= 0].copy()
                 self._emit(i)
 
     def _rebuild_state_locked(self):
@@ -1037,6 +1123,10 @@ class ServeEngine:
         V = self.llm_cfg.vocab_size
         self._counts = jnp.zeros((self.max_batch, V), jnp.int32)
         self._prompt_presence = jnp.zeros((self.max_batch, V), jnp.int32)
+        if self.spec_drafts:
+            C = self.max_len + self.steps_per_tick * (self.spec_drafts + 1)
+            self._ctx = jnp.full((self.max_batch, C), -1, jnp.int32)
+            self._ctx_len = jnp.zeros((self.max_batch,), jnp.int32)
         self._knob_cache = None
 
     def _bias_arrays(self, reqs):
@@ -1123,37 +1213,13 @@ class ServeEngine:
 
     def _sampling_tick(self, reqs) -> None:
         if self.spec_drafts > 0:
-            drafts: dict[int, list[int]] = {}
-            active_n = 0
-            for i, r in enumerate(reqs):
-                if r is None:
-                    continue
-                active_n += 1
-                slot = self.slots[i]
-                if slot.spec_backoff > 0:
-                    # recent 0-extra verifies: skip drafting this slot for
-                    # a while (exponential backoff) so one persistently
-                    # non-repetitive stream can't drag ticks to W=1 pace
-                    slot.spec_backoff -= 1
-                    continue
-                # drafts beyond the request's remaining budget are scored,
-                # committed, then discarded by _emit — clip them out
-                cap = r.max_new_tokens - len(slot.generated) - 1
-                if cap <= 0:
-                    continue
-                d = self._draft_for_slot(slot)
-                if d:
-                    drafts[i] = d[:cap]
-            if drafts:
-                # speculate only when the OPTIMISTIC verify yield (full
-                # acceptance; non-drafted slots emit 1) beats the regular
-                # steps_per_tick yield for the whole batch — a lone
-                # drafting slot must not quarter everyone else's pace
-                est = (sum(len(d) + 1 for d in drafts.values())
-                       + (active_n - len(drafts)))
-                if est >= active_n * self.steps_per_tick:
-                    self._verify_tick(reqs, drafts)
-                    return
+            # the speculative multi-round tick strictly generalizes the
+            # plain multi-step tick: each of its steps_per_tick rounds
+            # emits >=1 token per active slot (the on-device lookup's
+            # repeat-pending fallback only costs acceptance), and up to
+            # spec_drafts+1 when drafts verify — no host-side policy needed
+            self._verify_tick(reqs)
+            return
         K = self.steps_per_tick
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
@@ -1182,83 +1248,48 @@ class ServeEngine:
                 if self._emit(i):
                     break  # tokens past the stop are discarded
 
-    def _draft_for_slot(self, slot: _Slot) -> list[int]:
-        """Prompt-lookup draft: the tokens that followed the most recent
-        earlier occurrence of the slot's current (second-to-last, last)
-        bigram anywhere in [prompt ids ‖ generated]. O(context) numpy per
-        tick — microseconds against a multi-ms device dispatch."""
-        gen = np.asarray(slot.generated, np.int32)
-        if slot.prompt_ids is not None and slot.prompt_ids.size:
-            a = np.concatenate([slot.prompt_ids, gen])
-        else:
-            a = gen
-        if a.size < 3:
-            return []
-        m = (a[:-2] == a[-2]) & (a[1:-1] == a[-1])
-        idx = np.nonzero(m)[0]
-        if idx.size == 0:
-            return []
-        # the LATEST match typically sits near the end with almost nothing
-        # following it; prefer the latest match with a FULL continuation
-        need = self.spec_drafts
-        full = idx[a.size - (idx + 2) >= need]
-        j = int(full[-1]) if full.size else int(idx[-1])
-        d = a[j + 2 : j + 2 + need].tolist()
-        # pad short drafts by repeating the tail (free on constant runs;
-        # mismatches only cost acceptance, like the offline draft())
-        if len(d) < need:
-            d += [d[-1]] * (need - len(d))
-        return d
-
-    def _verify_tick(self, reqs, drafts: dict[int, list[int]]) -> None:
-        """One speculative tick: verify each slot's drafted continuation in
-        a single dispatch and emit the accepted prefix (1..spec_drafts+1
-        tokens per slot)."""
-        W = self.spec_drafts + 1
-        B = len(self.slots)
-        tok_np = np.zeros((B, W), np.int32)
-        nd_np = np.zeros((B,), np.int32)
-        for i, s in enumerate(self.slots):
-            tok_np[i, 0] = s.last_token
-            d = drafts.get(i, [])
-            if d:
-                tok_np[i, 1 : 1 + len(d)] = d
-                nd_np[i] = len(d)
+    def _verify_tick(self, reqs) -> None:
+        """One speculative tick: steps_per_tick verify ROUNDS fused into a
+        single dispatch, drafting on device from each slot's
+        [prompt ids ‖ accepted output] context. Emits 1..spec_drafts+1
+        tokens per slot per round."""
+        M = self.steps_per_tick
+        tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
          bias_ids, bias_vals) = self._knobs(reqs)
         self._step += 1
         self._stats["ticks"] += 1
         self._stats["spec_ticks"] += 1
-        toks, chain, self.cache, self._counts = _fused_verify_step(
-            self.params, jnp.asarray(tok_np), self.cache, active,
-            jnp.asarray(nd_np), self.base_rng,
-            jnp.asarray(self._step, jnp.int32),
+        (toks, chain, self.cache, self._counts,
+         self._ctx, self._ctx_len) = _fused_verify_multi(
+            self.params, jnp.asarray(tokens), self.cache,
+            self._ctx, self._ctx_len, active,
+            self.base_rng, jnp.asarray(self._step, jnp.int32),
             temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
             self._counts, self._prompt_presence, bias_ids, bias_vals,
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
-            max_top_k=self.max_top_k,
+            max_top_k=self.max_top_k, n_rounds=M,
+            draft_len=self.spec_drafts,
         )
-        toks = np.asarray(toks)
+        toks = np.asarray(toks)    # (B, M, W)
         chain = np.asarray(chain)
-        for i in range(B):
+        for i in range(len(self.slots)):
             slot = self.slots[i]
             if slot.req is None or slot.beam is not None:
                 continue
-            accepted = int(chain[i].sum())  # cumulative flags: sum = count
-            extra = max(accepted - 1, 0)
-            self._stats["spec_extra_tokens"] += extra
-            if i in drafts:
-                if extra == 0:
-                    slot.spec_miss += 1
-                    slot.spec_backoff = min(1 << slot.spec_miss, 32)
-                else:
-                    slot.spec_miss = 0
-            for j in range(accepted):
-                tok = int(toks[i, j])
-                slot.generated.append(tok)
-                slot.last_token = tok
-                if self._emit(i):
-                    break  # tokens past the stop are discarded
+            released = False
+            for m in range(M):
+                accepted = int(chain[i, m].sum())  # cumulative: sum = count
+                self._stats["spec_extra_tokens"] += max(accepted - 1, 0)
+                for j in range(accepted):
+                    tok = int(toks[i, m, j])
+                    slot.generated.append(tok)
+                    slot.last_token = tok
+                    if self._emit(i):
+                        released = True
+                        break  # tokens past the stop are discarded
+                if released:
+                    break
 
     def _beam_tick(self, group: _BeamGroup) -> None:
         """steps_per_tick beam rounds for one group. Each round is one

@@ -426,9 +426,11 @@ def main():
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (halves decode cache traffic)")
     parser.add_argument("--spec-drafts", type=int, default=0,
-                        help="engine prompt-lookup speculation: verify up "
-                             "to this many drafted tokens per tick (exact "
-                             "for greedy AND sampling; big win on "
+                        help="engine prompt-lookup speculation: each tick "
+                             "becomes steps_per_tick verify rounds, each "
+                             "drafting this many tokens on device (exact "
+                             "for greedy AND sampling; emits 1..N+1 tokens "
+                             "per slot per round — big win on "
                              "self-repetitive SVG output)")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile prefill/tick chains before serving "
