@@ -56,6 +56,23 @@ def _lookup_draft(ctx: jax.Array, n_ctx, pending, K: int) -> jax.Array:
     return jnp.where(any_hit & (prop >= 0), prop, pending)
 
 
+def _append_accepted(buf: jax.Array, offs: jax.Array,
+                     proposal: jax.Array, n_out: jax.Array):
+    """Append each row's first n_out proposal tokens into buf at its own
+    offset (clipped). Returns (buf, offs + n_out) — the context/emit-buffer
+    idiom shared by the batched offline loop and the engine's verify
+    rounds."""
+    B, W = proposal.shape
+    C = buf.shape[1]
+    rows = jnp.arange(B)
+    colw = jnp.arange(W)[None, :]
+    write = colw < n_out[:, None]
+    pos = jnp.clip(offs[:, None] + colw, 0, C - 1)
+    cur = buf[rows[:, None], pos]
+    buf = buf.at[rows[:, None], pos].set(jnp.where(write, proposal, cur))
+    return buf, offs + n_out
+
+
 def _find_stop_in(tok_buf: jax.Array, upto, stop_sequences,
                   eos_token_id, max_new_tokens: int):
     """(first stop end-index within tok_buf[:upto], fired?) — shared stop
@@ -309,23 +326,11 @@ def generate_greedy_speculative_batched(
         a = jnp.where(done, 0, a)
         rag = dc.commit_verify(rag, a)
 
-        colw = jnp.arange(K)[None, :]                            # (1, K)
-        write = colw < a[:, None]                                # (B, K)
-        posb = jnp.clip(t[:, None] + colw, 0, BUF - 1)
-        cur = tokens[rows[:, None], posb]
-        tokens = tokens.at[rows[:, None], posb].set(
-            jnp.where(write, proposal, cur)
-        )
-        posc = jnp.clip(n_ctx[:, None] + colw, 0, CTX - 1)
-        curc = ctx[rows[:, None], posc]
-        ctx = ctx.at[rows[:, None], posc].set(
-            jnp.where(write, proposal, curc)
-        )
+        tokens, t_new = _append_accepted(tokens, t, proposal, a)
+        ctx, n_ctx = _append_accepted(ctx, n_ctx, proposal, a)
         pending = jnp.where(
             done, pending, g[rows, jnp.clip(a - 1, 0, K - 1)]
         )
-        n_ctx = n_ctx + a
-        t_new = t + a
 
         upto = jnp.minimum(t_new, max_new_tokens)
         stop_at, fired = jax.vmap(find_stop_row)(tokens, upto)

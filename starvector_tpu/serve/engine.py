@@ -404,7 +404,10 @@ def _fused_verify_multi(
     (decode_common.commit_verify). Returns ((B, n_rounds, W) tokens,
     (B, n_rounds, W) cumulative accept flags, cache, counts, ctx, ctx_len).
     """
-    from starvector_tpu.generation.speculative import _lookup_draft
+    from starvector_tpu.generation.speculative import (
+        _append_accepted,
+        _lookup_draft,
+    )
     from starvector_tpu.models import decode_common as dc
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -458,14 +461,7 @@ def _fused_verify_multi(
         # ctx gains the accepted PROPOSAL tokens (the emitted history's
         # inputs: pending + matched drafts); the new pending is the last
         # sampled token, emitted to the caller but not yet in the cache/ctx
-        colw = jnp.arange(W)[None, :]
-        write = colw < n_out[:, None]
-        posc = jnp.clip(ctx_len[:, None] + colw, 0, C - 1)
-        cur = ctx[rows[:, None], posc]
-        ctx = ctx.at[rows[:, None], posc].set(
-            jnp.where(write, proposal, cur)
-        )
-        ctx_len = ctx_len + n_out
+        ctx, ctx_len = _append_accepted(ctx, ctx_len, proposal, n_out)
         pending = jnp.where(
             n_out > 0, toks[rows, jnp.clip(n_out - 1, 0, W - 1)], pending
         )
@@ -488,18 +484,28 @@ def _admit_ctx_rows(
     slots: jax.Array,     # (k,)
     pid_rows: jax.Array,  # (k, Pb) prompt ids, -1 padding/holes
 ):
-    """Reset admitted slots' device draft context to their prompt ids.
-    The first sampled token is NOT written — it is the slot's pending
-    token and enters ctx as round 0's proposal[0] (mirrors the offline
-    path, where ctx0 = prompt only)."""
+    """Reset admitted slots' device draft context to their prompt ids,
+    COMPACTED (-1 bucket padding and visual-prefix holes squeezed out, so
+    ctx_len is the true id count — bucket padding must not leave a -1 gap
+    between prompt and output, which would kill boundary bigram matches
+    and could overflow the buffer for short prompts in wide buckets). The
+    first sampled token is NOT written — it is the slot's pending token
+    and enters ctx as round 0's proposal[0] (mirrors the offline path,
+    where ctx0 = prompt only)."""
     C = ctx.shape[1]
     k, Pb = pid_rows.shape
+    pid_rows = pid_rows.astype(jnp.int32)
+    real = pid_rows >= 0
+    dest = jnp.cumsum(real.astype(jnp.int32), axis=1) - 1      # (k, Pb)
+    # park non-real writes on the last column (they write -1 over -1:
+    # real counts are <= Pb <= max_len < C-1, so no real id lands there)
+    dest = jnp.where(real, dest, C - 1)
     rowfill = jnp.full((k, C), -1, jnp.int32)
-    rowfill = jax.lax.dynamic_update_slice(
-        rowfill, pid_rows.astype(jnp.int32), (0, 0)
+    rowfill = rowfill.at[jnp.arange(k)[:, None], dest].set(
+        jnp.where(real, pid_rows, -1)
     )
     ctx = ctx.at[slots].set(rowfill)
-    ctx_len = ctx_len.at[slots].set(Pb)
+    ctx_len = ctx_len.at[slots].set(jnp.sum(real, axis=1).astype(jnp.int32))
     return ctx, ctx_len
 
 
@@ -611,8 +617,9 @@ class ServeEngine:
         steps_per_tick: int = 4,
         prefill_chunk: int = 1024,
         kv_cache_dtype=None,     # e.g. jnp.int8: halves KV decode traffic
-        spec_drafts: int = 0,    # >0: prompt-lookup speculative ticks with
-                                 # up to this many drafted tokens per tick
+        spec_drafts: int = 0,    # >0: speculative ticks — steps_per_tick
+                                 # on-device-drafted verify rounds per
+                                 # dispatch, each emitting 1..N+1 tokens
     ):
         from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -633,12 +640,11 @@ class ServeEngine:
         # overhead; admissions join between ticks (latency granularity =
         # steps_per_tick tokens). Tokens past a stop/eos are discarded.
         self.steps_per_tick = max(1, steps_per_tick)
-        # speculative ticks: when any slot's context contains an earlier
-        # occurrence of its current bigram (host-side prompt-lookup — SVG
-        # output is extremely self-repetitive), ONE verify dispatch scores
-        # [pending ‖ up to spec_drafts copied tokens] and emits the longest
-        # sample-consistent prefix: up to spec_drafts+1 tokens per dispatch
-        # at roughly the device cost of a single decode step.
+        # speculative ticks (module docstring): every sampling tick becomes
+        # steps_per_tick verify rounds in ONE dispatch, drafting on device
+        # from [prompt ids ‖ accepted output]; a round emits between 1 and
+        # spec_drafts+1 tokens per slot, so the worst case equals the plain
+        # multi-step tick and the best case is steps_per_tick*(W) tokens.
         self.spec_drafts = max(0, int(spec_drafts))
         win = getattr(llm_cfg, "sliding_window", None)
         if self.spec_drafts and win is not None and self.spec_drafts + 1 > win:
@@ -679,6 +685,17 @@ class ServeEngine:
             C = max_len + self.steps_per_tick * (self.spec_drafts + 1)
             self._ctx = jnp.full((max_batch, C), -1, jnp.int32)
             self._ctx_len = jnp.zeros((max_batch,), jnp.int32)
+        # adaptive probe: when `_spec_patience` consecutive verify ticks
+        # accept ZERO extra tokens engine-wide (persistently non-repetitive
+        # traffic), fall back to plain multi-step ticks for
+        # `_spec_probe_every` ticks so that traffic doesn't pay the W-wide
+        # attention-score tensors, then probe again. The device ctx goes
+        # stale during the fallback, which only degrades later drafts
+        # (acceptance, never correctness) until admissions refresh rows.
+        self._spec_patience = 4
+        self._spec_probe_every = 16
+        self._spec_idle = 0
+        self._spec_skip = 0
         self.max_bias = 4                 # static bound on logit_bias entries
         self.slots = [_Slot() for _ in range(max_batch)]
         self.beam_groups: list[_BeamGroup] = []
@@ -702,8 +719,12 @@ class ServeEngine:
     def submit(self, req: Request) -> Request:
         P = int(req.prefix_embeds.shape[1])
         # slack: a multi-step tick may overshoot a stop by steps_per_tick-1
-        # tokens; a speculative tick commits up to steps_per_tick*(W)-1 extra
-        slack = self.steps_per_tick * (self.spec_drafts + 1) - 1
+        # tokens; a speculative tick commits up to steps_per_tick*(W)-1.
+        # Beam groups never speculate, so they keep the smaller bound.
+        if req.num_beams > 1:
+            slack = self.steps_per_tick - 1
+        else:
+            slack = self.steps_per_tick * (self.spec_drafts + 1) - 1
         if P + req.max_new_tokens + slack > self.max_len:
             req.out_queue.put((
                 "error",
@@ -1098,6 +1119,9 @@ class ServeEngine:
                         jnp.asarray(slot_idxs, jnp.int32),
                         jnp.asarray(pid_rows),
                     )
+                    # fresh requests get speculation immediately
+                    self._spec_skip = 0
+                    self._spec_idle = 0
             except Exception:
                 # these calls donate the engine's cache/count buffers; a
                 # failure mid-way may have consumed them — rebuild so the
@@ -1217,9 +1241,13 @@ class ServeEngine:
             # plain multi-step tick: each of its steps_per_tick rounds
             # emits >=1 token per active slot (the on-device lookup's
             # repeat-pending fallback only costs acceptance), and up to
-            # spec_drafts+1 when drafts verify — no host-side policy needed
-            self._verify_tick(reqs)
-            return
+            # spec_drafts+1 when drafts verify. The only residual cost is
+            # the W-wide score tensors, so persistently zero-acceptance
+            # traffic falls back for a while (adaptive probe, __init__).
+            if self._spec_skip == 0:
+                self._verify_tick(reqs)
+                return
+            self._spec_skip -= 1
         K = self.steps_per_tick
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
@@ -1273,6 +1301,7 @@ class ServeEngine:
         )
         toks = np.asarray(toks)    # (B, M, W)
         chain = np.asarray(chain)
+        tick_extra = 0
         for i in range(len(self.slots)):
             slot = self.slots[i]
             if slot.req is None or slot.beam is not None:
@@ -1280,7 +1309,9 @@ class ServeEngine:
             released = False
             for m in range(M):
                 accepted = int(chain[i, m].sum())  # cumulative: sum = count
-                self._stats["spec_extra_tokens"] += max(accepted - 1, 0)
+                extra = max(accepted - 1, 0)
+                tick_extra += extra
+                self._stats["spec_extra_tokens"] += extra
                 for j in range(accepted):
                     tok = int(toks[i, m, j])
                     slot.generated.append(tok)
@@ -1290,6 +1321,13 @@ class ServeEngine:
                         break  # tokens past the stop are discarded
                 if released:
                     break
+        if tick_extra == 0:
+            self._spec_idle += 1
+            if self._spec_idle >= self._spec_patience:
+                self._spec_idle = 0
+                self._spec_skip = self._spec_probe_every
+        else:
+            self._spec_idle = 0
 
     def _beam_tick(self, group: _BeamGroup) -> None:
         """steps_per_tick beam rounds for one group. Each round is one
