@@ -22,25 +22,28 @@ Iteration-level scheduling over a slot-based ragged KV cache:
     decode in lockstep with one dispatch per round (parentage cache-reorder
     fused with the ragged decode + on-device top-2k), HF finished-pool
     semantics host-side; concurrent sampling traffic keeps streaming
-  * `spec_drafts>0` upgrades every sampling tick to PROMPT-LOOKUP
-    SPECULATIVE rounds (vLLM's ngram speculation, engine-native):
-    steps_per_tick verify rounds fuse into ONE dispatch, each drafting ON
-    DEVICE from the slot's [prompt ids ‖ accepted output] context
+  * `spec_drafts>0` upgrades ALL-GREEDY sampling ticks (the eval /
+    SVG-production workload) to PROMPT-LOOKUP SPECULATIVE rounds (vLLM's
+    ngram speculation, engine-native): steps_per_tick verify rounds fuse
+    into ONE dispatch, each drafting ON DEVICE from the slot's
+    [prompt ids ‖ accepted output] context
     (generation.speculative._lookup_draft vmapped) and verifying
     spec_drafts tokens through forward_ragged_verify + per-position
-    sampling + acceptance + commit. A round emits BETWEEN 1 and
+    argmax + acceptance + commit. A round emits BETWEEN 1 and
     spec_drafts+1 tokens per slot, so the tick strictly generalizes the
     plain multi-step tick — worst case the same steps_per_tick tokens
     (drafting falls back to repeating the pending token, costing only
-    acceptance), best case steps_per_tick*(spec_drafts+1), which is where
-    self-repetitive SVG output lives. Exact in exact arithmetic — greedy
-    streams match token-at-a-time decoding (bit-exact in the fp32 test
-    suite) and each accepted sampled token draws from its true
-    conditional. In bf16 the verify forward's different reduction order
-    shifts logits ≤0.06 (measured, 1B geometry), so argmax can flip on
-    near-ties — rare for trained models' decisive margins, same caveat as
-    the int8 KV cache. Rejected draft positions stay uncommitted in the
-    ragged cache.
+    acceptance), best case steps_per_tick*(spec_drafts+1): measured
+    +27% aggregate serving tok/s on a fully-repetitive greedy workload
+    (429 vs 338). Slot compositions with SAMPLED requests keep plain
+    ticks — each of the n_rounds*W verify positions would pay a full
+    (B, V) sampling chain for rare token-match acceptance, measured
+    net-negative. Greedy streams match token-at-a-time decoding in exact
+    arithmetic (bit-exact in the fp32 test suite); in bf16 the verify
+    forward's different reduction order shifts logits ≤0.06 (measured, 1B
+    geometry), so argmax can flip on near-ties — rare for trained models'
+    decisive margins, same caveat as the int8 KV cache. Rejected draft
+    positions stay uncommitted in the ragged cache.
 
 The engine runs two Python scheduler threads; all device work is jitted.
 """
@@ -285,7 +288,8 @@ def _presence_from_ids(ids: jax.Array, vocab: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dec_name", "cfg", "policy", "max_top_k", "n_steps"),
+    static_argnames=("dec_name", "cfg", "policy", "max_top_k", "n_steps",
+                     "greedy_only"),
     donate_argnames=("cache", "counts"),
 )
 def _fused_ragged_step(
@@ -312,6 +316,9 @@ def _fused_ragged_step(
     policy: DTypePolicy,
     max_top_k: int,
     n_steps: int = 1,
+    greedy_only: bool = False,   # STATIC: every active slot is greedy ⇒
+                                 # compile pure-argmax steps (no (B, V)
+                                 # vocab sorts in the hot loop)
 ):
     """ONE dispatch per engine tick: `n_steps` ragged decode steps with
     per-slot sampling fused (lax.scan). Multi-step ticks amortize the fixed
@@ -331,7 +338,7 @@ def _fused_ragged_step(
         )
         rng = jax.random.fold_in(base_rng, step * n_steps + i)
         nxt = sample_token(
-            rng, logits, do_sample=True,
+            rng, logits, do_sample=not greedy_only,
             temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
             presence=jnp.maximum((counts > 0).astype(jnp.int32),
                                  prompt_presence),
@@ -353,7 +360,7 @@ def _fused_ragged_step(
 @functools.partial(
     jax.jit,
     static_argnames=("dec_name", "cfg", "policy", "max_top_k", "n_rounds",
-                     "draft_len"),
+                     "draft_len", "greedy_only"),
     donate_argnames=("cache", "counts", "ctx", "ctx_len"),
 )
 def _fused_verify_multi(
@@ -384,6 +391,11 @@ def _fused_verify_multi(
     max_top_k: int,
     n_rounds: int,
     draft_len: int,
+    greedy_only: bool = False,   # STATIC: all-greedy traffic compiles
+                                 # pure-argmax positions — the verify tick
+                                 # otherwise pays n_rounds*(draft_len+1)
+                                 # full (B, V) sampling sorts per dispatch,
+                                 # which dominated its measured cost
 ):
     """`n_rounds` speculative rounds in ONE dispatch — the speculative
     generalization of the multi-step tick, with the draft lookup ON DEVICE
@@ -414,7 +426,6 @@ def _fused_verify_multi(
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
     B = tokens.shape[0]
     W = draft_len + 1
-    C = ctx.shape[1]
     rows = jnp.arange(B)
 
     def round_body(carry, m):
@@ -435,7 +446,7 @@ def _fused_verify_multi(
                 base_rng, 0x40000000 + (step * n_rounds + m) * W + i
             )
             t = sample_token(
-                rng, lg, do_sample=True,
+                rng, lg, do_sample=not greedy_only,
                 temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
                 presence=jnp.maximum((counts > 0).astype(jnp.int32),
                                      prompt_presence),
@@ -841,6 +852,36 @@ class ServeEngine:
                             break
                         if kind == "error":
                             raise RuntimeError(f"warmup failed: {payload}")
+        # greedy_only is a STATIC dispatch selector, so the all-greedy
+        # dummies above never compile the MIXED-composition tick variant;
+        # one sampled dummy does (it must not land mid-serving)
+        P = min(buckets[0], self.max_len - slack - 1)
+        sampled = Request(
+            prefix_embeds=np.zeros((1, P, E), np.float32),
+            max_new_tokens=min(self.steps_per_tick + 1, 4),
+            temperature=0.8, do_sample=True,
+        )
+        deadline = time.time() + timeout
+        i = None
+        while i is None and time.time() < deadline:
+            i = self._reserve_slot()
+            if i is None:
+                time.sleep(self._idle_wait)
+        if i is None:
+            raise TimeoutError("warmup could not reserve a slot")
+        try:
+            self._admit_group([sampled], [i], buckets[0])
+        except Exception:
+            with self._lock:
+                if self.slots[i].req is None:
+                    self.slots[i].reserved = False
+            raise
+        while True:
+            kind, payload = sampled.out_queue.get(timeout=timeout)
+            if kind == "done":
+                break
+            if kind == "error":
+                raise RuntimeError(f"warmup failed: {payload}")
         if self.spec_drafts > 0:
             # the dummy requests above already ran through verify ticks
             # (speculative mode replaces the regular sampling tick), but
@@ -1232,26 +1273,37 @@ class ServeEngine:
                     [(r.presence_penalty if r else 0.0) for r in reqs],
                     np.float32)),
                 bias_ids, bias_vals,
+                # STATIC dispatch selector: all-greedy slot compositions
+                # compile pure-argmax steps (no (B, V) vocab sorts) — the
+                # sorts dominated the measured verify-tick cost
+                all((not r.do_sample) or r.temperature == 0.0
+                    for r in reqs if r is not None),
             )
         return self._knob_cache
 
     def _sampling_tick(self, reqs) -> None:
         if self.spec_drafts > 0:
-            # the speculative multi-round tick strictly generalizes the
-            # plain multi-step tick: each of its steps_per_tick rounds
-            # emits >=1 token per active slot (the on-device lookup's
-            # repeat-pending fallback only costs acceptance), and up to
-            # spec_drafts+1 when drafts verify. The only residual cost is
-            # the W-wide score tensors, so persistently zero-acceptance
-            # traffic falls back for a while (adaptive probe, __init__).
-            if self._spec_skip == 0:
+            # speculative ticks run only for ALL-GREEDY slot compositions
+            # (the eval / SVG-production workload): greedy verify rounds
+            # compile pure-argmax positions, so the tick strictly
+            # generalizes the plain multi-step tick — each round emits >=1
+            # token per slot and up to spec_drafts+1 when drafts verify.
+            # With sampled slots present, every one of the n_rounds*W
+            # verify positions would pay the full (B, V) sampling chain
+            # for rare token-match acceptance — measured net-negative, so
+            # mixed traffic keeps plain ticks. Persistently
+            # zero-acceptance greedy traffic falls back for a while too
+            # (adaptive probe, __init__).
+            greedy_only = self._knobs(reqs)[-1]
+            if greedy_only and self._spec_skip == 0:
                 self._verify_tick(reqs)
                 return
-            self._spec_skip -= 1
+            if self._spec_skip > 0:
+                self._spec_skip -= 1
         K = self.steps_per_tick
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
-         bias_ids, bias_vals) = self._knobs(reqs)
+         bias_ids, bias_vals, greedy_only) = self._knobs(reqs)
         self._step += 1
         self._stats["ticks"] += 1
         nxt, self.cache, self._counts = _fused_ragged_step(
@@ -1262,7 +1314,7 @@ class ServeEngine:
             prs_ps, self._counts, self._prompt_presence,
             bias_ids, bias_vals,
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
-            max_top_k=self.max_top_k, n_steps=K,
+            max_top_k=self.max_top_k, n_steps=K, greedy_only=greedy_only,
         )
         nxt = np.asarray(nxt)  # (B, K)
         for i in range(len(self.slots)):
@@ -1284,7 +1336,7 @@ class ServeEngine:
         M = self.steps_per_tick
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
-         bias_ids, bias_vals) = self._knobs(reqs)
+         bias_ids, bias_vals, greedy_only) = self._knobs(reqs)
         self._step += 1
         self._stats["ticks"] += 1
         self._stats["spec_ticks"] += 1
@@ -1297,7 +1349,7 @@ class ServeEngine:
             self._counts, self._prompt_presence, bias_ids, bias_vals,
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             max_top_k=self.max_top_k, n_rounds=M,
-            draft_len=self.spec_drafts,
+            draft_len=self.spec_drafts, greedy_only=greedy_only,
         )
         toks = np.asarray(toks)    # (B, M, W)
         chain = np.asarray(chain)
@@ -1321,7 +1373,10 @@ class ServeEngine:
                         break  # tokens past the stop are discarded
                 if released:
                     break
-        if tick_extra == 0:
+        # productivity bar: verify ticks only run all-greedy (pure-argmax
+        # positions ≈ plain-tick cost), so any acceptance at all keeps
+        # them; only the W-wide score tensors are at stake
+        if tick_extra < 1:
             self._spec_idle += 1
             if self._spec_idle >= self._spec_patience:
                 self._spec_idle = 0

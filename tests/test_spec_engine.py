@@ -101,9 +101,9 @@ def test_spec_no_draft_context_matches_offline(setup):
 
 
 def test_spec_concurrent_greedy_and_sampling(setup):
-    """A drafted greedy request and a sampling request share multi-round
-    verify ticks; the greedy stream stays exact (fp32), the sampled one
-    completes."""
+    """A greedy request and a sampling request running concurrently: mixed
+    slot compositions use plain ticks (speculation is all-greedy-only), the
+    greedy stream stays exact (fp32), the sampled one completes."""
     cfg, params = setup
     engine = make_engine(cfg, params, steps_per_tick=2)
     engine.start()
@@ -128,10 +128,8 @@ def test_spec_concurrent_greedy_and_sampling(setup):
             if kind == "done":
                 outs[req.request_id] = payload
             assert kind != "error", payload
-    stats = engine.stats()
     engine.stop()
     assert outs[greedy.request_id] == ref
-    assert stats["spec_ticks"] > 0
     toks = outs[sampled.request_id]
     assert len(toks) == N
     assert all(0 <= t < cfg.vocab_size for t in toks)
