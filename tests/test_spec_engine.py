@@ -166,6 +166,75 @@ def test_spec_mixed_traffic_default_settings(setup):
     assert outs[greedy.request_id] == ref
 
 
+@pytest.mark.slow
+def test_spec_beam_and_greedy_coexist(setup):
+    """A beam group and a speculating greedy request run concurrently: beam
+    rows are inactive in verify ticks (their cache/ctx never commits), and
+    both results stay exact."""
+    from starvector_tpu.generation.beam import beam_search
+
+    cfg, params = setup
+    engine = make_engine(cfg, params, max_batch=4)
+    engine.start()
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    N = 12
+    ref = offline_greedy(params, cfg, prefix, N)
+    greedy = Request(prefix_embeds=prefix, max_new_tokens=N, do_sample=False,
+                     prompt_token_ids=[3, 1, 4] + ref)
+    bprefix = gbc.embed_tokens(params, jnp.array([[9, 2]]))
+    btoks, blens = beam_search(
+        params, bprefix, jnp.ones((1, 2), jnp.int32),
+        dec_name="gpt_bigcode", llm_cfg=cfg, num_beams=2,
+        max_new_tokens=8, pad_token_id=0, policy=F32,
+    )
+    bref = list(np.asarray(btoks[0][: int(blens[0])]))
+    beam = Request(prefix_embeds=bprefix, max_new_tokens=8, num_beams=2,
+                   do_sample=False)
+    engine.submit(greedy)
+    engine.submit(beam)
+    outs = {}
+    for req in (greedy, beam):
+        while req.request_id not in outs:
+            kind, payload = req.out_queue.get(timeout=180)
+            if kind == "done":
+                outs[req.request_id] = payload
+            assert kind != "error", payload
+    engine.stop()
+    assert outs[greedy.request_id] == ref
+    assert outs[beam.request_id] == bref
+
+
+@pytest.mark.slow
+def test_spec_engine_starcoder2_accept_path():
+    """Engine speculation on the v2 decoder family (GQA + RoPE): seeded
+    greedy request matches its offline run."""
+    from starvector_tpu.models import starcoder2 as sc2
+
+    cfg = sc2.tiny_config()
+    params = sc2.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.array([[3, 1, 4]])
+    prefix = sc2.embed_tokens(params, ids)
+    N = 16
+    gen = GenerationConfig(max_new_tokens=N, do_sample=False, pad_token_id=0,
+                           min_new_tokens=N)
+    toks, _ = generate(
+        params, cfg, "starcoder2", prefix,
+        jnp.ones((1, 3), jnp.int32), gen,
+        jax.random.PRNGKey(0), policy=F32,
+    )
+    ref = list(np.asarray(toks[0]))
+    engine = ServeEngine(params, cfg, "starcoder2", max_batch=2, max_len=96,
+                         policy=F32, spec_drafts=4)
+    req = Request(prefix_embeds=prefix, max_new_tokens=N, do_sample=False,
+                  prompt_token_ids=[3, 1, 4] + ref)
+    out = engine.generate_sync(req, timeout=180)
+    stats = engine.stats()
+    engine.stop()
+    assert out == ref
+    assert stats["spec_extra_tokens"] > 0
+
+
 def test_spec_drafts_must_fit_sliding_window():
     from starvector_tpu.models import starcoder2 as sc2
 
