@@ -289,6 +289,85 @@ def test_flash_backward_kernel_parity(H, Hkv, window):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("H,Hkv,window", [(4, 1, None), (4, 2, 7)])
+def test_flash_backward_split_kernel_parity(H, Hkv, window):
+    """The SPLIT dq/dkv kernels (multi-k-block grid, explicit block sizes
+    force fused=False) match XLA autodiff — covers the interior fast-path
+    branch and the dead-block index-map clamps at block granularity."""
+    from starvector_tpu.ops.flash_attention import (
+        flash_backward, flash_prefill_with_lse,
+    )
+
+    B, S, D = 2, 48, 16
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+    # padded keys — short enough a tail that every query row keeps at least
+    # one live key inside the window (an all-masked row is degenerate: the
+    # reference's finite -1e30 bias softmaxes to uniform attention there)
+    mask = jnp.ones((B, S), jnp.int32).at[1, 46:].set(0)
+    g = jax.random.normal(ks[3], (B, S, H, D), jnp.float32)
+
+    def ref(q, k, v):
+        bias = make_attention_bias(mask, S, S, causal=True, window=window)
+        return multihead_attention(q, k, v, bias)
+
+    out_ref, vjp = jax.vjp(ref, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    out, lse = flash_prefill_with_lse(q, k, v, mask, window=window)
+    dq, dk, dv = flash_backward(
+        q, k, v, mask, out, lse, g, window=window, block_q=16, block_k=16
+    )
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("window", [None, 9])
+def test_flash_backward_split_kernel_q_offset(window):
+    """Split-kernel backward with a query-position offset (the sequence-
+    parallel chunk layout): q is rows [16, 32) of a 48-key window."""
+    from starvector_tpu.ops.flash_attention import (
+        flash_backward, flash_prefill_with_lse,
+    )
+
+    B, Sq, T, H, Hkv, D, off = 2, 16, 48, 4, 1, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (B, Sq, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, T, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, T, Hkv, D), jnp.float32)
+    mask = jnp.ones((B, T), jnp.int32)
+    g = jax.random.normal(ks[3], (B, Sq, H, D), jnp.float32)
+
+    def ref(q, k, v):
+        bias = make_attention_bias(
+            mask, Sq, T, q_offset=off, causal=True, window=window
+        )
+        return multihead_attention(q, k, v, bias)
+
+    out_ref, vjp = jax.vjp(ref, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    out, lse = flash_prefill_with_lse(
+        q, k, v, mask, q_offset=off, window=window
+    )
+    dq, dk, dv = flash_backward(
+        q, k, v, mask, out, lse, g, q_offset=off, window=window,
+        block_q=8, block_k=16,
+    )
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_flash_trainable_vjp_uses_pallas_backward():
     """End-to-end custom VJP parity at a non-divisible length."""
     from starvector_tpu.ops.flash_attention import flash_prefill_trainable
