@@ -37,6 +37,52 @@ def _interpret_default() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# dead-block DMA elision helpers
+# ---------------------------------------------------------------------------
+# The kernels skip COMPUTE on blocks fully outside the causal/window wedge
+# (@pl.when), but block DMAs are driven by the index maps, which the
+# pipeliner evaluates for every grid cell. Clamping the data-dependent axis
+# to the live range makes dead cells re-request the block just fetched,
+# which Pallas elides (index unchanged → copy skipped) — so the dead ~half
+# of the rectangular grid stops paying HBM traffic. ceil-div via
+# -(-a // b) (jnp // floors); bounds kept in-range for padded shapes.
+
+def _make_live_j(block_q, block_k, nj, causal, window):
+    """Clamp for a k-block axis swept per q block (forward / dq grids)."""
+    if not causal:
+        return lambda i, j, qo: j
+
+    def live_j(i, j, qo):
+        j_hi = jnp.maximum((qo[0] + (i + 1) * block_q - 1) // block_k, 0)
+        jj = jnp.minimum(j, j_hi)
+        if window is not None:
+            lo = qo[0] + i * block_q - window  # strict lower edge
+            j_lo = jnp.clip(-(-(lo - block_k + 2) // block_k), 0, nj - 1)
+            jj = jnp.maximum(jj, j_lo)
+        return jj
+
+    return live_j
+
+
+def _make_live_i(block_q, block_k, ni, causal, window):
+    """Clamp for the q-block axis swept per k block (dkv grid, u = g·ni+i)."""
+    if not causal:
+        return lambda j, u, qo: u % ni
+
+    def live_i(j, u, qo):
+        i = u % ni
+        i_lo = jnp.maximum((j * block_k - qo[0]) // block_q, 0)
+        ii = jnp.maximum(i, i_lo)
+        if window is not None:
+            hi = j * block_k + block_k - 1 + window - qo[0]
+            i_hi = jnp.clip(-(-hi // block_q) - 1, 0, ni - 1)
+            ii = jnp.minimum(ii, jnp.maximum(i_hi, i_lo))
+        return ii
+
+    return live_i
+
+
+# ---------------------------------------------------------------------------
 # flash prefill
 # ---------------------------------------------------------------------------
 
@@ -72,26 +118,26 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q_off = q_offset_ref[0]
-    q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0
-    )
-    k_pos = j * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
-    )
 
     # skip blocks entirely in the causal future or beyond the sliding window
     run = True
+    interior = False
     if causal:
         first_q = q_off + i * block_q
         first_k = j * block_k
         run = first_k <= first_q + block_q - 1
+        # fully below the diagonal (and fully inside the window): the
+        # positional mask is all-True — skip the iota/compare VPU work
+        interior = first_k + block_k - 1 <= first_q
         if window is not None:
             # block is entirely left of every query's window
             last_k = first_k + block_k - 1
             run = jnp.logical_and(run, last_k > first_q - window)
+            interior = jnp.logical_and(
+                interior, first_k > first_q + block_q - 1 - window
+            )
 
-    @pl.when(run)
-    def _compute():
+    def _compute(pos_masked):
         q = q_ref[0, 0]  # (bq, D)
         k = k_ref[0, 0]  # (bk, D)
         s = jax.lax.dot_general(
@@ -99,10 +145,17 @@ def _flash_kernel(
         ) * scale  # (bq, bk)
 
         mask = kvmask_ref[0, 0, :][None, :] > 0
-        if causal:
-            mask &= k_pos <= q_pos
-        if window is not None:
-            mask &= k_pos > q_pos - window
+        if pos_masked:
+            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            if causal:
+                mask &= k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:, :1]                                # (bq, 1)
@@ -117,6 +170,14 @@ def _flash_kernel(
         )
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        pl.when(jnp.logical_and(run, jnp.logical_not(interior)))(
+            lambda: _compute(True)
+        )
+        pl.when(interior)(lambda: _compute(False))
+    else:
+        pl.when(run)(lambda: _compute(window is not None))
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -170,6 +231,7 @@ def flash_prefill(
     Sp, Tp = S + q_pad, T + k_pad
 
     grid = (B, H, Sp // block_q, Tp // block_k)
+    _live_j = _make_live_j(block_q, block_k, grid[3], causal, window)
 
     out = pl.pallas_call(
         functools.partial(
@@ -185,13 +247,16 @@ def flash_prefill(
                 ),
                 pl.BlockSpec(
                     (1, 1, block_k, D),
-                    lambda b, h, i, j, *_, G=G: (b, h // G, j, 0),
+                    lambda b, h, i, j, qo, G=G: (b, h // G, _live_j(i, j, qo), 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, block_k, D),
-                    lambda b, h, i, j, *_, G=G: (b, h // G, j, 0),
+                    lambda b, h, i, j, qo, G=G: (b, h // G, _live_j(i, j, qo), 0),
                 ),
-                pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, *_: (b, 0, j)),
+                pl.BlockSpec(
+                    (1, 1, block_k),
+                    lambda b, h, i, j, qo: (b, 0, _live_j(i, j, qo)),
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)
@@ -280,6 +345,7 @@ def flash_prefill_with_lse(
         kv_mask = jnp.pad(kv_mask, ((0, 0), (0, k_pad)))
     Sp, Tp = S + q_pad, T + k_pad
     grid = (B, H, Sp // block_q, Tp // block_k)
+    _live_j = _make_live_j(block_q, block_k, grid[3], causal, window)
 
     out, lse = pl.pallas_call(
         functools.partial(
@@ -291,11 +357,18 @@ def flash_prefill_with_lse(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
-                pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
-                pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, *_: (b, 0, j)),
+                pl.BlockSpec(
+                    (1, 1, block_k, D),
+                    lambda b, h, i, j, qo, G=G: (b, h // G, _live_j(i, j, qo), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, D),
+                    lambda b, h, i, j, qo, G=G: (b, h // G, _live_j(i, j, qo), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k),
+                    lambda b, h, i, j, qo: (b, 0, _live_j(i, j, qo)),
+                ),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -341,17 +414,24 @@ def _flash_dq_kernel(
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     run = True
+    interior = False
     if causal:
         first_q = q_off + i * block_q
         first_k = j * block_k
         run = first_k <= first_q + block_q - 1
+        # block fully below the diagonal (and fully inside the window):
+        # the positional mask is all-True there, so the iota/compare VPU
+        # work can be skipped — at bq=512/bk=2048 most live blocks qualify
+        interior = first_k + block_k - 1 <= first_q
         if window is not None:
             run = jnp.logical_and(
                 run, first_k + block_k - 1 > first_q - window
             )
+            interior = jnp.logical_and(
+                interior, first_k > first_q + block_q - 1 - window
+            )
 
-    @pl.when(run)
-    def _compute():
+    def _compute(pos_masked):
         q = q_ref[0, 0]                  # (bq, D)
         k = k_ref[0, 0]                  # (bk, D)
         v = v_ref[0, 0]
@@ -359,17 +439,18 @@ def _flash_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                        # (bq, bk)
-        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        k_pos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
         mask = kvmask_ref[0, 0, :][None, :] > 0
-        if causal:
-            mask &= k_pos <= q_pos
-        if window is not None:
-            mask &= k_pos > q_pos - window
+        if pos_masked:
+            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            if causal:
+                mask &= k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
         lse = lse_ref[0, 0][:, :1]       # (bq, 1)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # (bq, bk)
         dp = jax.lax.dot_general(
@@ -381,6 +462,14 @@ def _flash_dq_kernel(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if causal:
+        pl.when(jnp.logical_and(run, jnp.logical_not(interior)))(
+            lambda: _compute(True)
+        )
+        pl.when(interior)(lambda: _compute(False))
+    else:
+        pl.when(run)(lambda: _compute(window is not None))
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -406,17 +495,22 @@ def _flash_dkv_kernel(
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     run = True
+    interior = False
     if causal:
         first_q = q_off + i * block_q
         first_k = j * block_k
         run = first_k <= first_q + block_q - 1
+        # fully-below-diagonal blocks skip the iota/compare mask build
+        interior = first_k + block_k - 1 <= first_q
         if window is not None:
             run = jnp.logical_and(
                 run, first_k + block_k - 1 > first_q - window
             )
+            interior = jnp.logical_and(
+                interior, first_k > first_q + block_q - 1 - window
+            )
 
-    @pl.when(run)
-    def _compute():
+    def _compute(pos_masked):
         q = q_ref[0, 0]                  # (bq, D)
         k = k_ref[0, 0]                  # (bk, D)
         v = v_ref[0, 0]
@@ -424,17 +518,18 @@ def _flash_dkv_kernel(
         s_t = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                        # (bk, bq)
-        k_pos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_k, block_q), 0
-        )
-        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_k, block_q), 1
-        )
         mask = kvmask_ref[0, 0, :][:, None] > 0
-        if causal:
-            mask &= k_pos <= q_pos
-        if window is not None:
-            mask &= k_pos > q_pos - window
+        if pos_masked:
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 0
+            )
+            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 1
+            )
+            if causal:
+                mask &= k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
         lse = lse_ref[0, 0][:, 0][None, :]   # (1, bq)
         p_t = jnp.where(mask, jnp.exp(s_t - lse), 0.0)        # (bk, bq)
         dv_scr[:] += jax.lax.dot_general(
@@ -450,6 +545,14 @@ def _flash_dkv_kernel(
             ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if causal:
+        pl.when(jnp.logical_and(run, jnp.logical_not(interior)))(
+            lambda: _compute(True)
+        )
+        pl.when(interior)(lambda: _compute(False))
+    else:
+        pl.when(run)(lambda: _compute(window is not None))
 
     @pl.when(u == nu - 1)
     def _finalize():
@@ -676,6 +779,9 @@ def flash_backward(
         dk = jnp.moveaxis(dk, 1, 2)[:, :T]
         dv = jnp.moveaxis(dv, 1, 2)[:, :T]
         return dq, dk, dv
+    _live_j = _make_live_j(block_q, block_k, nj, causal, window)
+    _live_i = _make_live_i(block_q, block_k, ni, causal, window)
+
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -684,17 +790,24 @@ def flash_backward(
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D),
                              lambda b, h, i, j, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
-                pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, i, j, *_, G=G: (b, h // G, j, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_k, D),
+                    lambda b, h, i, j, qo, G=G: (b, h // G, _live_j(i, j, qo), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, D),
+                    lambda b, h, i, j, qo, G=G: (b, h // G, _live_j(i, j, qo), 0),
+                ),
                 pl.BlockSpec((1, 1, block_q, D),
                              lambda b, h, i, j, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_q, _LSE_LANES),
                              lambda b, h, i, j, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_q, _LSE_LANES),
                              lambda b, h, i, j, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_k), lambda b, h, i, j, *_: (b, 0, j)),
+                pl.BlockSpec(
+                    (1, 1, block_k),
+                    lambda b, h, i, j, qo: (b, 0, _live_j(i, j, qo)),
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)
@@ -713,8 +826,8 @@ def flash_backward(
             in_specs=[
                 pl.BlockSpec(
                     (1, 1, block_q, D),
-                    lambda b, hk, j, u, *_, G=G, ni=ni:
-                        (b, hk * G + u // ni, u % ni, 0),
+                    lambda b, hk, j, u, qo, G=G, ni=ni:
+                        (b, hk * G + u // ni, _live_i(j, u, qo), 0),
                 ),
                 pl.BlockSpec((1, 1, block_k, D),
                              lambda b, hk, j, u, *_: (b, hk, j, 0)),
@@ -722,18 +835,18 @@ def flash_backward(
                              lambda b, hk, j, u, *_: (b, hk, j, 0)),
                 pl.BlockSpec(
                     (1, 1, block_q, D),
-                    lambda b, hk, j, u, *_, G=G, ni=ni:
-                        (b, hk * G + u // ni, u % ni, 0),
+                    lambda b, hk, j, u, qo, G=G, ni=ni:
+                        (b, hk * G + u // ni, _live_i(j, u, qo), 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, block_q, _LSE_LANES),
-                    lambda b, hk, j, u, *_, G=G, ni=ni:
-                        (b, hk * G + u // ni, u % ni, 0),
+                    lambda b, hk, j, u, qo, G=G, ni=ni:
+                        (b, hk * G + u // ni, _live_i(j, u, qo), 0),
                 ),
                 pl.BlockSpec(
                     (1, 1, block_q, _LSE_LANES),
-                    lambda b, hk, j, u, *_, G=G, ni=ni:
-                        (b, hk * G + u // ni, u % ni, 0),
+                    lambda b, hk, j, u, qo, G=G, ni=ni:
+                        (b, hk * G + u // ni, _live_i(j, u, qo), 0),
                 ),
                 pl.BlockSpec((1, 1, block_k),
                              lambda b, hk, j, u, *_: (b, 0, j)),
