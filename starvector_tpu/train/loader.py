@@ -41,7 +41,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = prefetch
-        self.rng = np.random.RandomState(seed)
+        # Deterministic per-epoch permutation: RandomState(seed + epoch), so
+        # a resumed run reconstructs the exact batch stream of the
+        # uninterrupted one (the reference gets this from DistributedSampler
+        # .set_epoch + accelerate.skip_first_batches,
+        # reference train/train.py:239-246).
+        self.seed = seed
+        self.epoch = 0
+        self._skip_batches = 0
         # Multi-host: each process feeds a DISJOINT slice of the index space
         # (the reference gets this from torch DistributedSampler via
         # accelerate). Defaults to jax process topology; batch_size here is
@@ -61,10 +68,22 @@ class DataLoader:
             )
         self.svg_end_suffix = svg_end_suffix
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fix the permutation for the next __iter__ (DistributedSampler
+        .set_epoch semantics)."""
+        self.epoch = int(epoch)
+
+    def skip_first_batches(self, n: int) -> None:
+        """Fast-forward the NEXT __iter__ past its first `n` batches without
+        collating them (accelerate.skip_first_batches semantics — resume
+        mid-epoch re-trains nothing, reference train/train.py:239-246).
+        One-shot: cleared when the iterator is built."""
+        self._skip_batches = int(n)
+
     def _local_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
         if self.process_count > 1:
             # identical permutation on every host (shared seed), then a
             # strided per-host slice — disjoint, near-equal shards
@@ -122,6 +141,10 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self._skip_batches:
+            # drop before enqueuing: skipped batches are never rasterized
+            batches = batches[self._skip_batches:]
+            self._skip_batches = 0
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         idx_q: queue.Queue = queue.Queue()

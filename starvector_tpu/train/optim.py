@@ -38,6 +38,41 @@ def cosine_schedule_with_warmup(
     return schedule
 
 
+def build_schedule(
+    lr_scheduler: str, lr: float, warmup_steps: int, total_steps: int
+) -> optax.Schedule:
+    """HF `get_scheduler` name → schedule; the reference passes
+    `training.lr_scheduler` (cosine in every leaf) to
+    transformers.get_scheduler (reference train/train.py:188-193)."""
+    if lr_scheduler == "cosine":
+        return cosine_schedule_with_warmup(lr, warmup_steps, total_steps)
+    if lr_scheduler == "linear":
+        def linear(step):
+            import jax.numpy as jnp
+
+            step = jnp.asarray(step, jnp.float32)
+            warm = jnp.maximum(warmup_steps, 1)
+            warmup_factor = jnp.minimum(step / warm, 1.0)
+            decay = jnp.clip(
+                (total_steps - step)
+                / jnp.maximum(total_steps - warmup_steps, 1),
+                0.0, 1.0,
+            )
+            return lr * jnp.where(step < warmup_steps, warmup_factor, decay)
+
+        return linear
+    if lr_scheduler == "constant":
+        def constant(step):
+            import jax.numpy as jnp
+
+            step = jnp.asarray(step, jnp.float32)
+            warm = jnp.maximum(warmup_steps, 1)
+            return lr * jnp.minimum(step / warm, 1.0) if warmup_steps else lr * jnp.ones_like(step)
+
+        return constant
+    raise ValueError(f"unknown lr_scheduler {lr_scheduler!r}")
+
+
 def freeze_mask(
     params: Any,
     *,
@@ -69,13 +104,14 @@ def build_optimizer(
     eps: float = 1e-8,
     warmup_steps: int = 0,
     total_steps: int = 100_000,
+    lr_scheduler: str = "cosine",
     grad_clip: float = 1.0,
     grad_accum_steps: int = 1,
     train_image_encoder: bool = True,
     train_LLM: bool = True,
     train_connector: bool = True,
 ) -> optax.GradientTransformation:
-    schedule = cosine_schedule_with_warmup(lr, warmup_steps, total_steps)
+    schedule = build_schedule(lr_scheduler, lr, warmup_steps, total_steps)
     if optimizer == "adamw":
         core = optax.adamw(
             schedule, b1=betas[0], b2=betas[1], eps=eps,

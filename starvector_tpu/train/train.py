@@ -82,6 +82,35 @@ def _to_device(batch: dict, mesh) -> dict:
     return out
 
 
+def optimizer_kwargs_from_config(config) -> dict:
+    """Read the full reference optimizer recipe from a config leaf
+    (reference train/util.py:132-151 get_optimizer + train/train.py:188-193
+    get_scheduler; leaf keys adam_beta1/adam_beta2/adam_weight_decay/
+    adam_epsilon/lr_scheduler/lr_warmup_steps, e.g. configs/models/
+    starvector-1b/im2svg-emoji.yaml:30-36). Legacy repo keys
+    `weight_decay`/`warmup_steps` remain accepted as fallbacks so older
+    leafs keep working; the adam_* spellings win when both are present."""
+    g = config.get_path
+    weight_decay = g("training.adam_weight_decay",
+                     g("training.weight_decay", 1e-6))
+    warmup = g("training.lr_warmup_steps", g("training.warmup_steps", 0))
+    return dict(
+        optimizer=g("training.optimizer", "adamw"),
+        lr=float(g("training.lr", 1e-4)),
+        weight_decay=float(weight_decay),
+        betas=(float(g("training.adam_beta1", 0.95)),
+               float(g("training.adam_beta2", 0.999))),
+        eps=float(g("training.adam_epsilon", 1e-8)),
+        warmup_steps=int(warmup),
+        lr_scheduler=g("training.lr_scheduler", "cosine"),
+        grad_clip=float(g("training.grad_clip", 1.0)),
+        grad_accum_steps=int(g("training.grad_accum_steps", 1)),
+        train_image_encoder=bool(g("training.train_image_encoder", True)),
+        train_LLM=bool(g("training.train_LLM", True)),
+        train_connector=bool(g("training.train_connector", True)),
+    )
+
+
 def _remat_mode(raw):
     """training.gradient_checkpointing: true | false | "dots".
 
@@ -152,19 +181,8 @@ def main(config: ConfigNode):
     )
 
     total_steps = int(config.get_path("training.steps", 10_000))
-    tx = build_optimizer(
-        params,
-        optimizer=config.get_path("training.optimizer", "adamw"),
-        lr=float(config.get_path("training.lr", 1e-4)),
-        weight_decay=float(config.get_path("training.weight_decay", 0.01)),
-        warmup_steps=int(config.get_path("training.warmup_steps", 0)),
-        total_steps=total_steps,
-        grad_clip=float(config.get_path("training.grad_clip", 1.0)),
-        grad_accum_steps=int(config.get_path("training.grad_accum_steps", 1)),
-        train_image_encoder=bool(config.get_path("training.train_image_encoder", True)),
-        train_LLM=bool(config.get_path("training.train_LLM", True)),
-        train_connector=bool(config.get_path("training.train_connector", True)),
-    )
+    tx = build_optimizer(params, total_steps=total_steps,
+                         **optimizer_kwargs_from_config(config))
 
     policy = DTypePolicy(
         param_dtype=jnp.float32,
@@ -199,9 +217,18 @@ def main(config: ConfigNode):
         epochs = int(config.get_path("training.epochs", 1))
         t_step = time.time()
         done = False
-        for epoch in range(epochs):
+        # Resume data-order fidelity (reference train/train.py:239-246):
+        # per-epoch seeded permutation + fast-forward within the resumed
+        # epoch, so the resumed run consumes the identical batch stream the
+        # uninterrupted run would — no sample replayed, none skipped.
+        steps_per_epoch = max(len(train_loader), 1)
+        start_epoch = step // steps_per_epoch
+        for epoch in range(start_epoch, epochs):
             if done:
                 break
+            train_loader.set_epoch(epoch)
+            if epoch == start_epoch and step % steps_per_epoch:
+                train_loader.skip_first_batches(step % steps_per_epoch)
             for batch in train_loader:
                 device_batch = _to_device(batch, mesh)
                 rng, step_rng = jax.random.split(rng)

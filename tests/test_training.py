@@ -183,3 +183,104 @@ def test_loader_multihost_sharding():
     assert seen[0] | seen[1] | seen[2] == set(range(17))
     assert not (seen[0] & seen[1]) and not (seen[0] & seen[2]) \
         and not (seen[1] & seen[2])
+
+
+class _IdxDS:
+    def __init__(self, n=23):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"image": np.zeros((4, 4, 3)), "svg": f"<svg>{i}</svg>",
+                "caption": "", "id": str(i)}
+
+
+def _stream(dl, epochs=(0,), skip_in_first=0):
+    """Consume the loader over the given epochs, returning the ordered id
+    stream (one list entry per batch)."""
+    out = []
+    first = True
+    for e in epochs:
+        dl.set_epoch(e)
+        if first and skip_in_first:
+            dl.skip_first_batches(skip_in_first)
+        first = False
+        for b in dl:
+            out.append([int(i) for i in b["id"]])
+    return out
+
+
+def test_resume_replays_no_batches():
+    """Interrupt + resume consumes the IDENTICAL batch stream of the
+    uninterrupted run: per-epoch seeded permutation + mid-epoch
+    fast-forward (reference train/train.py:239-246 via
+    accelerate.skip_first_batches)."""
+    from starvector_tpu.models.tokenizer import build_test_tokenizer
+    from starvector_tpu.train.loader import DataLoader
+
+    tok = build_test_tokenizer()
+    mk = lambda: DataLoader(_IdxDS(), tok, 4, shuffle=True, num_workers=1,
+                            seed=3, process_index=0, process_count=1)
+
+    # uninterrupted: two epochs
+    full = _stream(mk(), epochs=(0, 1))
+    steps_per_epoch = len(mk())
+    assert steps_per_epoch == 5  # 23 // 4
+
+    # "crash" after 3 steps of epoch 0 → a fresh loader resumes at step 3
+    resumed = _stream(mk(), epochs=(0, 1), skip_in_first=3)
+    assert resumed == full[3:]
+
+    # permutations differ across epochs but reproduce within an epoch
+    assert full[:steps_per_epoch] != full[steps_per_epoch:]
+    assert _stream(mk(), epochs=(1,)) == full[steps_per_epoch:]
+
+
+def test_optimizer_config_roundtrip():
+    """A shipped leaf reproduces the reference optimizer recipe
+    (reference train/util.py:132-151, configs/models/starvector-1b/
+    im2svg-emoji.yaml:30-36): AdamW betas (0.95, 0.999), wd 1e-6,
+    eps 1e-8, cosine schedule, lr_warmup_steps 10."""
+    import os
+
+    from starvector_tpu.config import load_yaml, merge
+    from starvector_tpu.train.train import optimizer_kwargs_from_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = merge(
+        load_yaml(os.path.join(repo, "configs/models/default.yaml")),
+        load_yaml(os.path.join(repo, "configs/models/starvector-1b/im2svg-emoji.yaml")),
+    )
+    kw = optimizer_kwargs_from_config(cfg)
+    assert kw["optimizer"] == "adamw"
+    assert kw["betas"] == (0.95, 0.999)
+    assert kw["weight_decay"] == pytest.approx(1e-6)
+    assert kw["eps"] == pytest.approx(1e-8)
+    assert kw["lr_scheduler"] == "cosine"
+    assert kw["warmup_steps"] == 10
+    assert kw["lr"] == pytest.approx(1e-5)
+    assert kw["grad_accum_steps"] == 4
+
+    # and the kwargs drive build_optimizer end-to-end
+    cfgm, params, _, _ = make_setup()
+    tx = build_optimizer(params, total_steps=100, **kw)
+    assert tx.init(params) is not None
+
+
+def test_lr_scheduler_variants():
+    from starvector_tpu.train.optim import build_schedule
+
+    lin = build_schedule("linear", 1.0, warmup_steps=10, total_steps=110)
+    assert float(lin(5)) == pytest.approx(0.5)
+    assert float(lin(10)) == pytest.approx(1.0)
+    assert float(lin(60)) == pytest.approx(0.5)
+    assert float(lin(110)) == pytest.approx(0.0, abs=1e-6)
+
+    const = build_schedule("constant", 2.0, warmup_steps=4, total_steps=100)
+    assert float(const(2)) == pytest.approx(1.0)
+    assert float(const(50)) == pytest.approx(2.0)
+
+    with pytest.raises(ValueError):
+        build_schedule("nope", 1.0, 0, 10)
