@@ -286,6 +286,329 @@ def generate(
     )
 
 
+# ---------------------------------------------------------------------------
+# pipelined offline generation: prefill of batch k+1 rides inside the decode
+# steps of batch k
+# ---------------------------------------------------------------------------
+#
+# The offline validation path used to prefill a whole batch (compute-bound,
+# MXU busy / HBM idle) and then decode it (bandwidth-bound, HBM busy / MXU
+# idle) strictly in sequence. Here each decode step's GEMMs carry a few extra
+# sequence-chunk rows of the NEXT batch's prompt: the step's weight read is
+# paid once for both, so the next prefill's FLOPs fill the MXU slack of the
+# bandwidth-bound decode and the next batch starts decoding the moment this
+# one finishes (the serving engine's chunked-prefill admission,
+# serve/engine.py::_prefill_chunk, ported to the offline engine — VERDICT r3
+# item 8; reference counterpart: the vLLM batched path of
+# scripts/quickstart-vllm.py).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dec_name", "llm_cfg", "max_new_tokens", "min_new_tokens",
+        "stop_sequences", "eos_token_id", "pad_token_id", "max_top_k",
+        "policy", "do_sample", "use_rep_penalty", "use_freq_penalty",
+        "has_next", "chunk", "n_chunks",
+    ),
+)
+def _decode_overlap_jit(
+    params: dict,
+    cache: dict,                   # current batch, fully prefilled
+    last_logits: jax.Array,        # (B, V) from the current batch's prefill
+    prompt_presence: jax.Array,    # (B, V) or (B, 1)
+    next_embeds: jax.Array,        # (B, Pn, E) next prompt (left-padded)
+    next_mask: jax.Array,          # (B, Pn)
+    knobs: dict,
+    rng: jax.Array,
+    *,
+    dec_name: str,
+    llm_cfg: Any,
+    max_new_tokens: int,
+    min_new_tokens: int,
+    stop_sequences: tuple[tuple[int, ...], ...],
+    eos_token_id: int | None,
+    pad_token_id: int,
+    max_top_k: int,
+    policy: DTypePolicy,
+    do_sample: bool,
+    use_rep_penalty: bool,
+    use_freq_penalty: bool,
+    has_next: bool,
+    chunk: int,
+    n_chunks: int,
+):
+    """Decode the current batch while chunk-prefilling the next one.
+
+    Returns (tokens, lengths, next_cache, next_last_logits). When
+    ``has_next`` is False the next_* outputs are dummies and the loop exits
+    as soon as every row stops."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B, V = last_logits.shape
+    Pn = next_embeds.shape[1]
+
+    # the next prompt's chunks run through the XLA attention path (tiny
+    # q-lengths would waste the Pallas flash kernel's q-block granularity)
+    chunk_cfg = dataclasses.replace(llm_cfg, attn_impl="xla")
+
+    next_cache = dec.init_cache(
+        llm_cfg, B, Pn + max_new_tokens, dtype=policy.compute_dtype
+    )
+    next_last = jnp.zeros((B, V), jnp.float32)
+
+    tokens = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    done = jnp.zeros((B,), bool)
+    lengths = jnp.full((B,), max_new_tokens, jnp.int32)
+
+    def check_stops(tokens, t, new_tok):
+        hit = jnp.zeros((B,), bool)
+        for stop in stop_sequences:
+            L = len(stop)
+            if L == 0 or L > max_new_tokens:
+                continue
+            s = jnp.asarray(stop, jnp.int32)
+            if L == 1:
+                hit |= new_tok == s[0]
+            else:
+                start = jnp.maximum(t - (L - 1), 0)
+                window = jax.lax.dynamic_slice(tokens, (0, start), (B, L - 1))
+                match = jnp.all(window == s[None, : L - 1], axis=-1)
+                match &= new_tok == s[L - 1]
+                match &= t >= (L - 1)
+                hit |= match
+        if eos_token_id is not None:
+            hit |= new_tok == eos_token_id
+        return hit
+
+    def cond(state):
+        t = state[0]
+        live = ~jnp.all(state[3])
+        if has_next:
+            # keep stepping until the next batch's prompt is fully written,
+            # even if every current row has already stopped
+            return jnp.logical_and(
+                t < max_new_tokens, jnp.logical_or(live, t < n_chunks)
+            )
+        return jnp.logical_and(t < max_new_tokens, live)
+
+    def body(state):
+        (t, cache, last_logits, done, tokens, lengths, presence, counts,
+         next_cache, next_last, rng) = state
+        rng, step_rng = jax.random.split(rng)
+        lg = last_logits
+        if eos_token_id is not None and min_new_tokens > 0:
+            lg = jnp.where(
+                jnp.logical_and(
+                    t < min_new_tokens,
+                    jnp.arange(V)[None, :] == eos_token_id,
+                ),
+                NEG_INF, lg,
+            )
+        has_bias = knobs["bias_ids"].shape[-1] > 0
+        nxt = sample_token(
+            step_rng, lg,
+            do_sample=do_sample,
+            temperature=knobs["temperature"],
+            top_p=knobs["top_p"],
+            top_k=knobs["top_k"],
+            min_p=knobs["min_p"],
+            presence=presence if use_rep_penalty else None,
+            repetition_penalty=knobs["repetition_penalty"]
+            if use_rep_penalty else None,
+            counts=counts if use_freq_penalty else None,
+            frequency_penalty=knobs["frequency_penalty"],
+            presence_penalty=knobs["presence_penalty"],
+            bias_ids=jnp.broadcast_to(
+                knobs["bias_ids"][None], (B, knobs["bias_ids"].shape[0])
+            ) if has_bias else None,
+            bias_vals=jnp.broadcast_to(
+                knobs["bias_vals"][None], (B, knobs["bias_vals"].shape[0])
+            ) if has_bias else None,
+            max_top_k=max_top_k,
+        )
+        nxt = jnp.where(done, pad_token_id, nxt)
+        newly_done = check_stops(tokens, t, nxt) & ~done
+        lengths = jnp.where(newly_done, t + 1, lengths)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
+        if use_rep_penalty:
+            presence = presence.at[jnp.arange(B), nxt].set(1)
+        if use_freq_penalty:
+            counts = counts.at[jnp.arange(B), nxt].add(
+                jnp.where(done, 0, 1).astype(counts.dtype)
+            )
+        done = done | newly_done
+
+        embeds = dec.embed_tokens(params, nxt[:, None]).astype(
+            policy.compute_dtype
+        )
+        step_logits, cache = dec.forward(
+            params, llm_cfg, embeds,
+            attention_mask=jnp.ones((B, 1), jnp.int32),
+            cache=cache, policy=policy,
+        )
+
+        if has_next:
+            def do_chunk(nc_nl):
+                nc, nl = nc_nl
+                start = t * chunk
+                ce = jax.lax.dynamic_slice(
+                    next_embeds, (0, start, 0), (B, chunk, next_embeds.shape[2])
+                )
+                cm = jax.lax.dynamic_slice(next_mask, (0, start), (B, chunk))
+                clg, nc = dec.forward(
+                    params, chunk_cfg, policy.cast(ce),
+                    attention_mask=cm, cache=nc, policy=policy,
+                    last_logits_only=True,
+                )
+                # prompts are left-padded to a chunk multiple, so the final
+                # chunk's last position is every row's last real token
+                nl = jnp.where(t == n_chunks - 1, clg[:, -1], nl)
+                return nc, nl
+
+            next_cache, next_last = jax.lax.cond(
+                t < n_chunks, do_chunk, lambda x: x, (next_cache, next_last)
+            )
+
+        return (t + 1, cache, step_logits[:, -1], done, tokens, lengths,
+                presence, counts, next_cache, next_last, rng)
+
+    counts0 = jnp.zeros((B, V) if use_freq_penalty else (B, 1), jnp.int32)
+    state = (
+        jnp.zeros((), jnp.int32), cache, last_logits, done, tokens, lengths,
+        prompt_presence, counts0, next_cache, next_last, rng,
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    (_, _, _, done, tokens, lengths, _, _, next_cache, next_last, _) = state
+    return tokens, lengths, next_cache, next_last
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dec_name", "llm_cfg", "max_new_tokens", "policy")
+)
+def _prefill_full_jit(params, inputs_embeds, attention_mask, *, dec_name,
+                      llm_cfg, max_new_tokens, policy):
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B, Pr, _ = inputs_embeds.shape
+    cache = dec.init_cache(
+        llm_cfg, B, Pr + max_new_tokens, dtype=policy.compute_dtype
+    )
+    logits, cache = dec.forward(
+        params, llm_cfg, inputs_embeds, attention_mask=attention_mask,
+        cache=cache, policy=policy, last_logits_only=True,
+    )
+    return logits[:, -1], cache
+
+
+def generate_pipelined(
+    params: dict,
+    llm_cfg: Any,
+    dec_name: str,
+    batches: list,               # [(inputs_embeds (B,P,E), attention_mask)]
+    gen: GenerationConfig,
+    rng: jax.Array,
+    *,
+    prompt_ids: list | None = None,   # per-batch, for repetition penalty
+    policy: DTypePolicy = DTypePolicy(),
+    chunk_positions: int | None = None,
+):
+    """Generate over a stream of same-shaped batches with cross-batch
+    prefill/decode overlap. Batch k+1's prompt is written into its KV cache a
+    few sequence positions per decode step of batch k, so its decode starts
+    immediately when batch k finishes. Returns [(tokens, lengths), ...]
+    matching `generate`'s per-batch contract."""
+    if gen.num_return_sequences != 1:
+        raise ValueError("generate_pipelined supports num_return_sequences=1")
+    if not batches:
+        return []
+    B, P, E = batches[0][0].shape
+    V = llm_cfg.vocab_size
+
+    # chunk size: spread the next prompt over the decode steps, ≥4 positions
+    # per step so the chunk GEMM rows stay MXU-tileable
+    C = chunk_positions or max(4, -(-P // gen.max_new_tokens))
+    n_chunks = -(-P // C)
+    if n_chunks > gen.max_new_tokens:
+        C = max(4, -(-P // gen.max_new_tokens))
+        n_chunks = -(-P // C)
+    Pn = n_chunks * C
+
+    def pad_left(embeds, mask):
+        if embeds.shape[1] == Pn:
+            return embeds, mask
+        d = Pn - embeds.shape[1]
+        return (
+            jnp.pad(embeds, ((0, 0), (d, 0), (0, 0))),
+            jnp.pad(mask, ((0, 0), (d, 0))),
+        )
+
+    def presence_for(i):
+        pres = jnp.zeros(
+            (B, V) if gen.repetition_penalty != 1.0 else (B, 1), jnp.int32
+        )
+        if prompt_ids is not None and gen.repetition_penalty != 1.0:
+            pres = pres.at[
+                jnp.arange(B)[:, None], jnp.asarray(prompt_ids[i])
+            ].set(1)
+        return pres
+
+    bias = tuple(gen.logit_bias)
+    knobs = {
+        "temperature": jnp.asarray(gen.temperature, jnp.float32),
+        "top_p": jnp.asarray(gen.top_p, jnp.float32),
+        "top_k": jnp.asarray(gen.top_k, jnp.int32),
+        "min_p": jnp.asarray(gen.min_p, jnp.float32),
+        "repetition_penalty": jnp.asarray(gen.repetition_penalty, jnp.float32),
+        "frequency_penalty": jnp.asarray(gen.frequency_penalty, jnp.float32),
+        "presence_penalty": jnp.asarray(gen.presence_penalty, jnp.float32),
+        "bias_ids": jnp.asarray([t for t, _ in bias], jnp.int32),
+        "bias_vals": jnp.asarray([v for _, v in bias], jnp.float32),
+    }
+    statics = dict(
+        dec_name=dec_name, llm_cfg=llm_cfg,
+        max_new_tokens=gen.max_new_tokens,
+        min_new_tokens=gen.min_new_tokens,
+        stop_sequences=gen.stop_sequences,
+        eos_token_id=gen.eos_token_id,
+        pad_token_id=gen.pad_token_id,
+        max_top_k=gen.max_top_k,
+        policy=policy,
+        do_sample=gen.do_sample,
+        use_rep_penalty=gen.repetition_penalty != 1.0,
+        use_freq_penalty=(gen.frequency_penalty != 0.0
+                          or gen.presence_penalty != 0.0),
+        chunk=C, n_chunks=n_chunks,
+    )
+
+    # batch 0 prefills the classic way (nothing to overlap it with); its
+    # cache is padded to the same Pn geometry so every phase shares one
+    # compiled program
+    e0, m0 = pad_left(*batches[0])
+    last_logits, cache = _prefill_full_jit(
+        params, e0, m0, dec_name=dec_name, llm_cfg=llm_cfg,
+        max_new_tokens=gen.max_new_tokens, policy=policy,
+    )
+
+    out = []
+    dummy_e = jnp.zeros((B, Pn, E), batches[0][0].dtype)
+    dummy_m = jnp.zeros((B, Pn), jnp.int32)
+    for i in range(len(batches)):
+        has_next = i + 1 < len(batches)
+        ne, nm = (pad_left(*batches[i + 1]) if has_next
+                  else (dummy_e, dummy_m))
+        rng, phase_rng = jax.random.split(rng)
+        tokens, lengths, next_cache, next_last = _decode_overlap_jit(
+            params, cache, last_logits, presence_for(i), ne, nm, knobs,
+            phase_rng, has_next=has_next, **statics,
+        )
+        out.append((tokens, lengths))
+        cache, last_logits = next_cache, next_last
+    return out
+
+
 def generate_im2svg(
     params: dict,
     cfg: "sv.StarVectorConfig",

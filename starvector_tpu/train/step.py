@@ -63,6 +63,29 @@ def make_eval_step(cfg, pad_token_id, *, policy=DTypePolicy()):
     return eval_step
 
 
+def opt_state_shardings(tx, params_abstract, param_shardings, mesh):
+    """Shardings for a fresh optimizer state: params-like leaves (Adam
+    moments, accumulators) inherit their parameter's sharding; everything
+    else (step counts) replicates.
+
+    This must be derived STRUCTURALLY (optax.tree_map_params), not left to
+    XLA propagation: tx.init builds moments with zeros_like, which has no
+    data dependence on the sharded params, so `out_shardings=None` lets the
+    partitioner replicate them — silently 3x-ing per-chip optimizer memory
+    at 8B scale (caught by the deviceless v5e-8 AOT audit,
+    scripts/hbm_proof.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    state_abs = jax.eval_shape(tx.init, params_abstract)
+    return optax.tree_map_params(
+        tx,
+        lambda _, sh: sh,
+        state_abs,
+        param_shardings,
+        transform_non_params=lambda _: NamedSharding(mesh, PartitionSpec()),
+    )
+
+
 def shard_train_state(params: Any, tx, mesh):
     """Place params + fresh optimizer state on the mesh per partition rules
     (optimizer moments inherit the parameter sharding — ZeRO for free)."""
@@ -70,8 +93,6 @@ def shard_train_state(params: Any, tx, mesh):
 
     shardings = make_param_shardings(params, sv.partition_rules(), mesh)
     params = jax.tree_util.tree_map(jax.device_put, params, shardings)
-    opt_state = jax.jit(
-        tx.init,
-        out_shardings=None,  # let XLA propagate from sharded params
-    )(params)
+    o_sh = opt_state_shardings(tx, params, shardings, mesh)
+    opt_state = jax.jit(tx.init, out_shardings=o_sh)(params)
     return params, opt_state

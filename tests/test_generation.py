@@ -343,3 +343,68 @@ def test_repetition_penalty_matches_hf():
         torch.tensor(seen), torch.tensor(logits)
     ).numpy()
     np.testing.assert_allclose(ours, hf, atol=1e-6)
+
+
+def test_pipelined_matches_per_batch_generate():
+    """generate_pipelined (batch k+1's prefill chunked into batch k's decode
+    steps — the offline port of serve/engine.py's chunked-prefill admission)
+    emits EXACTLY the tokens the plain per-batch generate() does, including
+    left-padded rows, stop sequences, and the no-next final phase."""
+    from starvector_tpu.generation.engine import generate_pipelined
+
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(0))
+    B, P = 2, 12
+    gen = GenerationConfig(
+        max_new_tokens=8, do_sample=False, eos_token_id=None,
+        pad_token_id=0, repetition_penalty=1.0,
+        stop_sequences=((9, 9),),
+    )
+    rng = jax.random.PRNGKey(7)
+    batches = []
+    for i in range(3):
+        ids = jax.random.randint(
+            jax.random.PRNGKey(10 + i), (B, P), 5, cfg.vocab_size)
+        emb = gbc.embed_tokens(params, ids).astype(jnp.float32)
+        mask = jnp.ones((B, P), jnp.int32)
+        mask = mask.at[1, :3].set(0)          # left-padded row
+        emb = emb.at[1, :3].set(0.0)
+        batches.append((emb, mask))
+
+    ref = [generate(params, cfg, "gpt_bigcode", e, m, gen, rng, policy=F32)
+           for (e, m) in batches]
+    pipe = generate_pipelined(
+        params, cfg, "gpt_bigcode", batches, gen, rng, policy=F32)
+    assert len(pipe) == len(ref)
+    for i, ((rt, rl), (pt, pl)) in enumerate(zip(ref, pipe)):
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(pt),
+                                      err_msg=f"batch {i}")
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(pl))
+
+
+def test_pipelined_chunk_sizes():
+    """Chunked prefill covers the prompt exactly for non-dividing shapes
+    (prompt padded LEFT to a chunk multiple — the last real token stays at
+    the final position, so next_last_logits seeds the next phase)."""
+    from starvector_tpu.generation.engine import generate_pipelined
+
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(1))
+    B, P = 2, 10   # P=10 does not divide the chunk size
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           eos_token_id=None, pad_token_id=0,
+                           repetition_penalty=1.0)
+    rng = jax.random.PRNGKey(3)
+    batches = []
+    for i in range(2):
+        ids = jax.random.randint(
+            jax.random.PRNGKey(20 + i), (B, P), 5, cfg.vocab_size)
+        emb = gbc.embed_tokens(params, ids).astype(jnp.float32)
+        batches.append((emb, jnp.ones((B, P), jnp.int32)))
+    ref = [generate(params, cfg, "gpt_bigcode", e, m, gen, rng, policy=F32)
+           for (e, m) in batches]
+    pipe = generate_pipelined(
+        params, cfg, "gpt_bigcode", batches, gen, rng, policy=F32,
+        chunk_positions=4)
+    for (rt, _), (pt, _) in zip(ref, pipe):
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(pt))

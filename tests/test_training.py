@@ -284,3 +284,52 @@ def test_lr_scheduler_variants():
 
     with pytest.raises(ValueError):
         build_schedule("nope", 1.0, 0, 10)
+
+
+def test_opt_state_shardings_inherit_param_shardings():
+    """Optimizer moments must land on their parameter's sharding, NOT be
+    left to XLA propagation (zeros_like has no data dependence on params, so
+    propagation replicates them — 3x per-chip optimizer memory at 8B scale;
+    caught by the v5e-8 AOT audit, scripts/hbm_proof.py)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from starvector_tpu.models import starvector as sv
+    from starvector_tpu.parallel import MeshConfig, create_mesh, make_param_shardings
+    from starvector_tpu.train.step import opt_state_shardings
+
+    cfg, params, _, _ = make_setup()
+    mesh = create_mesh(MeshConfig(fsdp=4, tensor=2))
+    shardings = make_param_shardings(params, sv.partition_rules(), mesh)
+    tx = build_optimizer(params, lr=1e-3, total_steps=10)
+    o_sh = opt_state_shardings(tx, params, shardings, mesh)
+
+    # find the Adam mu subtree and compare against the param shardings
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(shardings)[0])
+    flat_o = jax.tree_util.tree_flatten_with_path(o_sh)[0]
+    matched = 0
+    for path, sh in flat_o:
+        assert isinstance(sh, NamedSharding)
+        tail = tuple(str(k) for k in path)
+        for p_path, p_sharding in flat_p.items():
+            p_tail = tuple(str(k) for k in p_path)
+            if tail[-len(p_tail):] == p_tail and sh.spec == p_sharding.spec \
+                    and sh.spec != P():
+                matched += 1
+                break
+    # the model has sharded matmul weights; their moments must be sharded too
+    assert matched > 10, f"only {matched} opt-state leaves inherit shardings"
+
+    # end-to-end: init with the explicit out_shardings and check a moment
+    params_s = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    opt_state = jax.jit(tx.init, out_shardings=o_sh)(params_s)
+    adam = [s for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(x := s, optax.ScaleByAdamState)]
+    assert adam, "no ScaleByAdamState found"
+    mu_shardings = {
+        str(l.sharding.spec)
+        for l in jax.tree_util.tree_leaves(adam[0].mu)
+        if hasattr(l, "sharding")
+    }
+    assert any(s != "PartitionSpec()" for s in mu_shardings), mu_shardings
