@@ -264,6 +264,43 @@ def bench_1b(jax, jnp, np, on_tpu):
         e2e_tok_s = B * NEW2 / (t_pre + t_dec)
         del cache_r
 
+    # pipelined offline path at the 1k-prefill shape: M batches chained
+    # through generate_pipelined — batch k+1's prompt prefills a few
+    # sequence positions inside every decode step of batch k, so the
+    # compute-bound prefill hides in the bandwidth-bound decode's MXU slack
+    # (the serial variant pays prefill and decode strictly in sequence)
+    pipe_tok_s = None
+    if on_tpu:
+        from starvector_tpu.generation.engine import (
+            GenerationConfig, generate_pipelined,
+        )
+
+        Mb = 4
+        E = llm.hidden_size
+        emb_rng = jax.random.PRNGKey(11)
+        pipe_batches = [
+            (0.02 * jax.random.normal(
+                jax.random.fold_in(emb_rng, i), (B, PREFIX_CTX, E),
+                policy.compute_dtype),
+             jnp.ones((B, PREFIX_CTX), jnp.int32))
+            for i in range(Mb)
+        ]
+        pgen = GenerationConfig(
+            max_new_tokens=NEW, do_sample=False, eos_token_id=None,
+            pad_token_id=0, repetition_penalty=1.0,
+        )
+
+        def run_pipe():
+            outs = generate_pipelined(
+                params["svg_transformer"], llm, cfg.decoder, pipe_batches,
+                pgen, jax.random.PRNGKey(0), policy=policy,
+            )
+            return np.asarray(outs[-1][0][:, -1])  # host sync on the tail
+
+        run_pipe()  # compile
+        t_pipe = _median_time(run_pipe, reps)
+        pipe_tok_s = Mb * B * NEW / t_pipe
+
     # batched prompt-lookup speculative decoding at the same e2e shape
     # (greedy — the SVG-Bench validation workload). Greedy decode of the
     # random-weight model degenerates into repetition much like real SVG's
@@ -375,9 +412,18 @@ def bench_1b(jax, jnp, np, on_tpu):
             round(e2e_tok_s, 1) if e2e_tok_s
             else round(B * NEW / (decode_s + prefill_s), 1)
         ),
-        "e2e_prefill1k_tok_per_s": round(
+        # the offline 1k-prefill workload through generate_pipelined (the
+        # path validation actually calls for multi-batch runs): prefill of
+        # batch k+1 rides inside batch k's decode steps. The serial number
+        # (full-batch prefill, then decode) is kept for comparison.
+        "e2e_prefill1k_tok_per_s": (
+            round(pipe_tok_s, 1) if pipe_tok_s
+            else round(B * NEW / (decode_s + prefill_s), 1)
+        ),
+        "e2e_prefill1k_serial_tok_per_s": round(
             B * NEW / (decode_s + prefill_s), 1
         ),
+        "e2e_prefill1k_pipelined_batches": 4 if pipe_tok_s else None,
         # greedy batched prompt-lookup speculation at the e2e shape (the
         # validation workload); n_forwards audits the measured acceptance
         # (B*NEW2 tokens in n_forwards verify dispatches + 1 prefill)
@@ -727,11 +773,43 @@ def main():
         except Exception as e:  # noqa: BLE001 — train section is best-effort
             detail["train_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # the reference trains 1B at max_length 8192 (configs/models/
+    # starvector-1b/im2svg-stack.yaml:7): bench the step at that context
+    if on_tpu and os.environ.get("STARVECTOR_BENCH_TRAIN8K", "1") != "0":
+        try:
+            t8 = bench_train(jax, jnp, np, on_tpu, B=1, S=8192, remat="dots")
+            detail.update({
+                "train8k_tok_per_s_chip": t8["train_tok_per_s_chip"],
+                "train8k_step_s": t8["train_step_s"],
+                "train8k_mfu": t8["train_mfu"],
+                "train8k_batch": 1,
+            })
+        except Exception as e:  # noqa: BLE001 — best-effort
+            detail["train8k_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     if on_tpu and os.environ.get("STARVECTOR_BENCH_8B", "1") != "0":
         try:
             detail.update(bench_8b_int8(jax, jnp, np))
         except Exception as e:  # noqa: BLE001 — 8B section is best-effort
             detail["8b_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    # deviceless v5e-8 AOT memory proof for the real 8B geometry
+    # (scripts/hbm_proof.py writes HBM_PROOF.json; surface its summary here
+    # so the driver artifact carries the per-chip HBM numbers)
+    hbm_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "HBM_PROOF.json")
+    if os.path.exists(hbm_path):
+        try:
+            with open(hbm_path) as f:
+                hbm = json.load(f)
+            detail["hbm_8b_v5e8"] = {
+                r["case"]: (f"{r['per_chip_peak_gib']} GiB"
+                            if r.get("fits_16gib") else "OOM")
+                for r in hbm.get("results", [])
+            }
+            detail["hbm_8b_v5e8_ok"] = hbm.get("ok")
+        except Exception:  # noqa: BLE001
+            pass
 
     value = detail["decode_tok_per_s"]
     naive = detail.get("naive_decode_tok_per_s") or 0.0

@@ -103,7 +103,8 @@ def abstract_8b_params():
 
 
 def train_case(mesh, mesh_name: str, *, B: int, S: int, remat,
-               grad_accum_steps: int = 1, optimizer: str = "adamw") -> dict:
+               grad_accum_steps: int = 1, optimizer: str = "adamw",
+               mu_dtype=None) -> dict:
     """AOT-compile the production train step at the real 8B geometry."""
     from starvector_tpu.models import starvector as sv
     from starvector_tpu.ops.layers import DTypePolicy
@@ -120,7 +121,7 @@ def train_case(mesh, mesh_name: str, *, B: int, S: int, remat,
     tx = build_optimizer(
         p_abs, optimizer=optimizer, lr=1e-5, weight_decay=1e-6,
         betas=(0.95, 0.999), eps=1e-8, warmup_steps=10, total_steps=10_000,
-        grad_accum_steps=grad_accum_steps,
+        grad_accum_steps=grad_accum_steps, mu_dtype=mu_dtype,
     )
     # optimizer-state shardings derived structurally, the same way
     # train/step.py::shard_train_state places them on devices (moments
@@ -160,7 +161,7 @@ def train_case(mesh, mesh_name: str, *, B: int, S: int, remat,
         "batch_global": B,
         "seq_len": S,
         "remat": str(remat),
-        "optimizer": optimizer,
+        "optimizer": optimizer + ("/bf16-mu" if mu_dtype is not None else ""),
         "grad_accum_steps": grad_accum_steps,
         "n_params": n_params,
         "compile_s": round(time.time() - t0, 1),
@@ -186,9 +187,21 @@ def serve_decode_case(mesh, mesh_name: str, *, B: int, max_len: int) -> dict:
     p_abs = with_shardings(
         p_abs, make_param_shardings(p_abs, sc2.partition_rules(), mesh))
 
+    from starvector_tpu.parallel.mesh import BATCH_AXES
+
+    # ragged-cache layout (decode_common.init_ragged_cache): k/v are
+    # (L, B, T, Hkv, D) — batch rows shard over the batch axes, kv heads
+    # over `tensor` when divisible (7B has 4 kv heads: tp4 shards them,
+    # tp8 falls back to replicated kv via sanitize)
+    cache_rules = [
+        (r"k$|v$", P(None, BATCH_AXES, None, "tensor", None)),
+        (r"k_scale$|v_scale$", P(None, BATCH_AXES, None, "tensor")),
+        (r"kv_mask$", P(BATCH_AXES, None)),
+        (r"lengths$", P(BATCH_AXES)),
+    ]
     c_abs = jax.eval_shape(
         lambda: sc2.init_ragged_cache(cfg, B, max_len, dtype=jnp.bfloat16))
-    c_specs = apply_partition_rules(c_abs, sc2.cache_partition_rules(), mesh)
+    c_specs = apply_partition_rules(c_abs, cache_rules, mesh)
     c_abs = jax.tree_util.tree_map(
         lambda a, s: jax.ShapeDtypeStruct(
             a.shape, a.dtype,
@@ -228,23 +241,35 @@ def run(out_path: str, quick: bool = False) -> dict:
     devs = v5e8_devices()
     results = []
 
+    import jax.numpy as _jnp
+
     cases = [
         # (name, mesh kwargs, train kwargs) — the matrix brackets what the
         # real recipe can be on 16 GiB chips: context length x optimizer x
-        # mesh. OOM cases stay in the artifact as documented negatives.
+        # mesh. OOM cases stay in the artifact as documented negatives
+        # (fp32-moment AdamW at 8B needs >8 v5e chips; the TPU-native
+        # recipes are adafactor — which the reference itself supports,
+        # train/util.py:141-148 — or bf16-mu AdamW at shorter context).
         ("fsdp8/s8192/adamw",
          dict(fsdp=8), dict(B=8, S=8192, remat=True)),
-        ("fsdp8/s4096/adamw",
-         dict(fsdp=8), dict(B=8, S=4096, remat=True)),
-        ("fsdp8/s2048/adamw",
-         dict(fsdp=8), dict(B=8, S=2048, remat=True)),
         ("fsdp8/s8192/adafactor",
          dict(fsdp=8), dict(B=8, S=8192, remat=True, optimizer="adafactor")),
-        ("fsdp4xtp2/s8192/adamw",
-         dict(fsdp=4, tensor=2), dict(B=4, S=8192, remat=True)),
+        ("fsdp8/s4096/adafactor",
+         dict(fsdp=8), dict(B=8, S=4096, remat=True, optimizer="adafactor")),
+        ("fsdp8/s2048/adamw-bf16mu",
+         dict(fsdp=8), dict(B=8, S=2048, remat=True, mu_dtype=_jnp.bfloat16)),
         ("fsdp4xtp2/s8192/adafactor",
          dict(fsdp=4, tensor=2),
          dict(B=4, S=8192, remat=True, optimizer="adafactor")),
+        # sequence parallelism (the TPU-native long-context axis the
+        # reference lacks, parallel/sequence.py): S shards over `sequence`,
+        # halving per-chip activation temps where pure fsdp OOMs
+        ("fsdp4xsp2/s8192/adafactor",
+         dict(fsdp=4, sequence=2),
+         dict(B=4, S=8192, remat=True, optimizer="adafactor")),
+        ("fsdp4xsp2/s8192/adamw-bf16mu",
+         dict(fsdp=4, sequence=2),
+         dict(B=4, S=8192, remat=True, mu_dtype=_jnp.bfloat16)),
     ]
     if quick:
         cases = cases[:1]
@@ -260,13 +285,20 @@ def run(out_path: str, quick: bool = False) -> dict:
         results.append(rep)
 
     if not quick:
-        mesh = build_mesh(devs, tensor=8)
-        for B, L in ((16, 8192), (64, 8192)):
-            print(f"[hbm_proof] compiling serve tp8 B={B} L={L} ...", flush=True)
+        serve_cases = [
+            ("tp8", dict(tensor=8), 16, 8192),
+            # 7B geometry (36 q / 4 kv heads) shards cleanly on tp=4; the
+            # remaining factor of 2 batch-shards the cache over `data` —
+            # the natural 8-chip serving layout for this model
+            ("tp4xdp2", dict(data=2, tensor=4), 64, 8192),
+        ]
+        for name, mk, B, L in serve_cases:
+            mesh = build_mesh(devs, **mk)
+            print(f"[hbm_proof] compiling serve {name} B={B} L={L} ...", flush=True)
             try:
-                rep = serve_decode_case(mesh, "tp8", B=B, max_len=L)
+                rep = serve_decode_case(mesh, name, B=B, max_len=L)
             except Exception as e:  # noqa: BLE001
-                rep = {"case": f"serve_decode/tp8/B{B}", "error": f"{type(e).__name__}: {e}"}
+                rep = {"case": f"serve_decode/{name}/B{B}", "error": f"{type(e).__name__}: {e}"}
             print(f"[hbm_proof]   -> {json.dumps({k: rep.get(k) for k in ('per_chip_peak_gib','fits_16gib','headroom_gib','error')})}",
                   flush=True)
             results.append(rep)

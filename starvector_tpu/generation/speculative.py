@@ -101,6 +101,7 @@ def _find_stop_in(tok_buf: jax.Array, upto, stop_sequences,
     static_argnames=(
         "dec_name", "llm_cfg", "max_new_tokens", "draft_len",
         "stop_sequences", "eos_token_id", "pad_token_id", "policy",
+        "accept_margin",
     ),
 )
 def generate_greedy_speculative(
@@ -119,8 +120,19 @@ def generate_greedy_speculative(
     eos_token_id: int | None = None,
     pad_token_id: int = 0,
     policy: DTypePolicy = DTypePolicy(),
+    accept_margin: float = 0.0,
 ):
-    """Returns (tokens (1, max_new_tokens), lengths (1,), n_forwards)."""
+    """Returns (tokens (1, max_new_tokens), lengths (1,), n_forwards).
+
+    ``accept_margin`` bounds bf16 speculative drift: a draft position is
+    accepted only when the verify argmax's logit margin (top1 - top2, fp32)
+    is at least this value. Near-tie positions — the only place the W-token
+    verify forward and the 1-token decode forward can argmax-flip under
+    bf16 accumulation-order differences — then fall back to single-token
+    emission, so multi-token chains never extend through sub-noise margins.
+    0.0 (default) keeps pure token-match acceptance. The complementary
+    mitigation for the B=1 p50 latency path is running verify in fp32
+    compute via ``policy`` (same knob the plain decoder takes)."""
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
@@ -169,9 +181,14 @@ def generate_greedy_speculative(
             attention_mask=jnp.ones((1, K), jnp.int32),
             cache=cache, policy=policy,
         )
-        g = jnp.argmax(lg[0].astype(jnp.float32), -1).astype(jnp.int32)  # (K,)
+        lg32 = lg[0].astype(jnp.float32)
+        g = jnp.argmax(lg32, -1).astype(jnp.int32)  # (K,)
 
         agree = (proposal[1:] == g[: K - 1]).astype(jnp.int32)  # (K-1,)
+        if accept_margin > 0.0:
+            top2 = jax.lax.top_k(lg32, 2)[0]                    # (K, 2)
+            margin = top2[:, 0] - top2[:, 1]
+            agree = agree * (margin[: K - 1] >= accept_margin).astype(jnp.int32)
         a = 1 + jnp.sum(jnp.cumprod(agree))                     # 1..K accepted
 
         # emit the a verified proposal tokens (junk beyond `a` is overwritten
@@ -224,6 +241,7 @@ def generate_greedy_speculative(
     static_argnames=(
         "dec_name", "llm_cfg", "max_new_tokens", "draft_len",
         "stop_sequences", "eos_token_id", "pad_token_id", "policy",
+        "accept_margin",
     ),
 )
 def generate_greedy_speculative_batched(
@@ -241,6 +259,7 @@ def generate_greedy_speculative_batched(
     eos_token_id: int | None = None,
     pad_token_id: int = 0,
     policy: DTypePolicy = DTypePolicy(),
+    accept_margin: float = 0.0,
 ):
     """Batched prompt-lookup speculative decoding (greedy) — the whole-
     dataset analogue of the B=1 path above, built on the serving engine's
@@ -319,9 +338,16 @@ def generate_greedy_speculative_batched(
         lg, rag = dec.forward_ragged_verify(
             params, llm_cfg, proposal, rag, jnp.logical_not(done), policy=policy
         )
-        g = jnp.argmax(lg.astype(jnp.float32), -1).astype(jnp.int32)  # (B, K)
+        lg32 = lg.astype(jnp.float32)
+        g = jnp.argmax(lg32, -1).astype(jnp.int32)  # (B, K)
 
         agree = (proposal[:, 1:] == g[:, : K - 1]).astype(jnp.int32)
+        if accept_margin > 0.0:
+            # bf16 drift bound: see generate_greedy_speculative docstring
+            top2 = jax.lax.top_k(lg32, 2)[0]                  # (B, K, 2)
+            margin = top2[..., 0] - top2[..., 1]
+            agree = agree * (margin[:, : K - 1] >= accept_margin
+                             ).astype(jnp.int32)
         a = 1 + jnp.sum(jnp.cumprod(agree, axis=1), axis=1)      # (B,) 1..K
         a = jnp.where(done, 0, a)
         rag = dc.commit_verify(rag, a)

@@ -138,10 +138,20 @@ def sample_token(
     bias_ids: jax.Array | None = None,
     bias_vals: jax.Array | None = None,
     max_top_k: int = 64,
+    pruned: bool = False,
 ) -> jax.Array:
     """Returns (B,) int32 next tokens. Greedy when do_sample is False
     (statically) or temperature == 0 (runtime). Processor order follows
-    vLLM: bias → penalties → temperature → top-k → top-p → min-p."""
+    vLLM: bias → penalties → temperature → top-k → top-p → min-p.
+
+    ``pruned`` (STATIC) runs the temperature/top-k/top-p/min-p chain on the
+    top-``max_top_k`` logit slab instead of the full vocabulary — one
+    lax.top_k selection replaces the full (B, V) sorts of top-p. Exact
+    whenever the nucleus fits in the slab (trained-model top_p≈0.9 nuclei
+    are a handful of tokens; vLLM's sampler makes the same truncation);
+    requests with top_k > 0 were already bounded by max_top_k. This is what
+    lets mixed greedy/sampled traffic share a speculative verify tick
+    without paying n_rounds*W vocab sorts (serve/engine.py)."""
     if bias_ids is not None and bias_vals is not None:
         logits = apply_logit_bias(logits, bias_ids, bias_vals)
     if presence is not None and repetition_penalty is not None:
@@ -155,6 +165,19 @@ def sample_token(
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if not do_sample:
         return greedy
+    if pruned:
+        K = min(max_top_k, logits.shape[-1])
+        slab, slab_ids = jax.lax.top_k(logits, K)       # (B, K) sorted desc
+        filtered = apply_temperature(slab, temperature)
+        filtered = apply_top_k(filtered, top_k, K)
+        filtered = apply_top_p(filtered, top_p)
+        if min_p is not None:
+            filtered = apply_min_p(filtered, min_p)
+        pick = jax.random.categorical(rng, filtered, axis=-1)
+        sampled = jnp.take_along_axis(
+            slab_ids, pick[..., None], axis=-1
+        )[..., 0].astype(jnp.int32)
+        return jnp.where(temperature <= 0.0, greedy, sampled)
     filtered = apply_temperature(logits, temperature)
     filtered = apply_top_k(filtered, top_k, max_top_k)
     filtered = apply_top_p(filtered, top_p)

@@ -337,8 +337,11 @@ def _fused_ragged_step(
             params, cfg, tokens, cache, active, policy=policy
         )
         rng = jax.random.fold_in(base_rng, step * n_steps + i)
+        # pruned=True keeps the plain tick's sampled distribution identical
+        # to the speculative verify tick's (both chains run on the
+        # top-max_top_k slab), so the adaptive spec fallback is seamless
         nxt = sample_token(
-            rng, logits, do_sample=not greedy_only,
+            rng, logits, do_sample=not greedy_only, pruned=True,
             temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
             presence=jnp.maximum((counts > 0).astype(jnp.int32),
                                  prompt_presence),
@@ -360,7 +363,7 @@ def _fused_ragged_step(
 @functools.partial(
     jax.jit,
     static_argnames=("dec_name", "cfg", "policy", "max_top_k", "n_rounds",
-                     "draft_len", "greedy_only"),
+                     "draft_len", "greedy_only", "accept_margin"),
     donate_argnames=("cache", "counts", "ctx", "ctx_len"),
 )
 def _fused_verify_multi(
@@ -396,6 +399,11 @@ def _fused_verify_multi(
                                  # otherwise pays n_rounds*(draft_len+1)
                                  # full (B, V) sampling sorts per dispatch,
                                  # which dominated its measured cost
+    accept_margin: float = 0.0,  # STATIC: reject a draft when the previous
+                                 # verify position's fp32 top1-top2 logit
+                                 # margin is below this — bounds bf16
+                                 # speculative drift (near-tie argmax flips)
+                                 # to single-token emission
 ):
     """`n_rounds` speculative rounds in ONE dispatch — the speculative
     generalization of the multi-step tick, with the draft lookup ON DEVICE
@@ -438,15 +446,20 @@ def _fused_verify_multi(
             params, cfg, proposal, cache, active, policy=policy
         )
 
-        def pos_body(pcarry, i):
-            counts, chain, prev = pcarry
+        def pos_body_outer(pcarry, i):
+            counts, chain, prev, prev_margin = pcarry
             lg = logits_all[:, i]
             # distinct fold stream from the regular tick (0x40000000 offset)
             rng = jax.random.fold_in(
                 base_rng, 0x40000000 + (step * n_rounds + m) * W + i
             )
+            # pruned=True: mixed greedy/sampled compositions run the
+            # sampling chain on the top-max_top_k slab — one lax.top_k
+            # instead of the full (B, V) sorts that made mixed-traffic
+            # speculation net-negative in round 3 (the 106-224 ms/tick
+            # measurement in PARITY.md was full-vocab)
             t = sample_token(
-                rng, lg, do_sample=not greedy_only,
+                rng, lg, do_sample=not greedy_only, pruned=True,
                 temperature=temps, top_p=top_ps, top_k=top_ks, min_p=min_ps,
                 presence=jnp.maximum((counts > 0).astype(jnp.int32),
                                      prompt_presence),
@@ -458,12 +471,20 @@ def _fused_verify_multi(
             )
             ok = jnp.where(i == 0, active > 0,
                            chain & (prev == proposal[:, i]))
+            if accept_margin > 0.0:
+                top2 = jax.lax.top_k(lg, 2)[0]
+                marg = top2[:, 0] - top2[:, 1]
+                ok = jnp.where(i == 0, ok,
+                               ok & (prev_margin >= accept_margin))
+            else:
+                marg = jnp.zeros((B,), jnp.float32)
             counts = counts.at[rows, t].add(ok.astype(jnp.int32))
-            return (counts, ok, t), (t, ok)
+            return (counts, ok, t, marg), (t, ok)
 
-        (counts, _, _), (toks, chain) = jax.lax.scan(
-            pos_body,
-            (counts, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32)),
+        (counts, _, _, _), (toks, chain) = jax.lax.scan(
+            lambda c, i: pos_body_outer(c, i),
+            (counts, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.float32)),
             jnp.arange(W),
         )
         toks, chain = toks.T, chain.T                     # (B, W)
@@ -631,6 +652,9 @@ class ServeEngine:
         spec_drafts: int = 0,    # >0: speculative ticks — steps_per_tick
                                  # on-device-drafted verify rounds per
                                  # dispatch, each emitting 1..N+1 tokens
+        spec_accept_margin: float = 0.0,  # reject drafts whose verify
+                                 # argmax margin (fp32 top1-top2) is below
+                                 # this: bounds bf16 speculative drift
     ):
         from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -657,6 +681,7 @@ class ServeEngine:
         # spec_drafts+1 tokens per slot, so the worst case equals the plain
         # multi-step tick and the best case is steps_per_tick*(W) tokens.
         self.spec_drafts = max(0, int(spec_drafts))
+        self.spec_accept_margin = float(spec_accept_margin)
         win = getattr(llm_cfg, "sliding_window", None)
         if self.spec_drafts and win is not None and self.spec_drafts + 1 > win:
             # fail at construction, not mid-serving inside the decode loop
@@ -1283,19 +1308,18 @@ class ServeEngine:
 
     def _sampling_tick(self, reqs) -> None:
         if self.spec_drafts > 0:
-            # speculative ticks run only for ALL-GREEDY slot compositions
-            # (the eval / SVG-production workload): greedy verify rounds
-            # compile pure-argmax positions, so the tick strictly
-            # generalizes the plain multi-step tick — each round emits >=1
-            # token per slot and up to spec_drafts+1 when drafts verify.
-            # With sampled slots present, every one of the n_rounds*W
-            # verify positions would pay the full (B, V) sampling chain
-            # for rare token-match acceptance — measured net-negative, so
-            # mixed traffic keeps plain ticks. Persistently
-            # zero-acceptance greedy traffic falls back for a while too
+            # Speculative ticks run for ANY slot composition. All-greedy
+            # compositions compile pure-argmax verify positions (the
+            # cheapest tick); mixed/sampled compositions use top-k-PRUNED
+            # sampling inside the verify rounds — the chain runs on the
+            # (B, max_top_k) slab, so the n_rounds*W positions cost one
+            # lax.top_k each instead of the full (B, V) sorts that made
+            # mixed speculation net-negative in round 3. Greedy slots keep
+            # their exact argmax inside the pruned chain; sampled slots
+            # accept drafts only when the true conditional sample matches.
+            # Persistently zero-acceptance traffic falls back for a while
             # (adaptive probe, __init__).
-            greedy_only = self._knobs(reqs)[-1]
-            if greedy_only and self._spec_skip == 0:
+            if self._spec_skip == 0:
                 self._verify_tick(reqs)
                 return
             if self._spec_skip > 0:
@@ -1350,6 +1374,7 @@ class ServeEngine:
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             max_top_k=self.max_top_k, n_rounds=M,
             draft_len=self.spec_drafts, greedy_only=greedy_only,
+            accept_margin=self.spec_accept_margin,
         )
         toks = np.asarray(toks)    # (B, M, W)
         chain = np.asarray(chain)
@@ -1373,9 +1398,10 @@ class ServeEngine:
                         break  # tokens past the stop are discarded
                 if released:
                     break
-        # productivity bar: verify ticks only run all-greedy (pure-argmax
-        # positions ≈ plain-tick cost), so any acceptance at all keeps
-        # them; only the W-wide score tensors are at stake
+        # productivity bar: all-greedy ticks cost ≈ a plain tick (argmax
+        # positions) and mixed ticks one lax.top_k per position (pruned
+        # chain), so any acceptance at all keeps them; only the W-wide
+        # score tensors are at stake
         if tick_extra < 1:
             self._spec_idle += 1
             if self._spec_idle >= self._spec_patience:

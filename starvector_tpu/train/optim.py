@@ -110,12 +110,17 @@ def build_optimizer(
     train_image_encoder: bool = True,
     train_LLM: bool = True,
     train_connector: bool = True,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    """``mu_dtype`` (e.g. jnp.bfloat16) halves the first-moment memory —
+    the standard TPU trade for fitting AdamW state on 16 GiB chips
+    (quantified by scripts/hbm_proof.py); the reference's torch AdamW has
+    no equivalent knob."""
     schedule = build_schedule(lr_scheduler, lr, warmup_steps, total_steps)
     if optimizer == "adamw":
         core = optax.adamw(
             schedule, b1=betas[0], b2=betas[1], eps=eps,
-            weight_decay=weight_decay,
+            weight_decay=weight_decay, mu_dtype=mu_dtype,
         )
     elif optimizer == "adafactor":
         core = optax.adafactor(schedule)

@@ -77,9 +77,28 @@ def opt_state_shardings(tx, params_abstract, param_shardings, mesh):
     from jax.sharding import NamedSharding, PartitionSpec
 
     state_abs = jax.eval_shape(tx.init, params_abstract)
+
+    def axis_size(axes):
+        names = (axes,) if isinstance(axes, str) else tuple(axes or ())
+        size = 1
+        for n in names:
+            size *= mesh.shape.get(n, 1)
+        return size
+
+    def fit(leaf, sh):
+        # factored states (adafactor row/col vectors) don't match the param
+        # rank/shape — replicate anything the param spec can't legally shard
+        spec = tuple(sh.spec)
+        if len(spec) > leaf.ndim:
+            return NamedSharding(mesh, PartitionSpec())
+        for dim, axes in zip(leaf.shape, spec):
+            if axes is not None and dim % axis_size(axes) != 0:
+                return NamedSharding(mesh, PartitionSpec())
+        return sh
+
     return optax.tree_map_params(
         tx,
-        lambda _, sh: sh,
+        fit,
         state_abs,
         param_shardings,
         transform_non_params=lambda _: NamedSharding(mesh, PartitionSpec()),

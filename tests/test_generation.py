@@ -408,3 +408,52 @@ def test_pipelined_chunk_sizes():
         chunk_positions=4)
     for (rt, _), (pt, _) in zip(ref, pipe):
         np.testing.assert_array_equal(np.asarray(rt), np.asarray(pt))
+
+
+def test_pruned_sampling_matches_full_chain():
+    """sample_token(pruned=True) runs the processor chain on the
+    top-max_top_k slab; for nuclei that fit in the slab the kept-token SET
+    and the renormalized distribution are identical to the full-vocab
+    chain. Checked distributionally (peaked logits) and exactly (min_p=1.0
+    forces argmax; top_k bound respected)."""
+    rng0 = np.random.RandomState(0)
+    V = 400
+    base = rng0.randn(2, V).astype(np.float32)
+    base[:, :8] += 8.0   # sharp 8-token nucleus per row
+    logits = jnp.asarray(base)
+    temp = jnp.asarray(0.9, jnp.float32)
+    kw = dict(do_sample=True, temperature=temp,
+              top_p=jnp.asarray(0.9, jnp.float32),
+              top_k=jnp.asarray(0, jnp.int32), max_top_k=64)
+
+    full_counts = np.zeros((2, V))
+    pruned_counts = np.zeros((2, V))
+    n = 400
+    for i in range(n):
+        key = jax.random.PRNGKey(i)
+        tf_ = np.asarray(sampling.sample_token(key, logits, **kw))
+        tp_ = np.asarray(sampling.sample_token(key, logits, pruned=True, **kw))
+        full_counts[np.arange(2), tf_] += 1
+        pruned_counts[np.arange(2), tp_] += 1
+    # same support (the nucleus), close frequencies
+    assert set(zip(*np.nonzero(pruned_counts))) <= \
+        set(zip(*np.nonzero(full_counts + (base > 4.0))))
+    assert np.abs(full_counts - pruned_counts).max() < 0.15 * n
+
+    # min_p = 1.0 forces the argmax even in the pruned chain
+    t = sampling.sample_token(
+        jax.random.PRNGKey(5), logits, do_sample=True, pruned=True,
+        temperature=temp, top_p=jnp.asarray(1.0), top_k=jnp.asarray(0),
+        min_p=jnp.asarray(1.0), max_top_k=64,
+    )
+    np.testing.assert_array_equal(np.asarray(t), np.argmax(base, -1))
+
+    # top_k=3: pruned chain only ever emits one of the top-3 ids
+    top3 = set(np.argsort(-base[0])[:3].tolist())
+    for i in range(50):
+        t = sampling.sample_token(
+            jax.random.PRNGKey(100 + i), logits, do_sample=True, pruned=True,
+            temperature=temp, top_p=jnp.asarray(1.0),
+            top_k=jnp.asarray(3), max_top_k=64,
+        )
+        assert int(np.asarray(t)[0]) in top3

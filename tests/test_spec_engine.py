@@ -102,8 +102,9 @@ def test_spec_no_draft_context_matches_offline(setup):
 
 def test_spec_concurrent_greedy_and_sampling(setup):
     """A greedy request and a sampling request running concurrently: mixed
-    slot compositions use plain ticks (speculation is all-greedy-only), the
-    greedy stream stays exact (fp32), the sampled one completes."""
+    slot compositions speculate too (top-k-pruned sampling inside the
+    verify rounds), the greedy stream stays exact (fp32), the sampled one
+    completes."""
     cfg, params = setup
     engine = make_engine(cfg, params, steps_per_tick=2)
     engine.start()
@@ -283,3 +284,31 @@ def test_spec_warmup_compiles_verify(setup):
     )
     engine.stop()
     assert out == ref
+
+
+def test_spec_accept_margin_engine(setup):
+    """spec_accept_margin=1e9 rejects every draft (no margin clears it), so
+    the engine degenerates to one accepted token per verify position-chain —
+    output stays exact greedy. margin=0 accepts normally and must emit the
+    same tokens (fp32: no drift to bound)."""
+    cfg, params = setup
+    ids = jnp.array([[3, 1, 4]])
+    prefix = gbc.embed_tokens(params, ids)
+    N = 16
+    ref = offline_greedy(params, cfg, prefix, N)
+
+    outs = {}
+    for margin in (0.0, 1e9):
+        engine = ServeEngine(params, cfg, "gpt_bigcode", policy=F32,
+                             max_batch=2, max_len=96, spec_drafts=4,
+                             spec_accept_margin=margin)
+        req = Request(prefix_embeds=prefix, max_new_tokens=N,
+                      do_sample=False, prompt_token_ids=[3, 1, 4] + ref)
+        outs[margin] = (engine.generate_sync(req, timeout=180),
+                        engine.stats()["spec_extra_tokens"])
+        engine.stop()
+    assert outs[0.0][0] == ref
+    assert outs[1e9][0] == ref
+    # margin=inf admits no extra tokens; margin=0 speculates freely
+    assert outs[1e9][1] == 0
+    assert outs[0.0][1] > 0

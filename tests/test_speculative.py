@@ -115,3 +115,51 @@ def test_speculative_visual_prefix(model):
         draft_len=4, pad_token_id=0, policy=F32,
     )
     assert list(np.asarray(toks[0])) == list(np.asarray(ref_toks[0]))
+
+
+def test_accept_margin_bounds_chains():
+    """accept_margin=inf forces every draft position to be rejected (margin
+    can never clear it), so speculative output degenerates to exact
+    token-at-a-time greedy — one accepted token per round — while
+    accept_margin=0 keeps full acceptance. Output tokens must be identical
+    in both modes (fp32: no drift to bound, so the knob must not change
+    WHAT is emitted, only how fast)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starvector_tpu.generation.engine import GenerationConfig, generate
+    from starvector_tpu.generation.speculative import (
+        generate_greedy_speculative_batched,
+    )
+    from starvector_tpu.models import gpt_bigcode as gbc
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    F32 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.array([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]])
+    prefix = gbc.embed_tokens(params, ids).astype(jnp.float32)
+    mask = jnp.ones(ids.shape, jnp.int32)
+    N = 16
+
+    gen = GenerationConfig(max_new_tokens=N, do_sample=False, pad_token_id=0,
+                           min_new_tokens=N)
+    ref, _ = generate(params, cfg, "gpt_bigcode", prefix, mask, gen,
+                      jax.random.PRNGKey(0), policy=F32)
+
+    toks0, _, nf0 = generate_greedy_speculative_batched(
+        params, prefix, mask, ids, dec_name="gpt_bigcode", llm_cfg=cfg,
+        max_new_tokens=N, draft_len=4, pad_token_id=0, policy=F32,
+        accept_margin=0.0,
+    )
+    toks_inf, _, nf_inf = generate_greedy_speculative_batched(
+        params, prefix, mask, ids, dec_name="gpt_bigcode", llm_cfg=cfg,
+        max_new_tokens=N, draft_len=4, pad_token_id=0, policy=F32,
+        accept_margin=1e9,
+    )
+    np.testing.assert_array_equal(np.asarray(toks0), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(toks_inf), np.asarray(ref))
+    # margin=inf rejects every draft: exactly one token per round
+    assert int(nf_inf) >= N
+    assert int(nf0) <= int(nf_inf)
