@@ -237,9 +237,14 @@ def serve_decode_case(mesh, mesh_name: str, *, B: int, max_len: int) -> dict:
     return rep
 
 
-def run(out_path: str, quick: bool = False) -> dict:
+def run(out_path: str, quick: bool = False, only: str | None = None,
+        merge: bool = False) -> dict:
     devs = v5e8_devices()
     results = []
+    if merge and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = [r for r in json.load(f).get("results", [])
+                       if not (only and only in r.get("case", ""))]
 
     import jax.numpy as _jnp
 
@@ -273,6 +278,8 @@ def run(out_path: str, quick: bool = False) -> dict:
     ]
     if quick:
         cases = cases[:1]
+    if only:
+        cases = [c for c in cases if only in c[0]]
     for name, mk, tk in cases:
         mesh = build_mesh(devs, **mk)
         print(f"[hbm_proof] compiling train {name} ...", flush=True)
@@ -284,7 +291,7 @@ def run(out_path: str, quick: bool = False) -> dict:
               flush=True)
         results.append(rep)
 
-    if not quick:
+    if not quick and not only:
         serve_cases = [
             ("tp8", dict(tensor=8), 16, 8192),
             # 7B geometry (36 q / 4 kv heads) shards cleanly on tp=4; the
@@ -331,6 +338,10 @@ if __name__ == "__main__":
         "HBM_PROOF.json"))
     ap.add_argument("--quick", action="store_true",
                     help="one train case only (smoke)")
+    ap.add_argument("--only", default=None,
+                    help="substring filter: run only matching train cases")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge into an existing artifact instead of replacing")
     args = ap.parse_args()
-    art = run(args.out, quick=args.quick)
+    art = run(args.out, quick=args.quick, only=args.only, merge=args.merge)
     sys.exit(0 if art["ok"] or args.quick else 1)

@@ -94,9 +94,11 @@ def test_freeze_mask_blocks_updates():
     assert moved > 0
 
 
+@pytest.mark.slow
 def test_remat_dots_grads_match_full_remat():
     """remat="dots" (save matmul outputs, recompute elementwise) must be a
-    pure scheduling choice: loss and grads bit-match remat=True/False."""
+    pure scheduling choice: loss and grads bit-match remat=True/False.
+    slow-marked (>15 s: three full backward compiles of the same graph)."""
     cfg, params, tok, batch = make_setup()
 
     def grads_for(remat):
