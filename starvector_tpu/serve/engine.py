@@ -878,40 +878,56 @@ class ServeEngine:
                         if kind == "error":
                             raise RuntimeError(f"warmup failed: {payload}")
         # greedy_only is a STATIC dispatch selector, so the all-greedy
-        # dummies above never compile the MIXED-composition tick variant;
-        # one sampled dummy does (it must not land mid-serving)
+        # dummies above never compile the MIXED-composition variants. With
+        # speculation on, FOUR tick programs exist (plain/verify x
+        # greedy/mixed): verify ticks serve normal traffic, plain ticks the
+        # adaptive spec-skip fallback. Compile every variant that can run
+        # so no cold compile lands mid-serving (a mid-run mixed-plain
+        # compile measured ~140 s through the tunnel).
         P = min(buckets[0], self.max_len - slack - 1)
-        sampled = Request(
-            prefix_embeds=np.zeros((1, P, E), np.float32),
-            max_new_tokens=min(self.steps_per_tick + 1, 4),
-            temperature=0.8, do_sample=True,
-        )
-        deadline = time.time() + timeout
-        i = None
-        while i is None and time.time() < deadline:
-            i = self._reserve_slot()
-            if i is None:
-                time.sleep(self._idle_wait)
-        if i is None:
-            raise TimeoutError("warmup could not reserve a slot")
-        try:
-            self._admit_group([sampled], [i], buckets[0])
-        except Exception:
-            with self._lock:
-                if self.slots[i].req is None:
-                    self.slots[i].reserved = False
-            raise
-        while True:
-            kind, payload = sampled.out_queue.get(timeout=timeout)
-            if kind == "done":
-                break
-            if kind == "error":
-                raise RuntimeError(f"warmup failed: {payload}")
+
+        def run_dummy(do_sample: bool, force_plain: bool):
+            req = Request(
+                prefix_embeds=np.zeros((1, P, E), np.float32),
+                max_new_tokens=min(self.steps_per_tick + 1, 4),
+                temperature=0.8 if do_sample else 0.0, do_sample=do_sample,
+            )
+            if force_plain:
+                self._spec_skip = 10_000
+            try:
+                deadline = time.time() + timeout
+                i = None
+                while i is None and time.time() < deadline:
+                    i = self._reserve_slot()
+                    if i is None:
+                        time.sleep(self._idle_wait)
+                if i is None:
+                    raise TimeoutError("warmup could not reserve a slot")
+                try:
+                    self._admit_group([req], [i], buckets[0])
+                except Exception:
+                    with self._lock:
+                        if self.slots[i].req is None:
+                            self.slots[i].reserved = False
+                    raise
+                while True:
+                    kind, payload = req.out_queue.get(timeout=timeout)
+                    if kind == "done":
+                        break
+                    if kind == "error":
+                        raise RuntimeError(f"warmup failed: {payload}")
+            finally:
+                if force_plain:
+                    self._spec_skip = 0
+
+        run_dummy(do_sample=True, force_plain=False)   # mixed verify/plain
         if self.spec_drafts > 0:
-            # the dummy requests above already ran through verify ticks
-            # (speculative mode replaces the regular sampling tick), but
-            # keep an explicit idle-engine compile for the empty-slot
-            # composition: active = 0 everywhere ⇒ nothing commits or emits
+            # the k-group dummies above compiled greedy VERIFY ticks and the
+            # sampled dummy mixed ones; the plain variants only run behind
+            # the adaptive spec-skip — force it so they compile here
+            run_dummy(do_sample=False, force_plain=True)
+            run_dummy(do_sample=True, force_plain=True)
+            # idle-engine composition: active = 0 everywhere
             with self._lock:
                 self._knob_cache = None
                 self._verify_tick([None] * self.max_batch)

@@ -275,7 +275,27 @@ class GRPOTrainer:
             grad_clip=grad_clip, train_image_encoder=False,
             train_connector=False, train_LLM=True,
         )
-        self.opt_state = jax.jit(self.tx.init)(model.params)
+        # moments must inherit each param's sharding explicitly — XLA
+        # propagation replicates zeros_like outputs (see
+        # train/step.py::opt_state_shardings); on a single device the two
+        # paths are identical
+        leaves = jax.tree_util.tree_leaves(model.params)
+        sh0 = getattr(leaves[0], "sharding", None)
+        if sh0 is not None and getattr(sh0, "mesh", None) is not None \
+                and sh0.mesh.size > 1:
+            from starvector_tpu.train.step import opt_state_shardings
+
+            p_sh = jax.tree_util.tree_map(
+                lambda x: x.sharding, model.params
+            )
+            o_sh = opt_state_shardings(
+                self.tx, model.params, p_sh, sh0.mesh
+            )
+            self.opt_state = jax.jit(
+                self.tx.init, out_shardings=o_sh
+            )(model.params)
+        else:
+            self.opt_state = jax.jit(self.tx.init)(model.params)
         # KL reference = the pre-RL decoder. Copy the leaves: the step
         # donates `params`, which would otherwise invalidate these buffers
         # after the first update.
