@@ -93,7 +93,27 @@ def main():
             results.append(row)
             print(json.dumps(row), flush=True)
 
-    out = {"backend": jax.default_backend(),
+    # noise floor: the plain bf16 decoder vs the plain fp32 decoder at the
+    # base sharpness — how much bf16 ITSELF forks from the model's true
+    # output. Speculation's agreement should be judged against this, not
+    # against 1.0.
+    floor = None
+    if on_tpu:
+        f32 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+        p32 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), params)
+        prefix32 = gbc.embed_tokens(p32, ids).astype(jnp.float32)
+        ref32, _ = generate(p32, llm, "gpt_bigcode", prefix32, mask, gen,
+                            jax.random.PRNGKey(0), policy=f32)
+        prefix16 = gbc.embed_tokens(params, ids).astype(policy.compute_dtype)
+        ref16, _ = generate(params, llm, "gpt_bigcode", prefix16, mask, gen,
+                            jax.random.PRNGKey(0), policy=policy)
+        floor = float((np.asarray(ref16) == np.asarray(ref32)).mean())
+        print(json.dumps({"bf16_vs_fp32_plain_agreement": round(floor, 4)}),
+              flush=True)
+
+    out = {"bf16_vs_fp32_plain_agreement": floor,
+           "backend": jax.default_backend(),
            "model": "1B GPT-BigCode synthetic bf16" if on_tpu else "tiny f32",
            "B": B, "prefix": P, "new_tokens": NEW, "results": results}
     os.makedirs("runs", exist_ok=True)

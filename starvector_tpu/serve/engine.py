@@ -721,17 +721,22 @@ class ServeEngine:
             C = max_len + self.steps_per_tick * (self.spec_drafts + 1)
             self._ctx = jnp.full((max_batch, C), -1, jnp.int32)
             self._ctx_len = jnp.zeros((max_batch,), jnp.int32)
-        # adaptive probe: when `_spec_patience` consecutive verify ticks
-        # accept ZERO extra tokens engine-wide (persistently non-repetitive
-        # traffic), fall back to plain multi-step ticks for
-        # `_spec_probe_every` ticks so that traffic doesn't pay the W-wide
-        # attention-score tensors, then probe again. The device ctx goes
-        # stale during the fallback, which only degrades later drafts
+        # adaptive tick-kind selection, MEASURED not modeled: the engine
+        # times each tick and keeps an emitted-tokens/s EMA per kind
+        # ("verify" speculative vs "plain" multi-step). Verify ticks run
+        # while they are not measurably slower; otherwise the engine falls
+        # back to plain ticks for `_spec_probe_every` ticks, then probes
+        # one verify tick to re-learn. Round-4 motivation: the previous
+        # any-acceptance heuristic kept mixed-composition verify ticks
+        # (~4x a plain tick: n_rounds*W pruned-sampling positions + W-wide
+        # verify forwards) alive on ~1.6 extra tokens/tick — measured
+        # 101 vs 374 tok/s on the organic mixed serving workload. The
+        # stale device ctx during fallback only degrades later drafts
         # (acceptance, never correctness) until admissions refresh rows.
-        self._spec_patience = 4
         self._spec_probe_every = 16
-        self._spec_idle = 0
         self._spec_skip = 0
+        self._tick_rate = {"plain": None, "verify": None}
+        self._rate_alpha = 0.4
         self.max_bias = 4                 # static bound on logit_bias entries
         self.slots = [_Slot() for _ in range(max_batch)]
         self.beam_groups: list[_BeamGroup] = []
@@ -1201,9 +1206,10 @@ class ServeEngine:
                         jnp.asarray(slot_idxs, jnp.int32),
                         jnp.asarray(pid_rows),
                     )
-                    # fresh requests get speculation immediately
+                    # fresh requests get speculation immediately, and the
+                    # composition changed — relearn both tick rates
                     self._spec_skip = 0
-                    self._spec_idle = 0
+                    self._tick_rate = {"plain": None, "verify": None}
             except Exception:
                 # these calls donate the engine's cache/count buffers; a
                 # failure mid-way may have consumed them — rebuild so the
@@ -1335,11 +1341,22 @@ class ServeEngine:
             # accept drafts only when the true conditional sample matches.
             # Persistently zero-acceptance traffic falls back for a while
             # (adaptive probe, __init__).
-            if self._spec_skip == 0:
+            # bootstrap: after the first verify measurement, run ONE plain
+            # tick so both EMAs exist and the comparison can fire
+            need_plain_sample = (
+                self._tick_rate["plain"] is None
+                and self._tick_rate["verify"] is not None
+            )
+            if self._spec_skip == 0 and not need_plain_sample:
+                t0 = time.time()
+                tok0 = self._stats["tokens"]
                 self._verify_tick(reqs)
+                self._update_tick_rate("verify", tok0, t0)
                 return
             if self._spec_skip > 0:
                 self._spec_skip -= 1
+        t0 = time.time()
+        tok0 = self._stats["tokens"]
         K = self.steps_per_tick
         tokens = np.array([s.last_token for s in self.slots], np.int32)
         (active, temps, top_ps, top_ks, min_ps, rep_ps, frq_ps, prs_ps,
@@ -1367,6 +1384,22 @@ class ServeEngine:
                 slot.last_token = tok
                 if self._emit(i):
                     break  # tokens past the stop are discarded
+        if self.spec_drafts > 0:
+            self._update_tick_rate("plain", tok0, t0)
+
+    def _update_tick_rate(self, kind: str, tok0: int, t0: float) -> None:
+        """EMA of emitted tokens/s for this tick kind; after a verify
+        measurement, fall back to plain ticks when verify is measurably
+        slower (re-probed every `_spec_probe_every` ticks)."""
+        dt = max(time.time() - t0, 1e-6)
+        rate = (self._stats["tokens"] - tok0) / dt
+        prev = self._tick_rate[kind]
+        a = self._rate_alpha
+        self._tick_rate[kind] = rate if prev is None else a * rate + (1 - a) * prev
+        if kind == "verify":
+            pv, pp = self._tick_rate["verify"], self._tick_rate["plain"]
+            if pp is not None and pv is not None and pv < 0.95 * pp:
+                self._spec_skip = self._spec_probe_every
 
     def _verify_tick(self, reqs) -> None:
         """One speculative tick: steps_per_tick verify ROUNDS fused into a
@@ -1414,17 +1447,9 @@ class ServeEngine:
                         break  # tokens past the stop are discarded
                 if released:
                     break
-        # productivity bar: all-greedy ticks cost ≈ a plain tick (argmax
-        # positions) and mixed ticks one lax.top_k per position (pruned
-        # chain), so any acceptance at all keeps them; only the W-wide
-        # score tensors are at stake
-        if tick_extra < 1:
-            self._spec_idle += 1
-            if self._spec_idle >= self._spec_patience:
-                self._spec_idle = 0
-                self._spec_skip = self._spec_probe_every
-        else:
-            self._spec_idle = 0
+        # rate comparison happens in _sampling_tick (_update_tick_rate);
+        # tick_extra only feeds the spec_extra_tokens gauge now
+        del tick_extra
 
     def _beam_tick(self, group: _BeamGroup) -> None:
         """steps_per_tick beam rounds for one group. Each round is one

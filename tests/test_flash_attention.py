@@ -14,6 +14,7 @@ def rand(key, shape):
     return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
 
 
+@pytest.mark.slow  # mixed-mode decoder variants cover the flash+decoder integration at default
 @pytest.mark.parametrize("H,Hkv", [(4, 1), (4, 2), (4, 4)])
 def test_flash_prefill_causal_parity(H, Hkv):
     B, S, D = 2, 48, 128
@@ -226,6 +227,7 @@ def test_decoder_mixed_mode_matches_xla(module):
     np.testing.assert_allclose(np.asarray(dm), np.asarray(dx), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow  # default tier covers the same surface via flash_backward_kernel_parity + trainable_vjp
 def test_flash_training_gradients_match_xla():
     """Grads through the flash training path match the xla path."""
     import dataclasses

@@ -139,6 +139,7 @@ def test_fid_inception_end_to_end(tmp_path):
     assert np.isfinite(score) and score >= 0
 
 
+@pytest.mark.slow  # ~17 s: full VGG16 build + calibration load
 def test_lpips_calculator_uses_vgg_weights(tmp_path):
     """LPIPSDistanceCalculator loads vgg16.pth + lpips_vgg.pth when present."""
     import torch
