@@ -104,3 +104,43 @@ class FontSVGDataset(_SimpleSVGDataset):
 
 class SVGIconsDataset(_SimpleSVGDataset):
     """reference iconsvg.py:6-38"""
+
+
+class ToySVGDataset:
+    """In-memory synthetic dataset (no hub, no network): deterministic
+    colored-rect SVGs rasterized through the real pipeline. Exists so the
+    train loop, quickstarts, and tests can run end-to-end in zero-egress
+    environments; instantiable from config leafs like every hub dataset
+    (target: starvector_tpu.data.datasets.ToySVGDataset)."""
+
+    PALETTE = ("red", "green", "blue", "orange", "purple", "teal")
+
+    def __init__(self, num_samples: int = 16, im_size: int = 32, **kwargs):
+        from starvector_tpu.data.processor import ImageProcessor
+        from starvector_tpu.data.rasterize import rasterize_svg
+
+        proc = ImageProcessor(size=int(im_size))
+        self.im_size = int(im_size)
+        self.samples = []
+        for i in range(int(num_samples)):
+            color = self.PALETTE[i % len(self.PALETTE)]
+            s = 4 + (i % 8) * 2
+            svg = (
+                f'<svg xmlns="http://www.w3.org/2000/svg" width="{im_size}" '
+                f'height="{im_size}"><rect x="{s}" y="{s}" '
+                f'width="{im_size - 2 * s}" height="{im_size - 2 * s}" '
+                f'fill="{color}"/></svg>'
+            )
+            image = proc(rasterize_svg(svg, resolution=self.im_size))
+            self.samples.append({
+                "svg": svg,
+                "image": image,
+                "id": f"toy-{i}",
+                "caption": f"a {color} square",
+            })
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        return dict(self.samples[idx])

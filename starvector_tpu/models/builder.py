@@ -36,9 +36,19 @@ def config_from_yaml_block(model_block: dict) -> sv.StarVectorConfig:
         model_block.get("_name_or_path", "")
     )
     version = "v2" if "starcoder2" in name else "v1"
-    base = (
-        sv.starvector_8b_config() if version == "v2" else sv.starvector_1b_config()
-    )
+    preset = model_block.get("preset")
+    if preset in ("tiny", "tiny-v2"):
+        # CPU smoke/e2e runs (tests, docs): full wiring, toy geometry
+        base = sv.tiny_config(
+            decoder="starcoder2" if preset == "tiny-v2" else "gpt_bigcode"
+        )
+    elif preset not in (None, "", "full"):
+        raise ValueError(f"unknown model.preset {preset!r}")
+    else:
+        base = (
+            sv.starvector_8b_config() if version == "v2"
+            else sv.starvector_1b_config()
+        )
     import dataclasses
 
     overrides: dict[str, Any] = {}

@@ -733,10 +733,15 @@ class ServeEngine:
         # 101 vs 374 tok/s on the organic mixed serving workload. The
         # stale device ctx during fallback only degrades later drafts
         # (acceptance, never correctness) until admissions refresh rows.
-        self._spec_probe_every = 16
+        self._spec_probe_every = 16   # initial fallback window (ticks)
         self._spec_skip = 0
-        self._tick_rate = {"plain": None, "verify": None}
+        # EMAs keyed by (kind, greedy_only): the verify/plain cost ratio is
+        # composition-dependent (all-greedy verify positions are argmax,
+        # mixed ones run the pruned sampling chain), so each composition
+        # learns its own decision instead of relearning on every admission
+        self._tick_rate = {}
         self._rate_alpha = 0.4
+        self._spec_backoff = self._spec_probe_every  # doubles per failed probe
         self.max_bias = 4                 # static bound on logit_bias entries
         self.slots = [_Slot() for _ in range(max_batch)]
         self.beam_groups: list[_BeamGroup] = []
@@ -1206,10 +1211,11 @@ class ServeEngine:
                         jnp.asarray(slot_idxs, jnp.int32),
                         jnp.asarray(pid_rows),
                     )
-                    # fresh requests get speculation immediately, and the
-                    # composition changed — relearn both tick rates
+                    # fresh requests probe speculation immediately; the
+                    # per-composition EMAs persist (no relearning storm
+                    # under staggered admissions)
                     self._spec_skip = 0
-                    self._tick_rate = {"plain": None, "verify": None}
+                    self._spec_backoff = self._spec_probe_every
             except Exception:
                 # these calls donate the engine's cache/count buffers; a
                 # failure mid-way may have consumed them — rebuild so the
@@ -1341,17 +1347,18 @@ class ServeEngine:
             # accept drafts only when the true conditional sample matches.
             # Persistently zero-acceptance traffic falls back for a while
             # (adaptive probe, __init__).
-            # bootstrap: after the first verify measurement, run ONE plain
-            # tick so both EMAs exist and the comparison can fire
+            greedy_only = self._knobs(reqs)[-1]
+            # bootstrap: after the first verify measurement for this
+            # composition, run ONE plain tick so both EMAs exist
             need_plain_sample = (
-                self._tick_rate["plain"] is None
-                and self._tick_rate["verify"] is not None
+                self._tick_rate.get(("plain", greedy_only)) is None
+                and self._tick_rate.get(("verify", greedy_only)) is not None
             )
             if self._spec_skip == 0 and not need_plain_sample:
                 t0 = time.time()
                 tok0 = self._stats["tokens"]
                 self._verify_tick(reqs)
-                self._update_tick_rate("verify", tok0, t0)
+                self._update_tick_rate("verify", greedy_only, tok0, t0)
                 return
             if self._spec_skip > 0:
                 self._spec_skip -= 1
@@ -1385,21 +1392,29 @@ class ServeEngine:
                 if self._emit(i):
                     break  # tokens past the stop are discarded
         if self.spec_drafts > 0:
-            self._update_tick_rate("plain", tok0, t0)
+            self._update_tick_rate("plain", greedy_only, tok0, t0)
 
-    def _update_tick_rate(self, kind: str, tok0: int, t0: float) -> None:
-        """EMA of emitted tokens/s for this tick kind; after a verify
-        measurement, fall back to plain ticks when verify is measurably
-        slower (re-probed every `_spec_probe_every` ticks)."""
+    def _update_tick_rate(self, kind: str, greedy_only: bool,
+                          tok0: int, t0: float) -> None:
+        """Per-composition EMA of emitted tokens/s for this tick kind. After
+        a verify measurement, fall back to plain ticks when verify is
+        measurably slower; each consecutive failed probe doubles the
+        fallback window (capped), so steady losing traffic pays a vanishing
+        probe tax while a success resets the cadence."""
         dt = max(time.time() - t0, 1e-6)
         rate = (self._stats["tokens"] - tok0) / dt
-        prev = self._tick_rate[kind]
+        key = (kind, greedy_only)
+        prev = self._tick_rate.get(key)
         a = self._rate_alpha
-        self._tick_rate[kind] = rate if prev is None else a * rate + (1 - a) * prev
+        self._tick_rate[key] = rate if prev is None else a * rate + (1 - a) * prev
         if kind == "verify":
-            pv, pp = self._tick_rate["verify"], self._tick_rate["plain"]
+            pv = self._tick_rate.get(("verify", greedy_only))
+            pp = self._tick_rate.get(("plain", greedy_only))
             if pp is not None and pv is not None and pv < 0.95 * pp:
-                self._spec_skip = self._spec_probe_every
+                self._spec_skip = self._spec_backoff
+                self._spec_backoff = min(self._spec_backoff * 2, 256)
+            else:
+                self._spec_backoff = self._spec_probe_every
 
     def _verify_tick(self, reqs) -> None:
         """One speculative tick: steps_per_tick verify ROUNDS fused into a

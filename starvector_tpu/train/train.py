@@ -210,6 +210,7 @@ def main(config: ConfigNode):
         )
         eval_step = make_eval_step(cfg, tokenizer.pad_token_id, policy=policy)
 
+        log_every = max(int(config.get_path("training.log_every", 10)), 1)
         ckpt_every = int(config.get_path("training.checkpointing_steps", 1000))
         total_limit = config.get_path("training.checkpoints_total_limit", 3)
         rng = jax.random.PRNGKey(int(config.get_path("training.seed", 0)))
@@ -236,15 +237,21 @@ def main(config: ConfigNode):
                     params, opt_state, device_batch, step_rng
                 )
                 step += 1
-                now = time.time()
-                log({
-                    "step": step,
-                    "epoch": epoch,
-                    "loss": float(metrics["loss"]),
-                    "grad_norm": float(metrics["grad_norm"]),
-                    "step_time": now - t_step,
-                })
-                t_step = now
+                # float(metrics[...]) is a host sync — doing it every step
+                # serializes dispatch against the device and stalls the
+                # loader's prefetch. Fetch only on logging steps; in
+                # between, steps pipeline (the reference logs per step but
+                # torch's async dispatch hides it; XLA's doesn't).
+                if step % log_every == 0 or step >= total_steps:
+                    now = time.time()
+                    log({
+                        "step": step,
+                        "epoch": epoch,
+                        "loss": float(metrics["loss"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "step_time": (now - t_step) / log_every,
+                    })
+                    t_step = now
 
                 if step % ckpt_every == 0 or step >= total_steps:
                     if val_loader is not None:
