@@ -242,13 +242,15 @@ def merged_verify_attention(
     scale: float,
     k_scale: jax.Array | None = None,  # (B, T, Hkv) int8-cache dequant scales
     v_scale: jax.Array | None = None,  # (B, T, Hkv)
+    new_mask: jax.Array | None = None,  # (B, W) 1 = chunk token is real
 ) -> jax.Array:
     """W-query generalization of merged_decode_attention for speculative
     verification: each of the W chunk queries attends to the cached window
     plus the chunk's own tokens causally (query w sees chunk keys u ≤ w),
     in ONE merged softmax, without writing the chunk into the cache first
     (chunk keys stay in compute dtype — same numerics as the W=1 decode
-    path). Returns (B, W, H*D)."""
+    path). `new_mask` hides padded chunk keys from real queries (chunked
+    prefill of left-padded prompts). Returns (B, W, H*D)."""
     B, Hkv, G, W, D = qg.shape
     dt = qg.dtype
     s_c = jnp.einsum(
@@ -265,7 +267,12 @@ def merged_verify_attention(
         preferred_element_type=jnp.float32,
     ).astype(jnp.float32) * scale                     # (B, Hkv, G, W, W)
     tri = (jnp.arange(W)[:, None] >= jnp.arange(W)[None, :])
-    s_n = jnp.where(tri[None, None, None], s_n, NEG_INF)
+    allowed_n = tri[None, None, None]
+    if new_mask is not None:
+        allowed_n = jnp.logical_and(
+            allowed_n, (new_mask > 0)[:, None, None, None, :]
+        )
+    s_n = jnp.where(allowed_n, s_n, NEG_INF)
     m = jnp.maximum(jnp.max(s_c, axis=-1), jnp.max(s_n, axis=-1))
     p_c = jnp.exp(s_c - m[..., None])
     p_n = jnp.exp(s_n - m[..., None])
@@ -329,6 +336,18 @@ def write_new_kv_linear(cache: dict, news: dict, idx) -> dict:
         start = (0, 0, idx, 0, 0)[: new.ndim + 1]
         out[key] = jax.lax.dynamic_update_slice(
             cache[key], new[:, :, None].astype(cache[key].dtype), start
+        )
+    return out
+
+
+def write_new_kv_linear_multi(cache: dict, news: dict, idx) -> dict:
+    """Linear cache: one (L, B, W, Hkv[, D]) chunk write per key at the
+    shared index (multi-token generalization of write_new_kv_linear)."""
+    out = {}
+    for key, new in news.items():
+        start = (0, 0, idx, 0, 0)[: new.ndim]
+        out[key] = jax.lax.dynamic_update_slice(
+            cache[key], new.astype(cache[key].dtype), start
         )
     return out
 

@@ -366,6 +366,16 @@ def forward(
         # traffic).
         x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, policy)
         new_cache["index"] = new_index
+    elif fast_path and S <= 64:
+        # small-chunk fast path (chunked prefill riding inside decode
+        # steps, generation/engine.py::generate_pipelined): same
+        # write-once discipline as S==1 — the generic branch below would
+        # re-materialize the whole (L, B, T, ...) cache per chunk, which
+        # measured SLOWER than serial prefill (4.7K vs 7.0K tok/s e2e)
+        x, new_cache = _chunk_step(
+            params, cfg, x, cache, kv_mask, attention_mask, policy
+        )
+        new_cache["index"] = new_index
     else:
         cache_keys = tuple(
             k for k in ("k", "v", "k_scale", "v_scale") if k in cache
@@ -449,6 +459,26 @@ def _decode_step(params, cfg, x, cache, kv_mask, policy):
     return x, new_cache
 
 
+def _chunk_step(params, cfg, x, cache, kv_mask, chunk_mask, policy):
+    """Multi-token cached step: the S-token chunk attends to
+    [cache window ‖ chunk≤self] and only the chunk's k/v are written
+    (decode_common.write_new_kv_linear) — no full-cache rewrite. Padded
+    chunk positions (left-padded prompts) are hidden from real queries and
+    land in cache slots that kv_mask already marks invalid."""
+    from starvector_tpu.models import decode_common as dc
+
+    idx = cache["index"]
+    T = cache["k"].shape[2]
+    old_mask = kv_mask & (jnp.arange(T)[None, :] < idx)
+    x, news = dc.decode_scan(
+        params["layers"], cache, x,
+        _verify_layer_fn(cfg, old_mask, policy, new_mask=chunk_mask),
+    )
+    new_cache = dc.write_new_kv_linear_multi(cache, news, idx)
+    new_cache["kv_mask"] = kv_mask
+    return x, new_cache
+
+
 def init_ragged_cache(
     cfg: GPTBigCodeConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> dict:
@@ -498,10 +528,12 @@ def forward_ragged_decode(
     return logits, new_cache
 
 
-def _verify_layer_fn(cfg: GPTBigCodeConfig, old_mask, policy):
-    """Per-layer W-token verify callback (speculative decoding): like
-    _decode_layer_fn but the chunk's queries attend to [cache ‖ chunk≤self]
-    via decode_common.merged_verify_attention."""
+def _verify_layer_fn(cfg: GPTBigCodeConfig, old_mask, policy,
+                     new_mask=None):
+    """Per-layer W-token verify callback (speculative decoding / chunked
+    cached prefill): like _decode_layer_fn but the chunk's queries attend
+    to [cache ‖ chunk≤self] via decode_common.merged_verify_attention.
+    `new_mask` hides padded chunk keys (left-padded chunked prefill)."""
     from starvector_tpu.models import decode_common as dc
 
     E, H, D, Hkv = cfg.hidden_size, cfg.n_head, cfg.head_dim, cfg.kv_heads
@@ -519,7 +551,7 @@ def _verify_layer_fn(cfg: GPTBigCodeConfig, old_mask, policy):
         v_new = qkv[..., E + Hkv * D :].reshape(B, W, Hkv, D)
         out = dc.merged_verify_attention(
             q, k_new, v_new, lk, lv, old_mask, scale,
-            k_scale=lks, v_scale=lvs,
+            k_scale=lks, v_scale=lvs, new_mask=new_mask,
         )
         h = h + dense(layer_p["attn"]["c_proj"], out, policy)
         hh = layer_norm(layer_p["ln_2"], h, cfg.layer_norm_epsilon)
