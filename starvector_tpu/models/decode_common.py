@@ -269,9 +269,10 @@ def merged_verify_attention(
     tri = (jnp.arange(W)[:, None] >= jnp.arange(W)[None, :])
     allowed_n = tri[None, None, None]
     if new_mask is not None:
-        allowed_n = jnp.logical_and(
-            allowed_n, (new_mask > 0)[:, None, None, None, :]
-        )
+        nm = (new_mask > 0)
+        nm = (nm[:, None, None, None, :] if nm.ndim == 2       # (B, Wk)
+              else nm[:, None, None, :, :])                    # (B, Wq, Wk)
+        allowed_n = jnp.logical_and(allowed_n, nm)
     s_n = jnp.where(allowed_n, s_n, NEG_INF)
     m = jnp.maximum(jnp.max(s_c, axis=-1), jnp.max(s_n, axis=-1))
     p_c = jnp.exp(s_c - m[..., None])

@@ -319,6 +319,15 @@ def forward(
         # decode fast path for ALL attn impls (see gpt_bigcode.forward)
         x, new_cache = _decode_step(params, cfg, x, cache, kv_mask, positions, policy)
         new_cache["index"] = new_index
+    elif fast_path and S <= 64 and (
+        cfg.sliding_window is None or S <= cfg.sliding_window
+    ):
+        # small-chunk write-once path (see gpt_bigcode._chunk_step); the
+        # S <= window bound keeps within-chunk attention window-exact
+        x, new_cache = _chunk_step(
+            params, cfg, x, cache, kv_mask, attention_mask, positions, policy
+        )
+        new_cache["index"] = new_index
     else:
         cache_keys = tuple(
             k for k in ("k", "v", "k_scale", "v_scale") if k in cache
@@ -382,6 +391,32 @@ def _decode_step(params, cfg, x, cache, kv_mask, positions, policy):
     return x, new_cache
 
 
+def _chunk_step(params, cfg, x, cache, kv_mask, chunk_mask, positions,
+                policy):
+    """Multi-token cached step (see gpt_bigcode._chunk_step), with the
+    per-query sliding-window mask over cached slots: chunk query w sits at
+    slot idx+w, so it sees cache slot t iff t > idx + w - window."""
+    from starvector_tpu.models import decode_common as dc
+
+    idx = cache["index"]
+    T = cache["k"].shape[2]
+    W = x.shape[1]
+    slot_ids = jnp.arange(T)[None, :]
+    old_mask = kv_mask & (slot_ids < idx)                     # (B, T)
+    if cfg.sliding_window is not None:
+        per_q = (jnp.arange(T)[None, :]
+                 > idx + jnp.arange(W)[:, None] - cfg.sliding_window)
+        old_mask = old_mask[:, None, :] & per_q[None]          # (B, W, T)
+    x, news = dc.decode_scan(
+        params["layers"], cache, x,
+        _verify_layer_fn(cfg, old_mask, positions, policy,
+                         new_mask=chunk_mask),
+    )
+    new_cache = dc.write_new_kv_linear_multi(cache, news, idx)
+    new_cache["kv_mask"] = kv_mask
+    return x, new_cache
+
+
 def _decode_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
     """Per-layer single-token decode callback: pre-LN → separate q/k/v with
     RoPE → merged-softmax attention → residual MLP."""
@@ -414,10 +449,13 @@ def _decode_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
     return fn
 
 
-def _verify_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
-    """Per-layer W-token verify callback (speculative decoding): like
-    _decode_layer_fn with per-chunk RoPE and a per-query sliding-window
-    mask over the cached slots."""
+def _verify_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy,
+                     new_mask=None):
+    """Per-layer W-token verify callback (speculative decoding / chunked
+    cached prefill): like _decode_layer_fn with per-chunk RoPE and a
+    per-query sliding-window mask over the cached slots. `new_mask` hides
+    padded chunk keys ((B, W)) or applies a per-query chunk mask
+    ((B, Wq, Wk))."""
     from starvector_tpu.models import decode_common as dc
 
     H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
@@ -440,7 +478,7 @@ def _verify_layer_fn(cfg: StarCoder2Config, old_mask, positions, policy):
         qg = jnp.moveaxis(q.reshape(B, W, Hkv, G, D), 1, 3)
         out = dc.merged_verify_attention(
             qg, k_new, v_new, lk, lv, old_mask, scale,
-            k_scale=lks, v_scale=lvs,
+            k_scale=lks, v_scale=lvs, new_mask=new_mask,
         )
         h = h + dense(layer_p["attn"]["o_proj"], out, policy)
         hh = layer_norm(layer_p["post_attention_layernorm"], h,

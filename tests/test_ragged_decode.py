@@ -5,6 +5,7 @@ positions."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from starvector_tpu.models import gpt_bigcode as gbc
 from starvector_tpu.ops.layers import DTypePolicy
@@ -99,3 +100,68 @@ def test_ragged_multi_step():
         cur = int(jnp.argmax(logits[1]))
         rag_tokens.append(cur)
     assert rag_tokens == std_tokens
+
+
+@pytest.mark.parametrize("dec_name", ["gpt_bigcode", "starcoder2"])
+def test_chunked_cached_forward_matches_monolithic(dec_name):
+    """The small-chunk write-once cached path (1 < S <= 64): prefilling in
+    4-token chunks — including a left-padded row and, for starcoder2, the
+    sliding-window per-query mask — must match the monolithic forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    F32 = DTypePolicy(compute_dtype=jnp.float32)
+    cfg = dec.tiny_config()
+    params = dec.init_params(cfg, jax.random.PRNGKey(0))
+    B, P = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 5, cfg.vocab_size)
+    emb = dec.embed_tokens(params, ids).astype(jnp.float32)
+    mask = jnp.ones((B, P), jnp.int32).at[1, :4].set(0)   # left-padded row
+    emb = emb.at[1, :4].set(0.0)
+
+    ref_logits, _ = dec.forward(params, cfg, emb, attention_mask=mask,
+                                policy=F32)
+
+    cache = dec.init_cache(cfg, B, P + 8, dtype=jnp.float32)
+    for s in range(0, P, 4):
+        lg, cache = dec.forward(
+            params, cfg, emb[:, s:s + 4],
+            attention_mask=mask[:, s:s + 4], cache=cache, policy=F32,
+        )
+    np.testing.assert_allclose(np.asarray(lg[:, -1]),
+                               np.asarray(ref_logits[:, -1]),
+                               rtol=3e-5, atol=3e-5)
+
+    # and a decode step continues correctly off the chunk-filled cache
+    nxt = jnp.argmax(ref_logits[:, -1], -1)[:, None]
+    lg_ref, _ = dec.forward(
+        params, cfg, emb, attention_mask=mask,
+        cache=dec.init_cache(cfg, B, P + 8, dtype=jnp.float32), policy=F32)
+    step_ref, _ = dec.forward(
+        params, cfg, dec.embed_tokens(params, nxt).astype(jnp.float32),
+        cache=_refill(dec, cfg, params, emb, mask, P), policy=F32)
+    step_chunk, _ = dec.forward(
+        params, cfg, dec.embed_tokens(params, nxt).astype(jnp.float32),
+        cache=cache, policy=F32)
+    np.testing.assert_allclose(np.asarray(step_chunk), np.asarray(step_ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def _refill(dec, cfg, params, emb, mask, P):
+    cache = dec.init_cache(cfg, emb.shape[0], P + 8, dtype=jnp.float32)
+    _, cache = dec.forward(params, cfg, emb, attention_mask=mask,
+                           cache=cache, policy=jnp_policy())
+    return cache
+
+
+def jnp_policy():
+    import jax.numpy as jnp
+
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    return DTypePolicy(compute_dtype=jnp.float32)
