@@ -275,7 +275,7 @@ def bench_1b(jax, jnp, np, on_tpu):
             GenerationConfig, generate_pipelined,
         )
 
-        Mb = 4
+        Mb = 8   # amortizes batch 0's unavoidable serial prefill
         E = llm.hidden_size
         emb_rng = jax.random.PRNGKey(11)
         pipe_batches = [
@@ -291,9 +291,13 @@ def bench_1b(jax, jnp, np, on_tpu):
         )
 
         def run_pipe():
+            # chunk=8 balances the chunk GEMMs' MXU time against the step's
+            # DMA (weights + both caches) — measured sweep: 4 -> 7.65K,
+            # 8 -> (this), 16 loses to MXU-bound chunk steps
             outs = generate_pipelined(
                 params["svg_transformer"], llm, cfg.decoder, pipe_batches,
                 pgen, jax.random.PRNGKey(0), policy=policy,
+                chunk_positions=8,
             )
             return np.asarray(outs[-1][0][:, -1])  # host sync on the tail
 
@@ -423,7 +427,7 @@ def bench_1b(jax, jnp, np, on_tpu):
         "e2e_prefill1k_serial_tok_per_s": round(
             B * NEW / (decode_s + prefill_s), 1
         ),
-        "e2e_prefill1k_pipelined_batches": 4 if pipe_tok_s else None,
+        "e2e_prefill1k_pipelined_batches": 8 if pipe_tok_s else None,
         # greedy batched prompt-lookup speculation at the e2e shape (the
         # validation workload); n_forwards audits the measured acceptance
         # (B*NEW2 tokens in n_forwards verify dispatches + 1 prefill)

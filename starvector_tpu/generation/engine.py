@@ -443,35 +443,71 @@ def _decode_overlap_jit(
         embeds = dec.embed_tokens(params, nxt[:, None]).astype(
             policy.compute_dtype
         )
-        step_logits, cache = dec.forward(
-            params, llm_cfg, embeds,
-            attention_mask=jnp.ones((B, 1), jnp.int32),
-            cache=cache, policy=policy,
-        )
 
-        if has_next:
-            def do_chunk(nc_nl):
-                nc, nl = nc_nl
-                start = t * chunk
-                ce = jax.lax.dynamic_slice(
-                    next_embeds, (0, start, 0), (B, chunk, next_embeds.shape[2])
-                )
-                cm = jax.lax.dynamic_slice(next_mask, (0, start), (B, chunk))
-                clg, nc = dec.forward(
-                    params, chunk_cfg, policy.cast(ce),
-                    attention_mask=cm, cache=nc, policy=policy,
-                    last_logits_only=True,
-                )
-                # prompts are left-padded to a chunk multiple, so the final
-                # chunk's last position is every row's last real token
-                nl = jnp.where(t == n_chunks - 1, clg[:, -1], nl)
-                return nc, nl
-
-            next_cache, next_last = jax.lax.cond(
-                t < n_chunks, do_chunk, lambda x: x, (next_cache, next_last)
+        def slice_chunk():
+            start = t * chunk
+            ce = jax.lax.dynamic_slice(
+                next_embeds, (0, start, 0), (B, chunk, next_embeds.shape[2])
             )
+            cm = jax.lax.dynamic_slice(next_mask, (0, start), (B, chunk))
+            return policy.cast(ce), cm
 
-        return (t + 1, cache, step_logits[:, -1], done, tokens, lengths,
+        if has_next and hasattr(dec, "forward_decode_with_chunk"):
+            # FUSED decode+chunk: one layer scan reads each layer's weights
+            # once for both the decode row and the next batch's prompt
+            # chunk — two separate forwards stream every weight twice per
+            # step, which measured slower than serial prefill
+            def fused(args):
+                cache, nc, nl = args
+                ce, cm = slice_chunk()
+                dlg, cache, clg, nc = dec.forward_decode_with_chunk(
+                    params, llm_cfg, embeds, cache, ce, cm, nc,
+                    policy=policy,
+                )
+                nl = jnp.where(t == n_chunks - 1, clg[:, -1], nl)
+                return cache, nc, nl, dlg
+
+            def decode_only(args):
+                cache, nc, nl = args
+                lg, cache = dec.forward(
+                    params, llm_cfg, embeds,
+                    attention_mask=jnp.ones((B, 1), jnp.int32),
+                    cache=cache, policy=policy,
+                )
+                return cache, nc, nl, lg[:, -1]
+
+            cache, next_cache, next_last, step_last = jax.lax.cond(
+                t < n_chunks, fused, decode_only,
+                (cache, next_cache, next_last),
+            )
+        else:
+            step_logits, cache = dec.forward(
+                params, llm_cfg, embeds,
+                attention_mask=jnp.ones((B, 1), jnp.int32),
+                cache=cache, policy=policy,
+            )
+            step_last = step_logits[:, -1]
+            if has_next:
+                def do_chunk(nc_nl):
+                    nc, nl = nc_nl
+                    ce, cm = slice_chunk()
+                    clg, nc = dec.forward(
+                        params, chunk_cfg, ce,
+                        attention_mask=cm, cache=nc, policy=policy,
+                        last_logits_only=True,
+                    )
+                    # prompts are left-padded to a chunk multiple, so the
+                    # final chunk's last position is every row's last real
+                    # token
+                    nl = jnp.where(t == n_chunks - 1, clg[:, -1], nl)
+                    return nc, nl
+
+                next_cache, next_last = jax.lax.cond(
+                    t < n_chunks, do_chunk, lambda x: x,
+                    (next_cache, next_last),
+                )
+
+        return (t + 1, cache, step_last, done, tokens, lengths,
                 presence, counts, next_cache, next_last, rng)
 
     counts0 = jnp.zeros((B, V) if use_freq_penalty else (B, 1), jnp.int32)

@@ -479,6 +479,130 @@ def _chunk_step(params, cfg, x, cache, kv_mask, chunk_mask, policy):
     return x, new_cache
 
 
+def forward_decode_with_chunk(
+    params: dict,
+    cfg: GPTBigCodeConfig,
+    dec_embeds: jax.Array,     # (B, 1, E) next-token embeds (wpe added here)
+    cache: dict,               # current batch's cache (compute-dtype kv)
+    chunk_embeds: jax.Array,   # (B, C, E) next batch's prompt chunk
+    chunk_mask: jax.Array,     # (B, C)
+    cache_next: dict,          # next batch's cache being prefilled
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """ONE layer scan that decodes the current batch AND prefills a chunk of
+    the NEXT batch's prompt — each layer's weights stream from HBM once for
+    both (generation/engine.py::generate_pipelined). Running them as two
+    forwards reads every weight twice per step, which measured SLOWER than
+    serial prefill+decode (6.4K vs 7.0K tok/s e2e at B=64/1k ctx); fused,
+    the chunk's MXU work hides the decode's weight streaming.
+
+    int8 caches are not supported (the pipelined offline path keeps
+    compute-dtype caches). Returns (dec_logits (B, V), new_cache,
+    chunk_logits (B, C, V) fp32, new_cache_next)."""
+    from starvector_tpu.models import decode_common as dc
+
+    if "k_scale" in cache or "k_scale" in cache_next:
+        raise NotImplementedError("fused decode+chunk: compute-dtype caches only")
+
+    B, C, E = chunk_embeds.shape
+    H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    scale = D**-0.5
+
+    # positions + masks, same derivations as forward()'s cached branch
+    idx_d = cache["index"]
+    T_d = cache["k"].shape[2]
+    pos_d = jnp.sum(cache["kv_mask"], axis=-1, dtype=jnp.int32)[:, None]
+    kv_mask_d = jax.lax.dynamic_update_slice(
+        cache["kv_mask"], jnp.ones((B, 1), jnp.int32), (0, idx_d)
+    )
+    old_mask_d = kv_mask_d & (jnp.arange(T_d)[None, :] < idx_d)
+
+    idx_c = cache_next["index"]
+    T_c = cache_next["k"].shape[2]
+    prev_c = jnp.sum(cache_next["kv_mask"], axis=-1, dtype=jnp.int32)
+    pos_c = prev_c[:, None] + compute_position_ids(chunk_mask)
+    pos_c = jnp.where(chunk_mask == 0, 1, pos_c)
+    kv_mask_c = jax.lax.dynamic_update_slice(
+        cache_next["kv_mask"], chunk_mask.astype(jnp.int32), (0, idx_c)
+    )
+    old_mask_c = kv_mask_c & (jnp.arange(T_c)[None, :] < idx_c)
+
+    wpe_full = maybe_constrain(params["wpe"], P(None, None))
+    x_d = policy.cast(dec_embeds) + policy.cast(
+        wpe_full[jnp.clip(pos_d, 0, cfg.n_positions - 1)])
+    x_c = policy.cast(chunk_embeds) + policy.cast(
+        wpe_full[jnp.clip(pos_c, 0, cfg.n_positions - 1)])
+
+    eps = cfg.layer_norm_epsilon
+
+    def body(carry, xs):
+        h_d, h_c = carry
+        layer_p, ldk, ldv, lnk, lnv = xs
+        # shared projections: ONE weight read serves decode + chunk rows
+        h_cat = jnp.concatenate([h_d, h_c], axis=1)          # (B, 1+C, E)
+        hh = layer_norm(layer_p["ln_1"], h_cat, eps)
+        qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
+        q_all = qkv[..., :E]
+        k_all = qkv[..., E:E + Hkv * D]
+        v_all = qkv[..., E + Hkv * D:]
+
+        q_d = q_all[:, 0].reshape(B, Hkv, G, D)
+        out_d = dc.merged_decode_attention(
+            q_d, k_all[:, 0].reshape(B, Hkv, D),
+            v_all[:, 0].reshape(B, Hkv, D), ldk, ldv, old_mask_d, scale,
+        )
+        q_c = jnp.moveaxis(q_all[:, 1:].reshape(B, C, Hkv, G, D), 1, 3)
+        k_c = k_all[:, 1:].reshape(B, C, Hkv, D)
+        v_c = v_all[:, 1:].reshape(B, C, Hkv, D)
+        out_c = dc.merged_verify_attention(
+            q_c, k_c, v_c, lnk, lnv, old_mask_c, scale, new_mask=chunk_mask,
+        )
+
+        out_cat = jnp.concatenate([out_d, out_c], axis=1)
+        h_cat = h_cat + dense(layer_p["attn"]["c_proj"], out_cat, policy)
+        hh = layer_norm(layer_p["ln_2"], h_cat, eps)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h_cat = h_cat + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        news = {
+            "dk": k_all[:, 0].reshape(B, Hkv, D).astype(cache["k"].dtype),
+            "dv": v_all[:, 0].reshape(B, Hkv, D).astype(cache["v"].dtype),
+            "ck": k_c.astype(cache_next["k"].dtype),
+            "cv": v_c.astype(cache_next["v"].dtype),
+        }
+        return (h_cat[:, :1], h_cat[:, 1:]), news
+
+    (h_d, h_c), news = jax.lax.scan(
+        body, (x_d, x_c),
+        (params["layers"], cache["k"], cache["v"],
+         cache_next["k"], cache_next["v"]),
+    )
+
+    new_cache = dc.write_new_kv_linear(
+        cache, {"k": news["dk"], "v": news["dv"]}, idx_d)
+    new_cache["kv_mask"] = kv_mask_d
+    new_cache["index"] = idx_d + 1
+    new_cache_next = dc.write_new_kv_linear_multi(
+        cache_next, {"k": news["ck"], "v": news["cv"]}, idx_c)
+    new_cache_next["kv_mask"] = kv_mask_c
+    new_cache_next["index"] = idx_c + C
+
+    table = policy.cast(params["wte"])
+    h_d = layer_norm(params["ln_f"], h_d, eps)
+    dec_logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(h_d), table,
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    h_c = layer_norm(params["ln_f"], h_c, eps)
+    chunk_logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(h_c), table,
+        preferred_element_type=jnp.float32,
+    )
+    return dec_logits, new_cache, chunk_logits, new_cache_next
+
+
 def init_ragged_cache(
     cfg: GPTBigCodeConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> dict:
