@@ -291,13 +291,13 @@ def bench_1b(jax, jnp, np, on_tpu):
         )
 
         def run_pipe():
-            # chunk=8 balances the chunk GEMMs' MXU time against the step's
-            # DMA (weights + both caches) — measured sweep: 4 -> 7.65K,
-            # 8 -> (this), 16 loses to MXU-bound chunk steps
+            # chunk=4 measured best (sweep: C=4 7.6-7.7K, C=8 4.9K — the
+            # wider verify einsum hits a bad XLA layout); see PARITY.md's
+            # roofline note for why the overlap ceiling sits near ~8-10K
             outs = generate_pipelined(
                 params["svg_transformer"], llm, cfg.decoder, pipe_batches,
                 pgen, jax.random.PRNGKey(0), policy=policy,
-                chunk_positions=8,
+                chunk_positions=4,
             )
             return np.asarray(outs[-1][0][:, -1])  # host sync on the tail
 
