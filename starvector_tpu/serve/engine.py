@@ -944,6 +944,12 @@ class ServeEngine:
                 self._knob_cache = None
         with self._lock:
             self._stats.update(stats_before)
+            # warmup ticks carry compile time — their rates would poison
+            # the verify-vs-plain EMAs (a stale compile-slow "plain" EMA
+            # never re-measures, so verify looks faster forever)
+            self._tick_rate = {}
+            self._spec_skip = 0
+            self._spec_backoff = self._spec_probe_every
 
     def stats(self) -> dict:
         """Serving observability counters (vLLM-style gauges): emitted
@@ -1411,6 +1417,10 @@ class ServeEngine:
             pv = self._tick_rate.get(("verify", greedy_only))
             pp = self._tick_rate.get(("plain", greedy_only))
             if pp is not None and pv is not None and pv < 0.95 * pp:
+                if pv < 0.5 * pp:
+                    # hopeless for this composition: stop paying the probe
+                    # tax until the backoff cap (admissions re-probe sooner)
+                    self._spec_backoff = 256
                 self._spec_skip = self._spec_backoff
                 self._spec_backoff = min(self._spec_backoff * 2, 256)
             else:
