@@ -4,6 +4,7 @@ freezing; GRPO logprob forward."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from starvector_tpu.generation.beam import beam_search
 from starvector_tpu.generation.engine import GenerationConfig, generate
@@ -87,6 +88,7 @@ def test_beam_eos_freezes():
     assert all(x == 0 for x in t[L:])  # pad after finish
 
 
+@pytest.mark.slow  # ~11 s; test_grpo covers the GRPO loss/step surface at default
 def test_grpo_forward_logprobs():
     from starvector_tpu.models import starvector as sv
 

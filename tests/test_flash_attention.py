@@ -109,6 +109,7 @@ def test_mqa_decode_left_padded():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # mixed-mode decoder variants cover flash+decoder at default
 @pytest.mark.parametrize("module", ["gpt_bigcode", "starcoder2"])
 def test_decoder_flash_path_matches_xla(module):
     """Full decoder forward + cached decode with attn_impl='flash' must match

@@ -382,6 +382,7 @@ def test_pipelined_matches_per_batch_generate():
         np.testing.assert_array_equal(np.asarray(rl), np.asarray(pl))
 
 
+@pytest.mark.slow  # pipelined_matches_per_batch covers the chunk path; this adds only the non-dividing-P shape
 def test_pipelined_chunk_sizes():
     """Chunked prefill covers the prompt exactly for non-dividing shapes
     (prompt padded LEFT to a chunk multiple — the last real token stays at

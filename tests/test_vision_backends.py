@@ -99,6 +99,7 @@ def test_convnext_depthwise_matches_torch():
     )
 
 
+@pytest.mark.slow  # ~18 s: full taming-VQGAN build + converter roundtrip
 def test_vqgan_converter_roundtrip():
     """A synthetic taming state dict converts into a forward-able pytree."""
     tiny = vqgan.tiny_config()
@@ -156,7 +157,12 @@ def test_encoder_geometry_table(etype, hidden, qlen):
     assert cfg.geometry == (hidden, qlen)
 
 
-@pytest.mark.parametrize("etype", ["vqgan", "convnext"])
+@pytest.mark.parametrize("etype", [
+    "vqgan",
+    # heaviest tower to the slow tier; vqgan keeps the dispatch+partition
+    # surface covered at default
+    pytest.param("convnext", marks=pytest.mark.slow),
+])
 def test_encoder_dispatch_and_partition(etype):
     from starvector_tpu.parallel import MeshConfig, create_mesh, make_param_shardings
 
