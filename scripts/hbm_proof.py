@@ -104,7 +104,7 @@ def abstract_8b_params():
 
 def train_case(mesh, mesh_name: str, *, B: int, S: int, remat,
                grad_accum_steps: int = 1, optimizer: str = "adamw",
-               mu_dtype=None) -> dict:
+               mu_dtype=None, grad_dtype=None) -> dict:
     """AOT-compile the production train step at the real 8B geometry."""
     from starvector_tpu.models import starvector as sv
     from starvector_tpu.ops.layers import DTypePolicy
@@ -146,7 +146,8 @@ def train_case(mesh, mesh_name: str, *, B: int, S: int, remat,
         (2,), jnp.uint32, sharding=NamedSharding(mesh, P()))
 
     policy = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
-    step = make_train_step(cfg, tx, 0, policy=policy, remat=remat)
+    step = make_train_step(cfg, tx, 0, policy=policy, remat=remat,
+                           grad_dtype=grad_dtype)
 
     t0 = time.time()
     # jax.set_mesh puts the topology mesh in context so the model's
@@ -162,6 +163,7 @@ def train_case(mesh, mesh_name: str, *, B: int, S: int, remat,
         "seq_len": S,
         "remat": str(remat),
         "optimizer": optimizer + ("/bf16-mu" if mu_dtype is not None else ""),
+        "grad_dtype": str(jnp.dtype(grad_dtype)) if grad_dtype else "float32",
         "grad_accum_steps": grad_accum_steps,
         "n_params": n_params,
         "compile_s": round(time.time() - t0, 1),
@@ -275,6 +277,22 @@ def run(out_path: str, quick: bool = False, only: str | None = None,
         ("fsdp4xsp2/s8192/adamw-bf16mu",
          dict(fsdp=4, sequence=2),
          dict(B=4, S=8192, remat=True, mu_dtype=_jnp.bfloat16)),
+        # bf16 gradients (train/step.py grad_dtype): the AMP layout halves
+        # the stacked decoder grad temps — the seq-independent allocations
+        # that dominate the OOM dumps above. Composed with sequence
+        # parallelism this is the recipe that fits the REFERENCE context
+        # (S=8192, im2svg-stack.yaml:7) on a 16 GiB v5e-8.
+        ("fsdp4xsp2/s8192/adafactor+bf16grads",
+         dict(fsdp=4, sequence=2),
+         dict(B=4, S=8192, remat=True, optimizer="adafactor",
+              grad_dtype=_jnp.bfloat16)),
+        ("fsdp8/s8192/adafactor+bf16grads",
+         dict(fsdp=8), dict(B=8, S=8192, remat=True, optimizer="adafactor",
+                            grad_dtype=_jnp.bfloat16)),
+        ("fsdp4xsp2/s8192/adamw-bf16mu+bf16grads",
+         dict(fsdp=4, sequence=2),
+         dict(B=4, S=8192, remat=True, mu_dtype=_jnp.bfloat16,
+              grad_dtype=_jnp.bfloat16)),
     ]
     if quick:
         cases = cases[:1]

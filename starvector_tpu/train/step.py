@@ -14,6 +14,7 @@ import functools
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from starvector_tpu.models import starvector as sv
@@ -27,10 +28,25 @@ def make_train_step(
     *,
     policy: DTypePolicy = DTypePolicy(),
     remat: bool = True,
+    grad_dtype=None,
 ):
     """Returns train_step(params, opt_state, batch, rng) →
     (params, opt_state, metrics). BatchNorm running stats (1B adapter) are
-    merged back into params each step."""
+    merged back into params each step.
+
+    grad_dtype (e.g. jnp.bfloat16): differentiate w.r.t. a low-precision
+    cast of the parameters instead of the fp32 masters — the classic AMP
+    layout (bf16 weights in fwd/bwd, fp32 master + optimizer math). The
+    forward is numerically IDENTICAL to the default (the model already
+    casts every weight to policy.compute_dtype at use); what changes is
+    that the backward's per-layer gradient stack accumulates in bf16, and
+    the fp32 upcast happens per-leaf at the optimizer boundary where the
+    activation memory is already freed. At 8B/fsdp8 this halves the
+    largest backward temps (the stacked decoder grads — the dominant
+    seq-independent allocations in the v5e-8 AOT audit, scripts/
+    hbm_proof.py). Scan weight grads are per-layer slices — nothing
+    accumulates ACROSS layers — so the only rounding is one bf16 quantize
+    per gradient element."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
@@ -40,7 +56,19 @@ def make_train_step(
                 dropout_rng=rng, remat=remat,
             )
 
-        (loss, aux), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(params)
+        if grad_dtype is not None:
+            p_low = jax.tree_util.tree_map(
+                lambda w: w.astype(grad_dtype)
+                if jnp.issubdtype(w.dtype, jnp.floating) else w,
+                params,
+            )
+            (loss, aux), grads = jax.value_and_grad(
+                loss_wrapped, has_aux=True)(p_low)
+            grads = jax.tree_util.tree_map(
+                lambda g, w: g.astype(w.dtype), grads, params)
+        else:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_wrapped, has_aux=True)(params)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         if "bn_stats" in aux and aux["bn_stats"]:

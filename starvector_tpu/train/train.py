@@ -204,9 +204,14 @@ def main(config: ConfigNode):
             step = ckpt.step_from_path(last)
             print(f"resumed from {last} at step {step}")
 
+        grad_dtype = config.get_path("training.grad_dtype", None)
         train_step = make_train_step(
             cfg, tx, tokenizer.pad_token_id, policy=policy,
             remat=_remat_mode(config.get_path("training.gradient_checkpointing", True)),
+            # "bfloat16" = AMP gradient layout: bf16 backward/grad stacks,
+            # fp32 master params + optimizer math (see make_train_step);
+            # the memory lever that fits 8B long-context on 16 GiB chips
+            grad_dtype=jnp.dtype(grad_dtype) if grad_dtype else None,
         )
         eval_step = make_eval_step(cfg, tokenizer.pad_token_id, policy=policy)
 

@@ -120,6 +120,82 @@ def test_remat_dots_grads_match_full_remat():
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_grad_dtype_step_shapes_and_dtypes():
+    """Default-tier wiring check (eval_shape — no compile): with
+    grad_dtype=bf16 the step still returns fp32 master params and an fp32
+    opt state; int leaves (BN counters etc.) are untouched by the cast."""
+    cfg, params, tok, batch = make_setup()
+    bf16 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
+    tx = build_optimizer(params, lr=1e-3, warmup_steps=0, total_steps=10)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, tok.pad_token_id, policy=bf16,
+                           remat=False, grad_dtype=jnp.bfloat16)
+    p2, o2, m = jax.eval_shape(step, params, opt_state, batch,
+                               jax.random.PRNGKey(0))
+    for ref, out in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2)):
+        assert out.dtype == ref.dtype and out.shape == ref.shape
+    for ref, out in zip(jax.tree_util.tree_leaves(opt_state),
+                        jax.tree_util.tree_leaves(o2)):
+        assert out.dtype == ref.dtype
+    assert m["loss"].dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_grad_dtype_bf16_matches_fp32_step():
+    """grad_dtype=bf16 (the AMP layout: bf16 backward grad stacks, fp32
+    master + optimizer) must stay numerically close to the fp32-grad step —
+    the only difference is one bf16 quantize per gradient element — and the
+    master params must remain fp32 after the update."""
+    cfg, params, tok, batch = make_setup()
+    bf16 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
+
+    def one_step(grad_dtype):
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        tx = build_optimizer(p, lr=1e-3, warmup_steps=0, total_steps=10)
+        opt_state = tx.init(p)
+        step = make_train_step(cfg, tx, tok.pad_token_id, policy=bf16,
+                               remat=False, grad_dtype=grad_dtype)
+        p2, _, m = step(p, opt_state, batch, jax.random.PRNGKey(0))
+        return p2, float(m["loss"]), float(m["grad_norm"])
+
+    p_ref, loss_ref, gn_ref = one_step(None)
+    p_amp, loss_amp, gn_amp = one_step(jnp.bfloat16)
+
+    # losses come from the same bf16 forward → near-identical
+    assert loss_amp == pytest.approx(loss_ref, rel=2e-2)
+    # grad norm within bf16 rounding of the fp32-accumulated one
+    assert gn_amp == pytest.approx(gn_ref, rel=5e-2)
+    # masters stay fp32, and the update direction matches
+    for a, b in zip(jax.tree_util.tree_leaves(p_amp),
+                    jax.tree_util.tree_leaves(p_ref)):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            assert a.dtype == b.dtype
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=0.1, atol=2.5e-3)
+
+
+@pytest.mark.slow
+def test_grad_dtype_bf16_loss_decreases():
+    """Training with bf16 gradients still descends on the tiny overfit task
+    (the knob that fits 8B at the reference 8192 context on 16 GiB chips,
+    scripts/hbm_proof.py)."""
+    cfg, params, tok, batch = make_setup()
+    bf16 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
+    tx = build_optimizer(params, lr=3e-3, warmup_steps=0, total_steps=100)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, tok.pad_token_id, policy=bf16,
+                           remat=False, grad_dtype=jnp.bfloat16)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for _ in range(6):
+        rng, r = jax.random.split(rng)
+        params, opt_state, m = step(params, opt_state, batch, r)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
 def test_cosine_schedule():
     sched = cosine_schedule_with_warmup(1.0, warmup_steps=10, total_steps=110)
     assert float(sched(0)) == 0.0
