@@ -74,13 +74,55 @@ def sanitize_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
     return P(*out)
 
 
+# Embedding tables keep single-axis sharding (the (fsdp, tensor)
+# double-sharded-table SPMD miscompile, see gpt_bigcode.partition_rules)
+# and are excluded from ZeRO-over-sequence widening.
+_TABLE_RE = r"wte$|wpe$|embed_tokens$|lm_head$"
+
+
+def widen_fsdp_over_sequence(spec: P, path_s: str,
+                             shape: tuple[int, ...], mesh: Mesh) -> P:
+    """ZeRO over the `sequence` axis: widen plain "fsdp" weight-shard
+    entries to ("fsdp", "sequence") on sequence-parallel meshes.
+
+    On an SP mesh the activations' S dim is sharded, so each chip's weight
+    gradient is a PARTIAL sum that XLA must combine across `sequence`. If
+    weights (hence grads and optimizer state) shard over fsdp only, that
+    combine is an all-reduce materializing a full fsdp-shard gradient stack
+    per chip — at StarVector-8B/S=8192 two live 1.27 GiB bf16 stacks per
+    MLP weight, the allocations that push fsdp4xsp2 over 16 GiB
+    (scripts/hbm_proof.py). Widening turns it into a reduce-scatter and
+    halves grad + optimizer bytes; the forward all-gathers weights over
+    (fsdp, sequence) instead of fsdp — same per-chip gather volume.
+
+    No-op when the mesh has no real sequence axis. Tables are excluded
+    (single-axis invariant above); entries that don't divide the combined
+    axis keep their plain "fsdp" sharding."""
+    if mesh.shape.get("sequence", 1) == 1:
+        return spec
+    if re.search(_TABLE_RE, path_s):
+        return spec
+    combined = mesh.shape["fsdp"] * mesh.shape["sequence"]
+    entries = list(_shrink_spec_to_shape(spec, len(shape)))
+    entries += [None] * (len(shape) - len(entries))
+    out = [
+        ("fsdp", "sequence")
+        if a == "fsdp" and dim % combined == 0 else a
+        for dim, a in zip(shape, entries)
+    ]
+    return P(*out)
+
+
 def apply_partition_rules(params: Any, rules: Rules, mesh: Mesh) -> Any:
     """Return a pytree of PartitionSpec matching `params`' structure."""
     rules = list(rules)
 
     def leaf_spec(path, leaf):
-        s = spec_for_path(_path_str(path), rules)
-        return sanitize_spec(s, getattr(leaf, "shape", ()), mesh)
+        path_s = _path_str(path)
+        shape = getattr(leaf, "shape", ())
+        s = spec_for_path(path_s, rules)
+        s = widen_fsdp_over_sequence(s, path_s, shape, mesh)
+        return sanitize_spec(s, shape, mesh)
 
     return jax.tree_util.tree_map_with_path(leaf_spec, params)
 
