@@ -171,9 +171,18 @@ def train_case(mesh, mesh_name: str, *, B: int, S: int, remat,
     return rep
 
 
-def serve_decode_case(mesh, mesh_name: str, *, B: int, max_len: int) -> dict:
+def serve_decode_case(mesh, mesh_name: str, *, B: int, max_len: int,
+                      kv_dtype=None) -> dict:
     """AOT-compile the ragged continuous-batching decode step (the serving
-    hot path, serve/engine.py) at the real 8B geometry, bf16 weights."""
+    hot path, serve/engine.py) at the real 8B geometry, bf16 weights.
+
+    The cache argument is DONATED, exactly like the production dispatch
+    (serve/engine.py:198 donate_argnames=("cache", ...)) — without donation
+    XLA double-counts the cache (input + output copy), which is not what
+    the engine pays. kv_dtype=jnp.int8 exercises the engine's opt-in int8
+    KV cache (engine kv_cache_dtype knob)."""
+    import functools
+
     from starvector_tpu.models import starcoder2 as sc2
     from starvector_tpu.ops.layers import DTypePolicy
     from starvector_tpu.parallel.mesh import batch_spec, sanitize_for_mesh
@@ -202,7 +211,8 @@ def serve_decode_case(mesh, mesh_name: str, *, B: int, max_len: int) -> dict:
         (r"lengths$", P(BATCH_AXES)),
     ]
     c_abs = jax.eval_shape(
-        lambda: sc2.init_ragged_cache(cfg, B, max_len, dtype=jnp.bfloat16))
+        lambda: sc2.init_ragged_cache(
+            cfg, B, max_len, dtype=kv_dtype or jnp.bfloat16))
     c_specs = apply_partition_rules(c_abs, cache_rules, mesh)
     c_abs = jax.tree_util.tree_map(
         lambda a, s: jax.ShapeDtypeStruct(
@@ -220,7 +230,7 @@ def serve_decode_case(mesh, mesh_name: str, *, B: int, max_len: int) -> dict:
 
     policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_step(params, tokens, cache, active):
         return sc2.forward_ragged_decode(
             params, cfg, tokens, cache, active, policy=policy)
@@ -234,6 +244,7 @@ def serve_decode_case(mesh, mesh_name: str, *, B: int, max_len: int) -> dict:
         "mesh": mesh_name,
         "batch": B,
         "cache_max_len": max_len,
+        "kv_dtype": str(jnp.dtype(kv_dtype or jnp.bfloat16)),
         "compile_s": round(time.time() - t0, 1),
     })
     return rep
@@ -297,7 +308,7 @@ def run(out_path: str, quick: bool = False, only: str | None = None,
     if quick:
         cases = cases[:1]
     if only:
-        cases = [c for c in cases if only in c[0]]
+        cases = [c for c in cases if only in f"train/{c[0]}"]
     for name, mk, tk in cases:
         mesh = build_mesh(devs, **mk)
         print(f"[hbm_proof] compiling train {name} ...", flush=True)
@@ -309,19 +320,28 @@ def run(out_path: str, quick: bool = False, only: str | None = None,
               flush=True)
         results.append(rep)
 
-    if not quick and not only:
+    if not quick:
         serve_cases = [
-            ("tp8", dict(tensor=8), 16, 8192),
+            ("tp8", dict(tensor=8), 16, 8192, None),
+            # 7B has 4 kv heads: tp8 can't shard them 8-way, so the cache
+            # replicates per chip — int8 KV (the engine's kv_cache_dtype
+            # knob) halves that replicated cache and makes pure-tp8 fit
+            ("tp8-int8kv", dict(tensor=8), 16, 8192, "int8"),
             # 7B geometry (36 q / 4 kv heads) shards cleanly on tp=4; the
             # remaining factor of 2 batch-shards the cache over `data` —
             # the natural 8-chip serving layout for this model
-            ("tp4xdp2", dict(data=2, tensor=4), 64, 8192),
+            ("tp4xdp2", dict(data=2, tensor=4), 64, 8192, None),
         ]
-        for name, mk, B, L in serve_cases:
+        if only:
+            serve_cases = [c for c in serve_cases
+                           if only in f"serve_decode/{c[0]}"]
+        for name, mk, B, L, kvd in serve_cases:
             mesh = build_mesh(devs, **mk)
             print(f"[hbm_proof] compiling serve {name} B={B} L={L} ...", flush=True)
             try:
-                rep = serve_decode_case(mesh, name, B=B, max_len=L)
+                rep = serve_decode_case(
+                    mesh, name, B=B, max_len=L,
+                    kv_dtype=jnp.int8 if kvd == "int8" else None)
             except Exception as e:  # noqa: BLE001
                 rep = {"case": f"serve_decode/{name}/B{B}", "error": f"{type(e).__name__}: {e}"}
             print(f"[hbm_proof]   -> {json.dumps({k: rep.get(k) for k in ('per_chip_peak_gib','fits_16gib','headroom_gib','error')})}",
