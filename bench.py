@@ -29,6 +29,7 @@ import functools
 import json
 import os
 import statistics
+import sys
 import time
 
 HBM_ROOF_GBPS = 819.0  # v5e
@@ -305,6 +306,31 @@ def bench_1b(jax, jnp, np, on_tpu):
         t_pipe = _median_time(run_pipe, reps)
         pipe_tok_s = Mb * B * NEW / t_pipe
 
+    # the same pipelined workload with int8 weights (production serving
+    # quant): the fused step is dominated by the decode side's weight
+    # streaming, so halving weight bytes attacks exactly the term the
+    # roofline says bounds the bf16 path near ~8-10K
+    pipe_q_tok_s = None
+    if on_tpu:
+        try:
+            from starvector_tpu.ops.quantization import quantize_tree
+
+            qp = quantize_tree(dec_params, consume=False)
+
+            def run_pipe_q():
+                outs = generate_pipelined(
+                    qp, llm, cfg.decoder, pipe_batches, pgen,
+                    jax.random.PRNGKey(0), policy=policy, chunk_positions=4,
+                )
+                return np.asarray(outs[-1][0][:, -1])
+
+            run_pipe_q()  # compile
+            t_pipe_q = _median_time(run_pipe_q, reps)
+            pipe_q_tok_s = Mb * B * NEW / t_pipe_q
+            del qp
+        except Exception as e:  # noqa: BLE001 — keep the bf16 numbers
+            print(f"[bench] int8 pipelined failed: {e}", file=sys.stderr)
+
     # batched prompt-lookup speculative decoding at the same e2e shape
     # (greedy — the SVG-Bench validation workload). Greedy decode of the
     # random-weight model degenerates into repetition much like real SVG's
@@ -427,6 +453,9 @@ def bench_1b(jax, jnp, np, on_tpu):
         "e2e_prefill1k_serial_tok_per_s": round(
             B * NEW / (decode_s + prefill_s), 1
         ),
+        "e2e_prefill1k_int8_tok_per_s": (
+            round(pipe_q_tok_s, 1) if pipe_q_tok_s else None
+        ),
         "e2e_prefill1k_pipelined_batches": 8 if pipe_tok_s else None,
         # greedy batched prompt-lookup speculation at the e2e shape (the
         # validation workload); n_forwards audits the measured acceptance
@@ -458,7 +487,8 @@ def bench_1b(jax, jnp, np, on_tpu):
     }
 
 
-def bench_train(jax, jnp, np, on_tpu, *, B=None, S=None, remat=None):
+def bench_train(jax, jnp, np, on_tpu, *, B=None, S=None, remat=None,
+                grad_dtype=None):
     """Full 1B train step (vision + adapter + decoder, loss+grads+AdamW,
     remat): tokens/s/chip and model FLOPs utilization. The MFU numerator
     counts matmul FLOPs only (6·params·tokens per component + attention
@@ -493,7 +523,8 @@ def bench_train(jax, jnp, np, on_tpu, *, B=None, S=None, remat=None):
     # matmul, capping true MFU at ~75% of the reported number.
     if remat is None:
         remat = "dots" if on_tpu else True
-    step = make_train_step(cfg, tx, 0, policy=policy, remat=remat)
+    step = make_train_step(cfg, tx, 0, policy=policy, remat=remat,
+                           grad_dtype=grad_dtype)
 
     rng = np.random.RandomState(0)
     batch = {
@@ -544,6 +575,8 @@ def bench_train(jax, jnp, np, on_tpu, *, B=None, S=None, remat=None):
         "train_step_s": round(dt, 3),
         "train_batch": B, "train_seq_len": S,
         "train_mfu": round(mfu, 3) if on_tpu else None,
+        "train_remat": str(remat),
+        "train_grad_dtype": str(jnp.dtype(grad_dtype)) if grad_dtype else "float32",
         "train_8b_note": (
             "8B bf16 AdamW needs ~84 GB state: >1 chip by construction; "
             "multi-chip geometry is exercised by dryrun_multichip (fsdp/tp)"
@@ -781,15 +814,19 @@ def main():
     # starvector-1b/im2svg-stack.yaml:7): bench the step at that context
     if on_tpu and os.environ.get("STARVECTOR_BENCH_TRAIN8K", "1") != "0":
         try:
-            # B=2 + full remat beats B=1 + "dots" at this context (9,531 vs
-            # 8,950 tok/s): recomputing forward matmuls costs less than the
-            # lost batch parallelism; B=2 + "dots" OOMs by 346 MB.
-            t8 = bench_train(jax, jnp, np, on_tpu, B=2, S=8192, remat=True)
+            # "dots_flash" saves the flash attention out+LSE residuals so
+            # the backward never re-runs the O(S²) forward kernel — at this
+            # context that recompute dominates: 10,407 tok/s / 0.505 MFU vs
+            # 9,544 / 0.463 (B=2 full remat), 8,950 / 0.435 (B=1 "dots");
+            # B=2 "dots" OOMs by 346 MB, B=3 "dots_flash" by 517 MB.
+            t8 = bench_train(jax, jnp, np, on_tpu, B=2, S=8192,
+                             remat="dots_flash")
             detail.update({
                 "train8k_tok_per_s_chip": t8["train_tok_per_s_chip"],
                 "train8k_step_s": t8["train_step_s"],
                 "train8k_mfu": t8["train_mfu"],
                 "train8k_batch": 2,
+                "train8k_remat": t8["train_remat"],
             })
         except Exception as e:  # noqa: BLE001 — best-effort
             detail["train8k_error"] = f"{type(e).__name__}: {str(e)[:200]}"

@@ -1,7 +1,7 @@
 """Training-step throughput CLI: full StarVector-1B train step (vision tower
 + adapter + decoder, loss+grads+AdamW) on the current devices.
 
-    python scripts/bench_train.py [batch] [seq_len] [remat]
+    python scripts/bench_train.py [batch] [seq_len] [remat] [grad_dtype]
 
 Thin wrapper over bench.bench_train (the driver bench) so the step protocol,
 timing, and MFU model live in exactly one place. Prints one JSON line.
@@ -34,8 +34,11 @@ def main():
         remat = True
     elif remat in ("false", "False"):
         remat = False
+    grad_dtype = jnp.bfloat16 if (len(sys.argv) > 4
+                                  and sys.argv[4] == "bfloat16") else None
 
-    detail = bench_train(jax, jnp, np, on_tpu, B=B, S=S, remat=remat)
+    detail = bench_train(jax, jnp, np, on_tpu, B=B, S=S, remat=remat,
+                         grad_dtype=grad_dtype)
     print(json.dumps({
         "metric": "training SVG tokens/sec/chip (1B full model, bf16)",
         "value": detail["train_tok_per_s_chip"],

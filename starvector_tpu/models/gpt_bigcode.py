@@ -187,7 +187,8 @@ def _attention_block(
 ):
     B, S, E = x.shape
     H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
-    qkv = dense(p["c_attn"], x, policy)            # (B, S, E + 2*Hkv*D)
+    qkv = dense(p["c_attn"], x, policy,
+                tag="dense_qkv_out")               # (B, S, E + 2*Hkv*D)
     q = qkv[..., :E].reshape(B, S, H, D)
     k = qkv[..., E : E + Hkv * D].reshape(B, S, Hkv, D)
     v = qkv[..., E + Hkv * D :].reshape(B, S, Hkv, D)
@@ -227,7 +228,8 @@ def _attention_block(
     else:
         out = multihead_attention(q, k, v, ctx["bias"])
     out = out.reshape(B, S, E)
-    return dense(p["c_proj"], out, policy), new_cache
+    return dense(p["c_proj"], out, policy,
+                 tag="dense_attn_proj_out"), new_cache
 
 
 def _block(p, cfg, x, ctx, layer_cache, cache_index, policy):

@@ -158,9 +158,9 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
     B, S, E = x.shape
     H, D, Hkv = cfg.num_attention_heads, cfg.head_dim, cfg.kv_heads
     inv_freq = rope_frequencies(D, cfg.rope_theta)
-    q = dense(p["q_proj"], x, policy).reshape(B, S, H, D)
-    k = dense(p["k_proj"], x, policy).reshape(B, S, Hkv, D)
-    v = dense(p["v_proj"], x, policy).reshape(B, S, Hkv, D)
+    q = dense(p["q_proj"], x, policy, tag="dense_qkv_out").reshape(B, S, H, D)
+    k = dense(p["k_proj"], x, policy, tag="dense_qkv_out").reshape(B, S, Hkv, D)
+    v = dense(p["v_proj"], x, policy, tag="dense_qkv_out").reshape(B, S, Hkv, D)
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
 
@@ -207,7 +207,8 @@ def _attention(p, cfg: StarCoder2Config, x, ctx, positions, layer_cache, cache_i
     else:
         out = multihead_attention(q, k, v, ctx["bias"])
     out = out.reshape(B, S, H * D)
-    return dense(p["o_proj"], out, policy), new_cache
+    return dense(p["o_proj"], out, policy,
+                 tag="dense_attn_proj_out"), new_cache
 
 
 def _block(p, cfg, x, ctx, positions, layer_cache, cache_index, policy):

@@ -892,9 +892,18 @@ def flash_prefill_trainable(q, k, v, kv_mask, q_offset=0, causal=True,
 
 
 def _fp_fwd(q, k, v, kv_mask, q_offset, causal, window, scale):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = flash_prefill_with_lse(
         q, k, v, kv_mask, q_offset, causal=causal, window=window, scale=scale
     )
+    # named so a remat policy can SAVE the attention residuals instead of
+    # re-running the whole O(S²) forward kernel during backward: at the 8k
+    # training context that recompute is ~46% of a layer's forward FLOPs,
+    # while out+lse cost only (B,S,H,D) bf16 + (B,H,S) fp32 of HBM.
+    # ops/layers.py::maybe_checkpoint's "dots_flash" policy uses these.
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, kv_mask, q_offset, out, lse)
 
 

@@ -47,13 +47,32 @@ def maybe_checkpoint(fn, remat):
     identical information for the backward. Batched attention einsums and
     4x-expansion MLP outputs (`dense_wide_out`) recompute in backward —
     together ~45% of forward matmul FLOPs re-run, vs 100% under full remat,
-    for ~1/5 the residual HBM of saving everything."""
+    for ~1/5 the residual HBM of saving everything.
+
+    "dots_slim" additionally recomputes the attention in-projections
+    (the "dense_qkv_out"-tagged outputs, ~12% of layer matmul FLOPs):
+    per layer it saves only the two hidden-size-wide outputs (attn out,
+    MLP down-proj), ~2/3 the residual HBM of "dots" — the mode that fits
+    B=2 at the reference 8192 context where "dots" is ~350 MB over."""
     if not remat:
         return fn
-    policy = (
-        jax.checkpoint_policies.save_only_these_names("dense_out")
-        if remat == "dots" else None
-    )
+    if remat == "dots":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "dense_out", "dense_qkv_out", "dense_attn_proj_out")
+    elif remat == "dots_slim":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "dense_out", "dense_attn_proj_out")
+    elif remat == "dots_flash":
+        # save the MLP down-proj outputs plus the flash attention
+        # residuals (out + logsumexp, tagged inside the custom-vjp forward,
+        # ops/flash_attention.py::_fp_fwd): the backward then never re-runs
+        # the O(S²) forward attention kernel — the dominant recompute at
+        # the 8k reference context — while qkv/attn-proj/fc1 matmuls
+        # recompute cheaply from the saved stream.
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "dense_out", "flash_out", "flash_lse")
+    else:
+        policy = None
     return jax.checkpoint(fn, policy=policy)
 
 
@@ -97,7 +116,7 @@ def make_dense_params(rng, d_in, d_out, *, std=None, dtype=jnp.float32, bias=Tru
     return params
 
 
-def dense(params, x, policy: DTypePolicy | None = None):
+def dense(params, x, policy: DTypePolicy | None = None, tag: str | None = None):
     if "kernel_q" in params:
         from starvector_tpu.ops.quantization import dense_quantized
 
@@ -114,10 +133,12 @@ def dense(params, x, policy: DTypePolicy | None = None):
     # compute-dtype output as the saved residual (see maybe_checkpoint).
     # Expansion matmuls (MLP fc1, 4x hidden) get their own tag: their
     # residuals are 4x the bytes of everything else combined, so "dots"
-    # recomputes them instead of saving them.
+    # recomputes them instead of saving them. Call sites may override the
+    # tag (attention in-projections pass "dense_qkv_out" so "dots_slim"
+    # can recompute them — see maybe_checkpoint).
     wide = w.shape[-1] >= 4 * w.shape[0]
     return checkpoint_name(y.astype(x.dtype),
-                           "dense_wide_out" if wide else "dense_out")
+                           tag or ("dense_wide_out" if wide else "dense_out"))
 
 
 def make_layer_norm_params(dim, dtype=jnp.float32):

@@ -112,7 +112,7 @@ def optimizer_kwargs_from_config(config) -> dict:
 
 
 def _remat_mode(raw):
-    """training.gradient_checkpointing: true | false | "dots".
+    """training.gradient_checkpointing: true | false | "dots" | "dots_slim".
 
     "dots" maps to a save_only_these_names checkpoint policy over bf16
     residuals tagged after each matmul (ops/layers.py::maybe_checkpoint) —
@@ -121,7 +121,9 @@ def _remat_mode(raw):
     re-running forward matmuls. It is deliberately NOT XLA's
     dots_with_no_batch_dims_saveable, which saves fp32 dot accumulators
     and OOMs 1B training at B=8/S=1024 on a 16 GB chip (see the
-    maybe_checkpoint docstring before "simplifying" this).
+    maybe_checkpoint docstring before "simplifying" this). "dots_slim"
+    also recomputes the attention in-projections — ~2/3 of "dots"'s
+    residual HBM, for long-context points where "dots" is just over.
     """
     if isinstance(raw, str):
         return raw

@@ -394,3 +394,35 @@ def test_flash_trainable_vjp_uses_pallas_backward():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_dots_flash_remat_saves_attention_residuals():
+    """remat="dots_flash" (save flash out+LSE, tagged INSIDE the custom-vjp
+    forward — ops/flash_attention.py::_fp_fwd) is a pure scheduling choice:
+    grads bit-match full remat through the flash-attention training path.
+    This is the policy the 8k-context train bench runs (bench.py train8k);
+    the named-saveable-residuals-inside-custom_vjp mechanics are exactly
+    what this test pins."""
+    from starvector_tpu.models import gpt_bigcode as gbc
+    from starvector_tpu.ops.layers import DTypePolicy
+
+    cfg = gbc.tiny_config(attn_impl="flash")
+    params = gbc.init_params(cfg, jax.random.PRNGKey(0))
+    f32 = DTypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 5,
+                             cfg.vocab_size)
+
+    def grads_for(remat):
+        def loss(p):
+            e = gbc.embed_tokens(p, ids)
+            logits, _ = gbc.forward(p, cfg, e, policy=f32, remat=remat)
+            return jnp.mean(jax.nn.log_softmax(logits)[..., 0])
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    l_full, g_full = grads_for(True)
+    l_df, g_df = grads_for("dots_flash")
+    assert abs(float(l_full) - float(l_df)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_df)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

@@ -382,6 +382,41 @@ def test_pipelined_matches_per_batch_generate():
         np.testing.assert_array_equal(np.asarray(rl), np.asarray(pl))
 
 
+def test_pipelined_int8_weights_match_plain_generate():
+    """generate_pipelined with an int8-quantized tree (the production
+    serving quant bench.py measures as e2e_prefill1k_int8) emits exactly
+    what plain generate() emits with the SAME quantized tree — the chunked
+    cached-prefill/verify path must dispatch on kernel_q everywhere the
+    plain path does (wte stays bf16 by design, quantize_tree only rewrites
+    {'kernel': ...} dicts)."""
+    from starvector_tpu.generation.engine import generate_pipelined
+    from starvector_tpu.ops.quantization import quantize_tree
+
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(2))
+    qp = quantize_tree(params, min_elems=1 << 8, consume=False)
+    assert any("kernel_q" in str(p)
+               for p, _ in jax.tree_util.tree_leaves_with_path(qp))
+    B, P = 2, 12
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           eos_token_id=None, pad_token_id=0,
+                           repetition_penalty=1.0)
+    rng = jax.random.PRNGKey(5)
+    batches = []
+    for i in range(2):
+        ids = jax.random.randint(
+            jax.random.PRNGKey(30 + i), (B, P), 5, cfg.vocab_size)
+        emb = gbc.embed_tokens(params, ids).astype(jnp.float32)
+        batches.append((emb, jnp.ones((B, P), jnp.int32)))
+    ref = [generate(qp, cfg, "gpt_bigcode", e, m, gen, rng, policy=F32)
+           for (e, m) in batches]
+    pipe = generate_pipelined(
+        qp, cfg, "gpt_bigcode", batches, gen, rng, policy=F32,
+        chunk_positions=4)
+    for (rt, _), (pt, _) in zip(ref, pipe):
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(pt))
+
+
 @pytest.mark.slow  # pipelined_matches_per_batch covers the chunk path; this adds only the non-dividing-P shape
 def test_pipelined_chunk_sizes():
     """Chunked prefill covers the prompt exactly for non-dividing shapes

@@ -112,12 +112,14 @@ def test_remat_dots_grads_match_full_remat():
         return float(l), g
 
     l_full, g_full = grads_for(True)
-    l_dots, g_dots = grads_for("dots")
-    assert l_full == pytest.approx(l_dots, rel=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(g_full),
-                    jax.tree_util.tree_leaves(g_dots)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-6)
+    for mode in ("dots", "dots_slim", "dots_flash"):
+        l_dots, g_dots = grads_for(mode)
+        assert l_full == pytest.approx(l_dots, rel=1e-6), mode
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_dots)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=mode)
 
 
 def test_grad_dtype_step_shapes_and_dtypes():
