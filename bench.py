@@ -331,6 +331,29 @@ def bench_1b(jax, jnp, np, on_tpu):
         except Exception as e:  # noqa: BLE001 — keep the bf16 numbers
             print(f"[bench] int8 pipelined failed: {e}", file=sys.stderr)
 
+    # int8 KV caches through the pipelined path (weights stay bf16): the
+    # fused step's TWO cache streams — the decode window and the next
+    # batch's growing prefill window, the roofline's irreducible term —
+    # move half the bytes, and the MXU-bound chunk GEMMs stay unquantized
+    # (int8 WEIGHTS measured a net loss here: dequant slows the chunk more
+    # than weight streaming saves — kept above as e2e_prefill1k_int8)
+    pipe_kv_tok_s = None
+    if on_tpu:
+        try:
+            def run_pipe_kv():
+                outs = generate_pipelined(
+                    dec_params, llm, cfg.decoder, pipe_batches, pgen,
+                    jax.random.PRNGKey(0), policy=policy, chunk_positions=4,
+                    kv_cache_dtype=jnp.int8,
+                )
+                return np.asarray(outs[-1][0][:, -1])
+
+            run_pipe_kv()  # compile
+            t_pipe_kv = _median_time(run_pipe_kv, reps)
+            pipe_kv_tok_s = Mb * B * NEW / t_pipe_kv
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] int8-kv pipelined failed: {e}", file=sys.stderr)
+
     # batched prompt-lookup speculative decoding at the same e2e shape
     # (greedy — the SVG-Bench validation workload). Greedy decode of the
     # random-weight model degenerates into repetition much like real SVG's
@@ -455,6 +478,9 @@ def bench_1b(jax, jnp, np, on_tpu):
         ),
         "e2e_prefill1k_int8_tok_per_s": (
             round(pipe_q_tok_s, 1) if pipe_q_tok_s else None
+        ),
+        "e2e_prefill1k_int8kv_tok_per_s": (
+            round(pipe_kv_tok_s, 1) if pipe_kv_tok_s else None
         ),
         "e2e_prefill1k_pipelined_batches": 8 if pipe_tok_s else None,
         # greedy batched prompt-lookup speculation at the e2e shape (the

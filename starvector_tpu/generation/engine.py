@@ -309,7 +309,7 @@ def generate(
         "dec_name", "llm_cfg", "max_new_tokens", "min_new_tokens",
         "stop_sequences", "eos_token_id", "pad_token_id", "max_top_k",
         "policy", "do_sample", "use_rep_penalty", "use_freq_penalty",
-        "has_next", "chunk", "n_chunks",
+        "has_next", "chunk", "n_chunks", "kv_dtype",
     ),
 )
 def _decode_overlap_jit(
@@ -337,6 +337,7 @@ def _decode_overlap_jit(
     has_next: bool,
     chunk: int,
     n_chunks: int,
+    kv_dtype=None,
 ):
     """Decode the current batch while chunk-prefilling the next one.
 
@@ -354,7 +355,8 @@ def _decode_overlap_jit(
     chunk_cfg = dataclasses.replace(llm_cfg, attn_impl="xla")
 
     next_cache = dec.init_cache(
-        llm_cfg, B, Pn + max_new_tokens, dtype=policy.compute_dtype
+        llm_cfg, B, Pn + max_new_tokens,
+        dtype=kv_dtype or policy.compute_dtype,
     )
     next_last = jnp.zeros((B, V), jnp.float32)
 
@@ -521,16 +523,18 @@ def _decode_overlap_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dec_name", "llm_cfg", "max_new_tokens", "policy")
+    jax.jit, static_argnames=("dec_name", "llm_cfg", "max_new_tokens",
+                              "policy", "kv_dtype")
 )
 def _prefill_full_jit(params, inputs_embeds, attention_mask, *, dec_name,
-                      llm_cfg, max_new_tokens, policy):
+                      llm_cfg, max_new_tokens, policy, kv_dtype=None):
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
     dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
     B, Pr, _ = inputs_embeds.shape
     cache = dec.init_cache(
-        llm_cfg, B, Pr + max_new_tokens, dtype=policy.compute_dtype
+        llm_cfg, B, Pr + max_new_tokens,
+        dtype=kv_dtype or policy.compute_dtype,
     )
     logits, cache = dec.forward(
         params, llm_cfg, inputs_embeds, attention_mask=attention_mask,
@@ -550,12 +554,19 @@ def generate_pipelined(
     prompt_ids: list | None = None,   # per-batch, for repetition penalty
     policy: DTypePolicy = DTypePolicy(),
     chunk_positions: int | None = None,
+    kv_cache_dtype=None,              # e.g. jnp.int8: halve cache streaming
 ):
     """Generate over a stream of same-shaped batches with cross-batch
     prefill/decode overlap. Batch k+1's prompt is written into its KV cache a
     few sequence positions per decode step of batch k, so its decode starts
     immediately when batch k finishes. Returns [(tokens, lengths), ...]
-    matching `generate`'s per-batch contract."""
+    matching `generate`'s per-batch contract.
+
+    kv_cache_dtype=jnp.int8 stores both caches quantized (the serving
+    engine's opt-in knob, same quality caveats): the fused step's two cache
+    streams — the decode batch's window AND the next batch's growing
+    prefill window, the pipelined roofline's irreducible term — move half
+    the bytes."""
     if gen.num_return_sequences != 1:
         raise ValueError("generate_pipelined supports num_return_sequences=1")
     if not batches:
@@ -617,6 +628,7 @@ def generate_pipelined(
         use_freq_penalty=(gen.frequency_penalty != 0.0
                           or gen.presence_penalty != 0.0),
         chunk=C, n_chunks=n_chunks,
+        kv_dtype=kv_cache_dtype,
     )
 
     # batch 0 prefills the classic way (nothing to overlap it with); its
@@ -626,6 +638,7 @@ def generate_pipelined(
     last_logits, cache = _prefill_full_jit(
         params, e0, m0, dec_name=dec_name, llm_cfg=llm_cfg,
         max_new_tokens=gen.max_new_tokens, policy=policy,
+        kv_dtype=kv_cache_dtype,
     )
 
     out = []

@@ -499,13 +499,18 @@ def forward_decode_with_chunk(
     serial prefill+decode (6.4K vs 7.0K tok/s e2e at B=64/1k ctx); fused,
     the chunk's MXU work hides the decode's weight streaming.
 
-    int8 caches are not supported (the pipelined offline path keeps
-    compute-dtype caches). Returns (dec_logits (B, V), new_cache,
+    int8 caches (both caches carry k_scale/v_scale): the decode and chunk
+    attentions fold the per-(position, head) scales into their score
+    tensors exactly like the serving engine's ticks, and emitted K/V
+    quantize on write — the chunk's growing-cache reads (the pipelined
+    roofline's irreducible term, ~2.4 ms/step at C=4 bf16) stream half
+    the bytes. Returns (dec_logits (B, V), new_cache,
     chunk_logits (B, C, V) fp32, new_cache_next)."""
     from starvector_tpu.models import decode_common as dc
 
-    if "k_scale" in cache or "k_scale" in cache_next:
-        raise NotImplementedError("fused decode+chunk: compute-dtype caches only")
+    quant = "k_scale" in cache
+    if quant != ("k_scale" in cache_next):
+        raise ValueError("fused decode+chunk: cache dtypes must match")
 
     B, C, E = chunk_embeds.shape
     H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
@@ -541,7 +546,11 @@ def forward_decode_with_chunk(
 
     def body(carry, xs):
         h_d, h_c = carry
-        layer_p, ldk, ldv, lnk, lnv = xs
+        if quant:
+            layer_p, ldk, ldv, lnk, lnv, ldks, ldvs, lnks, lnvs = xs
+        else:
+            layer_p, ldk, ldv, lnk, lnv = xs
+            ldks = ldvs = lnks = lnvs = None
         # shared projections: ONE weight read serves decode + chunk rows
         h_cat = jnp.concatenate([h_d, h_c], axis=1)          # (B, 1+C, E)
         hh = layer_norm(layer_p["ln_1"], h_cat, eps)
@@ -554,12 +563,14 @@ def forward_decode_with_chunk(
         out_d = dc.merged_decode_attention(
             q_d, k_all[:, 0].reshape(B, Hkv, D),
             v_all[:, 0].reshape(B, Hkv, D), ldk, ldv, old_mask_d, scale,
+            k_scale=ldks, v_scale=ldvs,
         )
         q_c = jnp.moveaxis(q_all[:, 1:].reshape(B, C, Hkv, G, D), 1, 3)
         k_c = k_all[:, 1:].reshape(B, C, Hkv, D)
         v_c = v_all[:, 1:].reshape(B, C, Hkv, D)
         out_c = dc.merged_verify_attention(
-            q_c, k_c, v_c, lnk, lnv, old_mask_c, scale, new_mask=chunk_mask,
+            q_c, k_c, v_c, lnk, lnv, old_mask_c, scale,
+            k_scale=lnks, v_scale=lnvs, new_mask=chunk_mask,
         )
 
         out_cat = jnp.concatenate([out_d, out_c], axis=1)
@@ -568,26 +579,42 @@ def forward_decode_with_chunk(
         hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
         hh = gelu_tanh(hh)
         h_cat = h_cat + dense(layer_p["mlp"]["c_proj"], hh, policy)
-        news = {
-            "dk": k_all[:, 0].reshape(B, Hkv, D).astype(cache["k"].dtype),
-            "dv": v_all[:, 0].reshape(B, Hkv, D).astype(cache["v"].dtype),
-            "ck": k_c.astype(cache_next["k"].dtype),
-            "cv": v_c.astype(cache_next["v"].dtype),
-        }
+        dk = k_all[:, 0].reshape(B, Hkv, D)
+        dv = v_all[:, 0].reshape(B, Hkv, D)
+        if quant:
+            dkq, dks = dc.quantize_kv(dk)
+            dvq, dvs = dc.quantize_kv(dv)
+            ckq, cks = dc.quantize_kv(k_c)
+            cvq, cvs = dc.quantize_kv(v_c)
+            news = {"dk": dkq, "dv": dvq, "ck": ckq, "cv": cvq,
+                    "dk_scale": dks, "dv_scale": dvs,
+                    "ck_scale": cks, "cv_scale": cvs}
+        else:
+            news = {
+                "dk": dk.astype(cache["k"].dtype),
+                "dv": dv.astype(cache["v"].dtype),
+                "ck": k_c.astype(cache_next["k"].dtype),
+                "cv": v_c.astype(cache_next["v"].dtype),
+            }
         return (h_cat[:, :1], h_cat[:, 1:]), news
 
-    (h_d, h_c), news = jax.lax.scan(
-        body, (x_d, x_c),
-        (params["layers"], cache["k"], cache["v"],
-         cache_next["k"], cache_next["v"]),
-    )
+    xs = (params["layers"], cache["k"], cache["v"],
+          cache_next["k"], cache_next["v"])
+    if quant:
+        xs = xs + (cache["k_scale"], cache["v_scale"],
+                   cache_next["k_scale"], cache_next["v_scale"])
+    (h_d, h_c), news = jax.lax.scan(body, (x_d, x_c), xs)
 
-    new_cache = dc.write_new_kv_linear(
-        cache, {"k": news["dk"], "v": news["dv"]}, idx_d)
+    dec_news = {"k": news["dk"], "v": news["dv"]}
+    chunk_news = {"k": news["ck"], "v": news["cv"]}
+    if quant:
+        dec_news.update(k_scale=news["dk_scale"], v_scale=news["dv_scale"])
+        chunk_news.update(k_scale=news["ck_scale"], v_scale=news["cv_scale"])
+    new_cache = dc.write_new_kv_linear(cache, dec_news, idx_d)
     new_cache["kv_mask"] = kv_mask_d
     new_cache["index"] = idx_d + 1
     new_cache_next = dc.write_new_kv_linear_multi(
-        cache_next, {"k": news["ck"], "v": news["cv"]}, idx_c)
+        cache_next, chunk_news, idx_c)
     new_cache_next["kv_mask"] = kv_mask_c
     new_cache_next["index"] = idx_c + C
 

@@ -417,6 +417,42 @@ def test_pipelined_int8_weights_match_plain_generate():
         np.testing.assert_array_equal(np.asarray(rt), np.asarray(pt))
 
 
+def test_pipelined_int8_kv_matches_bf16_cache():
+    """generate_pipelined(kv_cache_dtype=jnp.int8) — int8 codes + fp32
+    scales through BOTH caches of the fused decode+chunk scan — emits the
+    same greedy tokens as the compute-dtype cache on a tiny model at fp32
+    (the same exactness bar test_serve_engine::test_int8_kv_engine holds
+    the serving engine to)."""
+    from starvector_tpu.generation.engine import generate_pipelined
+
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(4))
+    B, P = 2, 12
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           eos_token_id=None, pad_token_id=0,
+                           repetition_penalty=1.0)
+    rng = jax.random.PRNGKey(9)
+    batches = []
+    for i in range(3):
+        ids = jax.random.randint(
+            jax.random.PRNGKey(40 + i), (B, P), 5, cfg.vocab_size)
+        emb = gbc.embed_tokens(params, ids).astype(jnp.float32)
+        mask = jnp.ones((B, P), jnp.int32)
+        mask = mask.at[1, :2].set(0)          # left-padded row
+        emb = emb.at[1, :2].set(0.0)
+        batches.append((emb, mask))
+    ref = generate_pipelined(
+        params, cfg, "gpt_bigcode", batches, gen, rng, policy=F32,
+        chunk_positions=4)
+    q = generate_pipelined(
+        params, cfg, "gpt_bigcode", batches, gen, rng, policy=F32,
+        chunk_positions=4, kv_cache_dtype=jnp.int8)
+    for i, ((rt, rl), (qt, ql)) in enumerate(zip(ref, q)):
+        np.testing.assert_array_equal(np.asarray(rt), np.asarray(qt),
+                                      err_msg=f"batch {i}")
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(ql))
+
+
 @pytest.mark.slow  # pipelined_matches_per_batch covers the chunk path; this adds only the non-dividing-P shape
 def test_pipelined_chunk_sizes():
     """Chunked prefill covers the prompt exactly for non-dividing shapes
