@@ -65,6 +65,7 @@ class GenerationConfig:
         "dec_name", "llm_cfg", "max_new_tokens", "min_new_tokens",
         "stop_sequences", "eos_token_id", "pad_token_id", "max_top_k",
         "policy", "do_sample", "use_rep_penalty", "use_freq_penalty", "n_rep",
+        "kv_dtype",
     ),
 )
 def _generate_jit(
@@ -88,6 +89,7 @@ def _generate_jit(
     use_rep_penalty: bool = True,
     use_freq_penalty: bool = False,
     n_rep: int = 1,
+    kv_dtype=None,
 ):
     from starvector_tpu.models import gpt_bigcode, starcoder2
 
@@ -96,7 +98,8 @@ def _generate_jit(
     V = llm_cfg.vocab_size  # (presence may be a (B,1) dummy when unused)
     total = P + max_new_tokens
 
-    cache = dec.init_cache(llm_cfg, B, total, dtype=policy.compute_dtype)
+    cache = dec.init_cache(llm_cfg, B, total,
+                           dtype=kv_dtype or policy.compute_dtype)
     logits, cache = dec.forward(
         params, llm_cfg, inputs_embeds,
         attention_mask=attention_mask, cache=cache, policy=policy,
@@ -236,6 +239,7 @@ def generate(
     *,
     prompt_ids: jax.Array | None = None,
     policy: DTypePolicy = DTypePolicy(),
+    kv_cache_dtype=None,          # e.g. jnp.int8 (serving-engine knob)
 ):
     """Returns (tokens (B*, max_new_tokens), lengths (B*,)). Sequences are
     pad-filled after their stop; lengths include the stop tokens."""
@@ -283,6 +287,7 @@ def generate(
         use_freq_penalty=(gen.frequency_penalty != 0.0
                           or gen.presence_penalty != 0.0),
         n_rep=gen.num_return_sequences,
+        kv_dtype=kv_cache_dtype,
     )
 
 

@@ -453,6 +453,29 @@ def test_pipelined_int8_kv_matches_bf16_cache():
         np.testing.assert_array_equal(np.asarray(rl), np.asarray(ql))
 
 
+@pytest.mark.slow  # one extra _generate_jit compile; the knob is a dtype passthrough
+def test_generate_int8_kv_knob():
+    """plain generate() exposes kv_cache_dtype too (API parity with the
+    serving engine and generate_pipelined): int8-cache greedy tokens match
+    the compute-dtype tokens on a tiny fp32 model."""
+    cfg = gbc.tiny_config()
+    params = gbc.init_params(cfg, jax.random.PRNGKey(4))
+    B, P = 2, 12
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           eos_token_id=None, pad_token_id=0,
+                           repetition_penalty=1.0)
+    rng = jax.random.PRNGKey(9)
+    ids = jax.random.randint(jax.random.PRNGKey(40), (B, P), 5,
+                             cfg.vocab_size)
+    emb = gbc.embed_tokens(params, ids).astype(jnp.float32)
+    mask = jnp.ones((B, P), jnp.int32)
+    rt, _ = generate(params, cfg, "gpt_bigcode", emb, mask, gen, rng,
+                     policy=F32)
+    qt, _ = generate(params, cfg, "gpt_bigcode", emb, mask, gen, rng,
+                     policy=F32, kv_cache_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(qt))
+
+
 @pytest.mark.slow  # pipelined_matches_per_batch covers the chunk path; this adds only the non-dividing-P shape
 def test_pipelined_chunk_sizes():
     """Chunked prefill covers the prompt exactly for non-dividing shapes
