@@ -382,6 +382,9 @@ def test_pipelined_matches_per_batch_generate():
         np.testing.assert_array_equal(np.asarray(rl), np.asarray(pl))
 
 
+@pytest.mark.slow  # guards a measured-NEGATIVE bench path (int8 weights lose
+# on the pipelined shape); the winning int8-KV path has default-tier coverage
+# below, and kernel_q dispatch is covered by the serve-engine int8 tests
 def test_pipelined_int8_weights_match_plain_generate():
     """generate_pipelined with an int8-quantized tree (the production
     serving quant bench.py measures as e2e_prefill1k_int8) emits exactly
