@@ -34,7 +34,9 @@ def main():
     )
 
     enable_persistent_compilation_cache()
-    config = get_config(default_path="configs/models/default.yaml")
+    from starvector_tpu.config import resolve_repo_config
+
+    config = get_config(default_path=resolve_repo_config())
 
     pretrained = config.get_path("model.pretrained_path")
     from starvector_tpu.api import StarVectorForCausalLM

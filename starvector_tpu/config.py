@@ -168,7 +168,16 @@ def get_config(
         else:
             rest.append(a)
     layers: list[Mapping | None] = []
-    if default_path and os.path.exists(default_path):
+    if default_path:
+        if not os.path.exists(default_path):
+            # A missing default layer silently dropping the optimizer
+            # recipe / freeze flags / data blocks is worse than a crash
+            # (the reference crashes loudly too, starvector/util.py:280).
+            raise FileNotFoundError(
+                f"default config layer not found: {default_path!r} "
+                f"(cwd={os.getcwd()!r}). Pass an absolute path — entry "
+                "points should anchor it via "
+                "starvector_tpu.config.resolve_repo_config().")
         layers.append(load_yaml(default_path))
     if cfg_path:
         layers.append(load_yaml(cfg_path))
@@ -177,6 +186,32 @@ def get_config(
     if cfg_path:
         cfg["config"] = cfg_path
     return cfg
+
+
+def resolve_repo_config(rel_path: str = "configs/models/default.yaml") -> str:
+    """Resolve a configs/ path independent of CWD (reference anchors all
+    paths at the repo root and crashes when the yaml is absent,
+    starvector/util.py:280; `get_config` previously dropped the whole
+    default layer silently when launched from any other directory).
+
+    Search order: $STARVECTOR_CONFIG_ROOT, the repo root derived from the
+    installed package location, then the CWD. Raises with every tried path
+    when the file exists in none of them."""
+    roots = []
+    env_root = os.environ.get("STARVECTOR_CONFIG_ROOT")
+    if env_root:
+        roots.append(env_root)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    roots.extend([pkg_root, os.getcwd()])
+    tried = []
+    for root in roots:
+        cand = os.path.join(root, rel_path)
+        tried.append(cand)
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"could not resolve {rel_path!r}; tried: {tried}. Set "
+        "STARVECTOR_CONFIG_ROOT to the directory containing configs/.")
 
 
 def instantiate_from_config(block: Mapping, **extra_kwargs: Any) -> Any:

@@ -53,7 +53,19 @@ def maybe_checkpoint(fn, remat):
     (the "dense_qkv_out"-tagged outputs, ~12% of layer matmul FLOPs):
     per layer it saves only the two hidden-size-wide outputs (attn out,
     MLP down-proj), ~2/3 the residual HBM of "dots" — the mode that fits
-    B=2 at the reference 8192 context where "dots" is ~350 MB over."""
+    B=2 at the reference 8192 context where "dots" is ~350 MB over.
+
+    "dots_flash" assumes the module actually runs the flash-attention
+    path: its saved set is the MLP down-proj outputs plus the
+    "flash_out"/"flash_lse" residuals tagged inside the flash custom-vjp
+    forward. On a module that never emits those tags (attn_impl="xla",
+    or the vision tower's XLA attention) it silently degenerates to
+    saving only "dense_out" — MORE recompute than "dots". Use "dots" or
+    "dots_slim" for non-flash modules.
+
+    Unknown string modes raise (a typo like "dots-flash" would otherwise
+    silently fall back to full remat and lose the measured ~9%
+    long-context throughput win)."""
     if not remat:
         return fn
     if remat == "dots":
@@ -71,6 +83,10 @@ def maybe_checkpoint(fn, remat):
         # recompute cheaply from the saved stream.
         policy = jax.checkpoint_policies.save_only_these_names(
             "dense_out", "flash_out", "flash_lse")
+    elif isinstance(remat, str):
+        raise ValueError(
+            f"unknown gradient_checkpointing mode {remat!r}; expected "
+            "true | false | 'dots' | 'dots_slim' | 'dots_flash'")
     else:
         policy = None
     return jax.checkpoint(fn, policy=policy)

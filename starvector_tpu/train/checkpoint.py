@@ -45,15 +45,28 @@ def save_checkpoint(
     state: dict[str, Any],
     *,
     total_limit: int | None = None,
+    config: Any | None = None,
 ) -> str:
     """Save {params, opt_state, ...} at checkpoint-<step>; rotate old ones
-    (reference train/util.py:98-113)."""
+    (reference train/util.py:98-113).
+
+    When `config` is given, a `config.yaml` snapshot is written inside the
+    checkpoint dir so resume can re-impose the saved `model` block over the
+    live config (reference starvector/util.py:284-291 — a resumed run must
+    not silently change architecture)."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(os.path.abspath(base), step)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    if config is not None:
+        import yaml
+
+        blob = (config.to_yaml() if hasattr(config, "to_yaml")
+                else yaml.safe_dump(dict(config), sort_keys=False))
+        with open(os.path.join(path, "config.yaml"), "w") as f:
+            f.write(blob)
     if total_limit:
         cps = list_checkpoints(base)
         for _, old in cps[: max(0, len(cps) - total_limit)]:
@@ -61,6 +74,17 @@ def save_checkpoint(
 
             shutil.rmtree(old, ignore_errors=True)
     return path
+
+
+def load_checkpoint_config(path: str):
+    """Read the config snapshot saved beside a checkpoint, or None if the
+    checkpoint predates config snapshotting."""
+    cfg_path = os.path.join(path, "config.yaml")
+    if not os.path.exists(cfg_path):
+        return None
+    from starvector_tpu.config import load_yaml
+
+    return load_yaml(cfg_path)
 
 
 def restore_checkpoint(path: str, target: dict[str, Any]) -> dict[str, Any]:

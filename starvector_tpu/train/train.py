@@ -112,7 +112,8 @@ def optimizer_kwargs_from_config(config) -> dict:
 
 
 def _remat_mode(raw):
-    """training.gradient_checkpointing: true | false | "dots" | "dots_slim".
+    """training.gradient_checkpointing: true | false | "dots" | "dots_slim"
+    | "dots_flash" (the shipped 1B/8B long-context default).
 
     "dots" maps to a save_only_these_names checkpoint policy over bf16
     residuals tagged after each matmul (ops/layers.py::maybe_checkpoint) —
@@ -126,19 +127,69 @@ def _remat_mode(raw):
     residual HBM, for long-context points where "dots" is just over.
     """
     if isinstance(raw, str):
+        if raw not in ("dots", "dots_slim", "dots_flash"):
+            raise ValueError(
+                f"training.gradient_checkpointing={raw!r} is not a known "
+                "mode; expected true | false | 'dots' | 'dots_slim' | "
+                "'dots_flash'")
         return raw
     return bool(raw)
+
+
+def reimpose_checkpoint_model_block(config: ConfigNode, out_dir: str):
+    """Resume fidelity (reference starvector/util.py:284-291 +
+    train/train.py:74-118): when resuming, the checkpoint's saved `model`
+    block wins over the live config — an edited architecture would
+    otherwise fail late (Orbax shape mismatch) or, for shape-compatible
+    edits (attn_impl, dropout, freeze flags), silently diverge. Must run
+    before model_builder. Returns the checkpoint path that will be
+    resumed from (or None)."""
+    last = ckpt.get_last_checkpoint(out_dir)
+    if not (last and config.get_path("training.resume", True)):
+        return last
+    saved = ckpt.load_checkpoint_config(last)
+    saved_model = saved.get("model") if saved else None
+    if saved_model is not None:
+        live_model = config.get_path("model")
+        if (live_model.to_dict() if hasattr(live_model, "to_dict")
+                else live_model) != saved_model.to_dict():
+            print(
+                f"resume: re-imposing the model block saved at {last} "
+                "over the live config (edits to `model` are ignored on "
+                "resume)")
+        config["model"] = saved_model
+    return last
 
 
 def main(config: ConfigNode):
     from starvector_tpu.utils.compile_cache import (
         enable_persistent_compilation_cache,
     )
+    from starvector_tpu.utils.experiment import (
+        copy_code, generate_experiment_id,
+    )
 
     enable_persistent_compilation_cache()
     project = config.get_path("project.name", "starvector-tpu")
-    out_dir = config.get_path("project.out_dir", f"runs/{project}")
+    # Run identity = config hash (reference starvector/util.py:98-146):
+    # without it, two different configs land in the same runs/<project>
+    # dir and clobber each other's checkpoints. An explicit
+    # project.out_dir overrides (tests, resumable named runs).
+    exp_id = generate_experiment_id(config)[:12]
+    out_dir = config.get_path(
+        "project.out_dir", os.path.join("runs", str(project), exp_id)
+    )
+
+    last = reimpose_checkpoint_model_block(config, out_dir)
+
+    os.makedirs(out_dir, exist_ok=True)
     log = _metrics_logger(out_dir, config)
+    with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+        f.write(config.to_yaml())
+    with open(os.path.join(out_dir, "experiment_id.txt"), "w") as f:
+        f.write(exp_id + "\n")
+    if config.get_path("project.snapshot_code", True):
+        copy_code(out_dir)
 
     mesh = create_mesh(
         MeshConfig(
@@ -197,7 +248,6 @@ def main(config: ConfigNode):
         params, opt_state = shard_train_state(params, tx, mesh)
 
         step = 0
-        last = ckpt.get_last_checkpoint(out_dir)
         if last and config.get_path("training.resume", True):
             state = ckpt.restore_checkpoint(
                 last, {"params": params, "opt_state": opt_state}
@@ -268,6 +318,7 @@ def main(config: ConfigNode):
                         out_dir, step,
                         {"params": params, "opt_state": opt_state},
                         total_limit=total_limit,
+                        config=config,
                     )
                 if step >= total_steps:
                     done = True
@@ -276,7 +327,9 @@ def main(config: ConfigNode):
 
 
 def main_cli():
-    main(get_config(default_path="configs/models/default.yaml"))
+    from starvector_tpu.config import resolve_repo_config
+
+    main(get_config(default_path=resolve_repo_config()))
 
 
 if __name__ == "__main__":

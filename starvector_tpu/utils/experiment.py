@@ -9,7 +9,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import subprocess
 
 import jax
 import numpy as np
@@ -26,25 +25,25 @@ def generate_experiment_id(config) -> str:
 
 
 def copy_code(out_dir: str, repo_root: str | None = None) -> str:
-    """Snapshot the package source into the run dir (reference :230-270)."""
+    """Snapshot the package source into the run dir (reference :230-270
+    uses rsync; pure-Python copytree here so the snapshot works in images
+    without rsync — every run records the code that produced it)."""
+    import shutil
+
     repo_root = repo_root or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    dst = os.path.join(out_dir, "code_snapshot")
-    os.makedirs(dst, exist_ok=True)
+    src = os.path.join(repo_root, "starvector_tpu")
+    dst = os.path.join(out_dir, "code_snapshot", "starvector_tpu")
     try:
-        subprocess.run(
-            [
-                "rsync", "-a", "--delete",
-                "--exclude", "__pycache__", "--exclude", "*.so",
-                "--exclude", ".git", "--exclude", "runs",
-                os.path.join(repo_root, "starvector_tpu"), dst,
-            ],
-            check=False, capture_output=True,
+        shutil.copytree(
+            src, dst, dirs_exist_ok=True,
+            ignore=shutil.ignore_patterns(
+                "__pycache__", "*.pyc", "*.so", ".git", "runs"),
         )
-    except OSError as e:  # rsync absent: the snapshot is best-effort
+    except OSError as e:  # best-effort: a failed snapshot never kills a run
         print(f"code snapshot skipped ({e})")
-    return dst
+    return os.path.dirname(dst)
 
 
 def count_params(tree) -> int:

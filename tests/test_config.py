@@ -61,3 +61,38 @@ def test_set_get_path():
     cfg.set_path("x.y.z", 5)
     assert cfg.get_path("x.y.z") == 5
     assert cfg.get_path("x.missing", "dflt") == "dflt"
+
+
+def test_get_config_missing_default_raises():
+    """A named-but-absent default layer must fail loudly, not silently drop
+    the optimizer recipe / freeze flags (reference starvector/util.py:280
+    crashes too; previously this repo skipped the layer without a message
+    when launched from a non-root CWD)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="default config layer"):
+        get_config([], default_path="/nonexistent/default.yaml")
+
+
+def test_resolve_repo_config_is_cwd_independent(tmp_path, monkeypatch):
+    """resolve_repo_config finds configs/models/default.yaml from any CWD
+    (anchored at the package root), and raises with the tried paths when
+    the file exists nowhere."""
+    import pytest
+
+    from starvector_tpu.config import resolve_repo_config
+
+    monkeypatch.chdir(tmp_path)
+    path = resolve_repo_config()
+    assert os.path.isabs(path) and os.path.exists(path)
+    assert path.endswith(os.path.join("configs", "models", "default.yaml"))
+
+    with pytest.raises(FileNotFoundError, match="tried"):
+        resolve_repo_config("configs/does/not/exist.yaml")
+
+    # explicit env root wins
+    (tmp_path / "configs").mkdir()
+    (tmp_path / "configs" / "x.yaml").write_text("a: 1\n")
+    monkeypatch.setenv("STARVECTOR_CONFIG_ROOT", str(tmp_path))
+    assert resolve_repo_config("configs/x.yaml") == str(
+        tmp_path / "configs" / "x.yaml")

@@ -455,6 +455,16 @@ def test_train_main_end_to_end_with_resume(tmp_path):
     # ckpt at step 2 (ckpt_every=2) + the final-step save at step 3
     assert ckpt_mod.step_from_path(last) == 3
 
+    # the run dir records its identity: config snapshot + exp id + code
+    # snapshot (reference starvector/util.py:98-146, :230-270)
+    assert (tmp_path / "run" / "config.yaml").exists()
+    assert (tmp_path / "run" / "experiment_id.txt").exists()
+    assert (tmp_path / "run" / "code_snapshot" / "starvector_tpu").is_dir()
+    # ... and each checkpoint carries the config it was trained with
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(last, "config.yaml"))
+
     # phase 2: resume and finish to 6 total steps
     main(make_cfg(6))
     last = ckpt_mod.get_last_checkpoint(out_dir)
@@ -470,3 +480,50 @@ def test_train_main_end_to_end_with_resume(tmp_path):
     steps = [r["step"] for r in recs if "loss" in r]
     assert steps[-1] == 6
     assert 3 in steps and 4 in steps  # resume continued, not restarted
+
+
+def test_checkpoint_config_snapshot_and_reimposition(tmp_path):
+    """save_checkpoint(config=...) writes config.yaml into checkpoint-<step>/
+    and resume re-imposes the saved `model` block over an edited live config
+    (reference starvector/util.py:284-291) — a resumed run cannot silently
+    change architecture."""
+    from starvector_tpu.config import ConfigNode
+    from starvector_tpu.train.train import reimpose_checkpoint_model_block
+
+    saved_cfg = ConfigNode({
+        "model": {"preset": "tiny", "attn_impl": "flash", "dropout": 0.1},
+        "training": {"lr": 1e-3, "resume": True},
+    })
+    state = {"params": {"w": jnp.zeros((2, 2))},
+             "opt_state": {"mu": jnp.zeros((2, 2))}}
+    base = str(tmp_path / "run")
+    path = ckpt.save_checkpoint(base, 7, state, config=saved_cfg)
+    assert (tmp_path / "run" / "checkpoint-7" / "config.yaml").exists()
+    assert ckpt.load_checkpoint_config(path).model.attn_impl == "flash"
+
+    # live config arrives with a shape-compatible architecture edit
+    live = ConfigNode({
+        "model": {"preset": "tiny", "attn_impl": "xla", "dropout": 0.0},
+        "training": {"lr": 5e-4, "resume": True},
+    })
+    last = reimpose_checkpoint_model_block(live, base)
+    assert last == path
+    assert live.model.attn_impl == "flash"      # saved block won
+    assert live.model.dropout == 0.1
+    assert live.get_path("training.lr") == 5e-4  # non-model keys untouched
+
+    # resume disabled -> live config is left alone
+    live2 = ConfigNode({
+        "model": {"attn_impl": "xla"}, "training": {"resume": False},
+    })
+    reimpose_checkpoint_model_block(live2, base)
+    assert live2.get_path("model.attn_impl") == "xla"
+
+    # pre-snapshot checkpoints (no config.yaml) resume as before
+    base2 = str(tmp_path / "old")
+    ckpt.save_checkpoint(base2, 3, state)
+    live3 = ConfigNode({
+        "model": {"attn_impl": "xla"}, "training": {"resume": True},
+    })
+    assert reimpose_checkpoint_model_block(live3, base2) is not None
+    assert live3.get_path("model.attn_impl") == "xla"
