@@ -60,6 +60,31 @@ def render_chat_template(messages, template_path: str | None = None) -> str:
         return "".join(texts)
 
 
+def serve_kwargs_from_leaf(leaf) -> dict:
+    """Map a serve config leaf's `serve:` block (e.g. configs/generation/
+    serve/starvector-8b/im2svg-tp4dp2.yaml — the geometries audited in
+    HBM_PROOF.json) onto engine/worker kwargs:
+      mesh axes → MeshConfig kwargs (the launcher shards params over it),
+      max_batch / max_len → engine slot geometry,
+      kv_cache_dtype: "int8" → jnp.int8, "bfloat16"/absent → None (engine
+      uses the compute dtype).
+    """
+    s = leaf.get("serve") or {}
+    get = s.get_path if hasattr(s, "get_path") else lambda k, d=None: s.get(k, d)
+    kv_raw = str(get("kv_cache_dtype", "bfloat16") or "bfloat16")
+    if kv_raw not in ("bfloat16", "int8"):
+        raise ValueError(
+            f"serve.kv_cache_dtype={kv_raw!r}: expected bfloat16 | int8")
+    mesh_axes = s.get("mesh") or {}
+    return {
+        "mesh_axes": {k: int(v) for k, v in dict(mesh_axes).items()},
+        "max_batch": int(get("max_batch", 8)),
+        "max_len": int(get("max_len", 8192)),
+        "kv_cache_dtype": jnp.int8 if kv_raw == "int8" else None,
+        "hbm_proof_case": get("hbm_proof_case"),
+    }
+
+
 class ModelWorker:
     def __init__(
         self,
@@ -435,6 +460,11 @@ def main():
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile prefill/tick chains before serving "
                              "(visual-prefix and 512/1024/2048 buckets)")
+    parser.add_argument("--serve-config", default=None,
+                        help="serve leaf yaml carrying the audited geometry "
+                             "(mesh axes, max_batch, max_len, kv dtype) — "
+                             "e.g. configs/generation/serve/starvector-8b/"
+                             "im2svg-tp4dp2.yaml")
     args = parser.parse_args()
 
     from starvector_tpu.api import StarVectorForCausalLM
@@ -442,13 +472,42 @@ def main():
     model = StarVectorForCausalLM.from_pretrained(
         args.model_path, quantize=args.quantize
     )
+    max_batch, max_len = args.max_batch, 8192
+    kv_dtype = jnp.int8 if args.kv_int8 else None
+    if args.serve_config:
+        from starvector_tpu.config import load_yaml
+
+        kw = serve_kwargs_from_leaf(load_yaml(args.serve_config))
+        max_batch, max_len = kw["max_batch"], kw["max_len"]
+        kv_dtype = kw["kv_cache_dtype"]
+        axes = kw["mesh_axes"]
+        if any(v > 1 for v in axes.values()):
+            import jax
+
+            from starvector_tpu.models import starvector as sv
+            from starvector_tpu.parallel import (
+                MeshConfig, create_mesh, make_param_shardings,
+            )
+
+            mesh = create_mesh(MeshConfig(**axes))
+            # sharded params are all the engine needs — jit infers the
+            # collectives from the NamedShardings (see
+            # tests/test_parallel.py::test_tp_sharded_serve_engine)
+            model.params = jax.device_put(
+                model.params,
+                make_param_shardings(model.params, sv.partition_rules(), mesh),
+            )
+            print(f"serve-config {kw.get('hbm_proof_case') or ''}: "
+                  f"mesh {axes}, B={max_batch}, max_len={max_len}, "
+                  f"kv={'int8' if kv_dtype is not None else 'bf16'}")
     worker = ModelWorker(
         model,
         worker_addr=args.worker_address or f"http://localhost:{args.port}",
         controller_addr=args.controller,
         limit_model_concurrency=args.limit_model_concurrency,
-        max_batch=args.max_batch,
-        kv_cache_dtype=jnp.int8 if args.kv_int8 else None,
+        max_batch=max_batch,
+        max_len=max_len,
+        kv_cache_dtype=kv_dtype,
         spec_drafts=args.spec_drafts,
     )
     if args.warmup:
