@@ -629,22 +629,138 @@ def _flash_dqdkv_fused_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _flash_bwd_onepass_kernel(
+    q_offset_ref,    # (1,) absolute position of query row 0
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dq_ref, dk_ref, dv_ref,
+    dq_scr,          # (bq, D) fp32
+    dk_scr, dv_scr,  # (Tp, D) fp32 — FULL-length accumulators
+    *, scale, block_q, block_k, causal, window, n_i, n_j,
+):
+    """One-pass long-S backward: grid (B, Hkv, G·ni, nj) with the k-block
+    axis innermost. Each live (q block, k block) cell computes P ONCE and
+    feeds all five backward matmuls — the split dq/dkv pair recomputes the
+    S·T scores in both kernels (7 executed matmuls for 5 counted by the
+    FLOPs model, capping the model rate at ~5/7 of the MXU rate; measured
+    69-74 TF/s at S=8192 vs 147.9 TF/s forward). dq accumulates in a
+    per-q-block scratch (finalized when its k sweep ends, exactly like
+    _flash_dq_kernel); dk/dv accumulate across the WHOLE (u, j) sweep in a
+    full-length fp32 scratch — (Tp, 128) fp32 ×2 is 8 MiB at T=8192, well
+    inside v5e VMEM — and flush once at the final cell. Dead cells skip
+    compute and their DMAs are elided via the live_j index-map clamp."""
+    u = pl.program_id(2)
+    j = pl.program_id(3)
+    nu = pl.num_programs(2)
+    i = jax.lax.rem(u, n_i)
+    q_off = q_offset_ref[0]
+
+    @pl.when(jnp.logical_and(u == 0, j == 0))
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(j == 0)
+    def _init_q():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    run = True
+    interior = False
+    if causal:
+        first_q = q_off + i * block_q
+        first_k = j * block_k
+        run = first_k <= first_q + block_q - 1
+        interior = first_k + block_k - 1 <= first_q
+        if window is not None:
+            run = jnp.logical_and(
+                run, first_k + block_k - 1 > first_q - window
+            )
+            interior = jnp.logical_and(
+                interior, first_k > first_q + block_q - 1 - window
+            )
+
+    def _compute(pos_masked):
+        q = q_ref[0, 0]                  # (bq, D)
+        k = k_ref[0, 0]                  # (bk, D)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]                # (bq, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                        # (bq, bk)
+        mask = kvmask_ref[0, 0, :][None, :] > 0
+        if pos_masked:
+            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            if causal:
+                mask &= k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
+        lse = lse_ref[0, 0][:, :1]       # (bq, 1)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # (bq, bk)
+        delta = delta_ref[0, 0][:, :1]                        # (bq, 1)
+        ds = p * (dp - delta) * scale                         # (bq, bk)
+        ds_b = ds.astype(q.dtype)
+        dq_scr[:] += jax.lax.dot_general(
+            ds_b, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # contract the shared q axis — no (bk, bq) transposes materialize
+        sl = pl.ds(j * block_k, block_k)
+        dv_scr[sl] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[sl] += jax.lax.dot_general(
+            ds_b, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        pl.when(jnp.logical_and(run, jnp.logical_not(interior)))(
+            lambda: _compute(True)
+        )
+        pl.when(interior)(lambda: _compute(False))
+    else:
+        pl.when(run)(lambda: _compute(window is not None))
+
+    @pl.when(j == n_j - 1)
+    def _finalize_q():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+    @pl.when(jnp.logical_and(u == nu - 1, j == n_j - 1))
+    def _finalize_kv():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
 # Above this KV length the fused kernel's resident K/V + fp32 dk/dv scratch
 # (~T·128·12 bytes + double-buffered q/do blocks) would crowd VMEM; the
 # two-kernel path also stops being overhead-bound there, so split wins.
 _FUSED_BWD_MAX_T = 2048
 
+# One-pass kernel bound: its dk/dv scratch is T·128·8 bytes (fp32 k+v) plus
+# the resident bf16 dk/dv output blocks — 24 MiB at T=16384, comfortable;
+# beyond that fall back to the split pair.
+_ONEPASS_BWD_MAX_T = 16384
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "window", "scale", "block_q", "block_k",
-                     "interpret", "fused"),
+                     "interpret", "fused", "onepass"),
 )
 def flash_backward(
     q, k, v, kv_mask, out, lse, g, q_offset: jax.Array | int = 0, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
     block_q: int | None = None, block_k: int | None = None,
     interpret: bool | None = None, fused: bool | None = None,
+    onepass: bool | None = None,
 ):
     """Flash-attention backward: dq/dk/dv with recomputed P blocks and
     fp32 accumulation — nothing O(S·T) ever materializes (the reference gets
@@ -660,11 +776,17 @@ def flash_backward(
         split kernels are overhead/VPU-bound (~8.5 µs/program measured on
         v5e — exp+mask recompute twice, 768 programs), not MXU-bound;
         fusing halves the programs and the VPU work.
-      * longer T — split dq / dkv kernels with shape-adaptive blocks
-        (bq=512, bk minimizing padded KV length: 69 TF/s at S=8192 vs
-        11 TF/s for uniform 128/128 — small blocks drown in grid overhead,
-        and a bk that pads T (e.g. 1024 → Tp=2048 at T=1282) wastes up to
-        60% of the k sweep)."""
+      * longer T (up to _ONEPASS_BWD_MAX_T) — ONE-PASS kernel
+        (`_flash_bwd_onepass_kernel`): P computed once per live cell feeds
+        all five matmuls, vs 7 executed matmuls across the split pair
+        (the split's 69-74 TF/s at S=8192 is ~5/7 of its real MXU rate by
+        construction; one pass removes the double score recompute).
+      * T beyond the one-pass VMEM bound, or `onepass=False` — split
+        dq / dkv kernels with shape-adaptive blocks (bq=512, bk minimizing
+        padded KV length: 69 TF/s at S=8192 vs 11 TF/s for uniform
+        128/128 — small blocks drown in grid overhead, and a bk that pads
+        T (e.g. 1024 → Tp=2048 at T=1282) wastes up to 60% of the k
+        sweep)."""
     if interpret is None:
         interpret = _interpret_default()
     B, S, H, D = q.shape
@@ -781,6 +903,82 @@ def flash_backward(
         return dq, dk, dv
     _live_j = _make_live_j(block_q, block_k, nj, causal, window)
     _live_i = _make_live_i(block_q, block_k, ni, causal, window)
+
+    if onepass is None:
+        onepass = T <= _ONEPASS_BWD_MAX_T
+    if onepass:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_onepass_kernel, **common, n_i=ni, n_j=nj,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, Hkv, G * ni, nj),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, u, j, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, u, j, qo, ni=ni:
+                            (b, hk, _live_j(u % ni, j, qo), 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, u, j, qo, ni=ni:
+                            (b, hk, _live_j(u % ni, j, qo), 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, u, j, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, u, j, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, u, j, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k),
+                        lambda b, hk, u, j, qo, ni=ni:
+                            (b, 0, _live_j(u % ni, j, qo)),
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, u, j, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, u % ni, 0),
+                    ),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, u, j, *_: (b, hk, 0, 0)),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, u, j, *_: (b, hk, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, D), jnp.float32),
+                    pltpu.VMEM((Tp, D), jnp.float32),
+                    pltpu.VMEM((Tp, D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), k.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), v.dtype),
+            ],
+            interpret=interpret,
+        )(q_off_arr, qh, kh, vh, doh, lse, delta, kvm)
+        dq = jnp.moveaxis(dq, 1, 2)[:, :S]
+        dk = jnp.moveaxis(dk, 1, 2)[:, :T]
+        dv = jnp.moveaxis(dv, 1, 2)[:, :T]
+        return dq, dk, dv
 
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, **common),

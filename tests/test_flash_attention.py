@@ -292,11 +292,14 @@ def test_flash_backward_kernel_parity(H, Hkv, window):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("onepass", [False, True])
 @pytest.mark.parametrize("H,Hkv,window", [(4, 1, None), (4, 2, 7)])
-def test_flash_backward_split_kernel_parity(H, Hkv, window):
-    """The SPLIT dq/dkv kernels (multi-k-block grid, explicit block sizes
-    force fused=False) match XLA autodiff — covers the interior fast-path
-    branch and the dead-block index-map clamps at block granularity."""
+def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
+    """The multi-k-block backward kernels (explicit block sizes force
+    fused=False) match XLA autodiff — both the SPLIT dq/dkv pair
+    (onepass=False) and the ONE-PASS kernel (onepass=True, the long-S
+    default) — covering the interior fast-path branch and the dead-block
+    index-map clamps at block granularity."""
     from starvector_tpu.ops.flash_attention import (
         flash_backward, flash_prefill_with_lse,
     )
@@ -321,7 +324,8 @@ def test_flash_backward_split_kernel_parity(H, Hkv, window):
 
     out, lse = flash_prefill_with_lse(q, k, v, mask, window=window)
     dq, dk, dv = flash_backward(
-        q, k, v, mask, out, lse, g, window=window, block_q=16, block_k=16
+        q, k, v, mask, out, lse, g, window=window, block_q=16, block_k=16,
+        onepass=onepass,
     )
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
                                rtol=2e-4, atol=2e-4)
@@ -331,10 +335,12 @@ def test_flash_backward_split_kernel_parity(H, Hkv, window):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("onepass", [False, True])
 @pytest.mark.parametrize("window", [None, 9])
-def test_flash_backward_split_kernel_q_offset(window):
-    """Split-kernel backward with a query-position offset (the sequence-
-    parallel chunk layout): q is rows [16, 32) of a 48-key window."""
+def test_flash_backward_split_kernel_q_offset(window, onepass):
+    """Multi-k-block backward with a query-position offset (the sequence-
+    parallel chunk layout): q is rows [16, 32) of a 48-key window — both
+    the split pair and the one-pass kernel."""
     from starvector_tpu.ops.flash_attention import (
         flash_backward, flash_prefill_with_lse,
     )
@@ -361,7 +367,7 @@ def test_flash_backward_split_kernel_q_offset(window):
     )
     dq, dk, dv = flash_backward(
         q, k, v, mask, out, lse, g, q_offset=off, window=window,
-        block_q=8, block_k=16,
+        block_q=8, block_k=16, onepass=onepass,
     )
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
                                rtol=2e-4, atol=2e-4)
