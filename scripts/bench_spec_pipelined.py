@@ -1,0 +1,111 @@
+"""Benchmark generate_pipelined_spec — batched speculation fused with
+cross-batch chunked prefill — at the 1k-prefill/256-decode validation shape
+(VERDICT r4 #1: target pipelined_spec_tok_per_s >= 10,500, beating both
+parents: 8,985 int8-KV pipelined and the serial 6,987).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_spec_pipelined.py [--chunk N] [--draft K]
+"""
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def median_time(fn, reps=3):
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--draft", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from starvector_tpu.generation.engine import (
+        GenerationConfig, generate_pipelined_spec,
+    )
+    from starvector_tpu.models import starvector as sv
+    from starvector_tpu.ops.layers import DTypePolicy
+    from starvector_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
+    cfg = sv.starvector_1b_config()
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, attn_impl="mixed"))
+    llm = cfg.llm
+    policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+
+    B, P, NEW = 64, 1024, 256
+    Mb = args.batches
+    E = llm.hidden_size
+    rng = jax.random.PRNGKey(11)
+
+    # decoder-only params (the task model's vision tower is not on this path)
+    t0 = time.time()
+    dec_params = sv.init_params(cfg, jax.random.PRNGKey(0),
+                                dtype=jnp.bfloat16)["svg_transformer"]
+    print(f"params init {time.time()-t0:.1f}s", file=sys.stderr)
+    if args.weights == "int8":
+        from starvector_tpu.ops.quantization import quantize_tree
+        dec_params = quantize_tree(dec_params, consume=True)
+
+    # the 1k prefix plays the im2svg visual-context role: OPAQUE embeds with
+    # ids=-1 in the lookup context (the spec_batched bench convention —
+    # random token ids would poison the prompt-lookup with spurious bigram
+    # matches that no real workload has; drafts then come from the
+    # generated output, which is where SVG's self-repetition lives)
+    from starvector_tpu.models import gpt_bigcode as gbc
+    batches = []
+    for i in range(Mb):
+        ids = jax.random.randint(
+            jax.random.fold_in(rng, i), (B, P), 5, llm.vocab_size)
+        emb = gbc.embed_tokens(dec_params, ids).astype(policy.compute_dtype)
+        batches.append((emb, jnp.ones((B, P), jnp.int32),
+                        jnp.full((B, P), -1, jnp.int32)))
+
+    gen = GenerationConfig(max_new_tokens=NEW, do_sample=False,
+                           eos_token_id=None, pad_token_id=0,
+                           repetition_penalty=1.0)
+    kv_dtype = jnp.int8 if args.kv == "int8" else None
+
+    def run(collect=None):
+        outs = generate_pipelined_spec(
+            dec_params, llm, cfg.decoder, batches, gen, policy=policy,
+            draft_len=args.draft, chunk_positions=args.chunk,
+            kv_cache_dtype=kv_dtype, stats=collect,
+        )
+        return np.asarray(outs[-1][0][:, -1])
+
+    t0 = time.time()
+    st = []
+    run(st)
+    print(f"compile+first run {time.time()-t0:.1f}s; "
+          f"rounds/batch {[int(np.asarray(r)) for r in st]}", file=sys.stderr)
+    t = median_time(run, args.reps)
+    tok_s = Mb * B * NEW / t
+    print(f"chunk={args.chunk} draft={args.draft} kv={args.kv} "
+          f"weights={args.weights}: {t:.2f}s -> {tok_s:,.0f} tok/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -663,6 +663,364 @@ def generate_pipelined(
     return out
 
 
+# ---------------------------------------------------------------------------
+# pipelined + speculative offline generation: batched prompt-lookup verify
+# rounds with the NEXT batch's chunked prefill fused into every round
+# ---------------------------------------------------------------------------
+#
+# Composition of the repo's two strongest measured levers (VERDICT r4 #1):
+# batched speculation (each round verifies W drafted tokens per row in one
+# dispatch — the weight read amortizes over B*W positions) and cross-batch
+# prefill/decode overlap (the next batch's prompt chunks ride the same layer
+# scan). Per round, one fused forward advances every live row by 1..W
+# verified tokens AND writes C prompt positions of batch k+1 — the chunk's
+# MXU work shares the weight stream the verify GEMMs already pay for.
+# Greedy only (speculative acceptance is exact for greedy; the offline
+# SVG-Bench validation workload at temperature 0).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dec_name", "llm_cfg", "max_new_tokens", "draft_len",
+        "stop_sequences", "eos_token_id", "pad_token_id", "policy",
+        "total_next", "accept_margin", "kv_dtype",
+    ),
+)
+def _spec_prefill_adopt_jit(
+    params, inputs_embeds, attention_mask, *,
+    dec_name, llm_cfg, max_new_tokens, draft_len, policy, total_next,
+    stop_sequences=(), eos_token_id=None, pad_token_id=0, accept_margin=0.0,
+    kv_dtype=None,
+):
+    """Prefill a RIGHT-padded batch into a linear cache of length
+    `total_next` and adopt it as a ragged cache (per-row lengths), returning
+    (rag, pending) — the same adoption generate_greedy_speculative_batched
+    performs, shared here so batch 0 of the pipelined-spec stream matches
+    later batches' chunked-prefill geometry."""
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B = inputs_embeds.shape[0]
+    cache = dec.init_cache(llm_cfg, B, total_next,
+                           dtype=kv_dtype or policy.compute_dtype)
+    h, cache = dec.forward(
+        params, llm_cfg, inputs_embeds, attention_mask=attention_mask,
+        cache=cache, policy=policy, return_hidden=True,
+    )
+    n_prompt = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+    h_last = jnp.take_along_axis(
+        h, jnp.maximum(n_prompt - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    logits0 = jnp.einsum(
+        "be,ve->bv", policy.cast(h_last),
+        policy.cast(dec.lm_head_table(params, llm_cfg)),
+        preferred_element_type=jnp.float32,
+    )
+    pending = jnp.argmax(logits0, -1).astype(jnp.int32)
+    rag = {"k": cache["k"], "v": cache["v"],
+           "lengths": n_prompt, "kv_mask": cache["kv_mask"].astype(jnp.int32)}
+    if "k_scale" in cache:
+        rag.update(k_scale=cache["k_scale"], v_scale=cache["v_scale"])
+    return rag, pending
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dec_name", "llm_cfg", "max_new_tokens", "draft_len",
+        "stop_sequences", "eos_token_id", "pad_token_id", "policy",
+        "has_next", "chunk", "n_chunks", "total_next", "kv_dtype",
+        "accept_margin",
+    ),
+)
+def _spec_overlap_jit(
+    params: dict,
+    rag: dict,                    # current batch's ragged cache (prefilled)
+    pending: jax.Array,           # (B,) verified greedy continuation
+    ctx: jax.Array,               # (B, CTX) draft-lookup context
+    n_ctx: jax.Array,             # (B,)
+    next_embeds: jax.Array,       # (B, Pn, E) next prompt (RIGHT-padded)
+    next_mask: jax.Array,         # (B, Pn)
+    *,
+    dec_name: str,
+    llm_cfg: Any,
+    max_new_tokens: int,
+    draft_len: int,
+    stop_sequences: tuple[tuple[int, ...], ...],
+    eos_token_id: int | None,
+    pad_token_id: int,
+    policy: DTypePolicy,
+    has_next: bool,
+    chunk: int,
+    n_chunks: int,
+    total_next: int,
+    kv_dtype=None,
+    accept_margin: float = 0.0,
+):
+    """Speculative verify rounds over the current batch with the next
+    batch's chunked prefill fused in. Returns (tokens, lengths, next_rag,
+    next_pending); the next_* outputs are dummies when has_next=False."""
+    from starvector_tpu.models import decode_common as dc
+    from starvector_tpu.models import gpt_bigcode, starcoder2
+    from starvector_tpu.generation.speculative import (
+        _append_accepted, _find_stop_in, _lookup_draft,
+    )
+
+    dec = gpt_bigcode if dec_name == "gpt_bigcode" else starcoder2
+    B = pending.shape[0]
+    K = draft_len
+    BUF = max_new_tokens + K
+    E = next_embeds.shape[2]
+    rows = jnp.arange(B)
+
+    cache_next = dec.init_cache(
+        llm_cfg, B, total_next, dtype=kv_dtype or policy.compute_dtype)
+    h_last_next = jnp.zeros((B, E), policy.compute_dtype)
+    n_prompt_next = jnp.sum(next_mask, axis=1).astype(jnp.int32)
+
+    tokens0 = jnp.full((B, BUF), pad_token_id, jnp.int32)
+
+    def cond(state):
+        t, done = state[0], state[5]
+        # decode liveness only: leftover prompt chunks (decode finished
+        # before the next prompt was fully written) run through the cheap
+        # chunk-only tail loop below instead of wasting full verify rounds
+        return jnp.any(jnp.logical_and(t < max_new_tokens, ~done))
+
+    def body(state):
+        (t, rag, ctx, tokens, n_ctx, done, lengths, pending,
+         cache_next, h_last_next, r) = state
+        drafted = jax.vmap(
+            lambda c, n, p: _lookup_draft(c, n, p, K))(ctx, n_ctx, pending)
+        proposal = jnp.concatenate([pending[:, None], drafted], 1)  # (B, K)
+
+        if has_next:
+            def fused(args):
+                rag, cache_next, h_last = args
+                start = r * chunk
+                ce = jax.lax.dynamic_slice(
+                    next_embeds, (0, start, 0), (B, chunk, E))
+                cm = jax.lax.dynamic_slice(next_mask, (0, start), (B, chunk))
+                lg, rag, ch, cache_next = dec.forward_ragged_verify_with_chunk(
+                    params, llm_cfg, proposal, rag, policy.cast(ce), cm,
+                    cache_next, policy=policy,
+                )
+                # capture each row's last-real-prompt hidden when it lands
+                # in this chunk (rows differ; ONE lm-head projection happens
+                # after the loop)
+                off = n_prompt_next - 1 - start
+                hit = (off >= 0) & (off < chunk)
+                h_sel = ch[rows, jnp.clip(off, 0, chunk - 1)]
+                h_last = jnp.where(hit[:, None], h_sel.astype(h_last.dtype),
+                                   h_last)
+                return lg, rag, cache_next, h_last
+
+            def verify_only(args):
+                rag, cache_next, h_last = args
+                lg, rag = dec.forward_ragged_verify(
+                    params, llm_cfg, proposal, rag, jnp.logical_not(done),
+                    policy=policy,
+                )
+                return lg, rag, cache_next, h_last
+
+            lg, rag, cache_next, h_last_next = jax.lax.cond(
+                r < n_chunks, fused, verify_only,
+                (rag, cache_next, h_last_next),
+            )
+        else:
+            lg, rag = dec.forward_ragged_verify(
+                params, llm_cfg, proposal, rag, jnp.logical_not(done),
+                policy=policy,
+            )
+
+        lg32 = lg.astype(jnp.float32)
+        g = jnp.argmax(lg32, -1).astype(jnp.int32)            # (B, K)
+        agree = (proposal[:, 1:] == g[:, : K - 1]).astype(jnp.int32)
+        if accept_margin > 0.0:
+            top2 = jax.lax.top_k(lg32, 2)[0]
+            margin = top2[..., 0] - top2[..., 1]
+            agree = agree * (margin[:, : K - 1] >= accept_margin
+                             ).astype(jnp.int32)
+        a = 1 + jnp.sum(jnp.cumprod(agree, axis=1), axis=1)   # (B,) 1..K
+        a = jnp.where(done, 0, a)
+        rag = dc.commit_verify(rag, a)
+
+        tokens, t_new = _append_accepted(tokens, t, proposal, a)
+        ctx, n_ctx = _append_accepted(ctx, n_ctx, proposal, a)
+        pending = jnp.where(done, pending, g[rows, jnp.clip(a - 1, 0, K - 1)])
+
+        upto = jnp.minimum(t_new, max_new_tokens)
+        stop_at, fired = jax.vmap(
+            lambda tb, u: _find_stop_in(tb, u, stop_sequences, eos_token_id,
+                                        max_new_tokens))(tokens, upto)
+        newly = (fired | (t_new >= max_new_tokens)) & ~done
+        lengths = jnp.where(
+            newly,
+            jnp.where(fired, stop_at, jnp.minimum(t_new, max_new_tokens)),
+            lengths,
+        )
+        done = done | newly
+        return (t_new, rag, ctx, tokens, n_ctx, done, lengths, pending,
+                cache_next, h_last_next, r + 1)
+
+    state = (
+        jnp.zeros((B,), jnp.int32), rag, ctx, tokens0, n_ctx,
+        jnp.zeros((B,), bool), jnp.full((B,), max_new_tokens, jnp.int32),
+        pending, cache_next, h_last_next, jnp.zeros((), jnp.int32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    (_, _, _, tokens, _, _, lengths, _, cache_next, h_last_next, r) = state
+
+    if has_next:
+        # tail: finish any leftover prompt chunks WITHOUT the verify side
+        # (pure chunked cached prefill, the _decode_overlap_jit chunk path)
+        import dataclasses as _dc
+
+        chunk_cfg = _dc.replace(llm_cfg, attn_impl="xla")
+
+        def tail_cond(st):
+            return st[0] < n_chunks
+
+        def tail_body(st):
+            r, cache_next, h_last = st
+            start = r * chunk
+            ce = jax.lax.dynamic_slice(
+                next_embeds, (0, start, 0), (B, chunk, E))
+            cm = jax.lax.dynamic_slice(next_mask, (0, start), (B, chunk))
+            hh, cache_next = dec.forward(
+                params, chunk_cfg, policy.cast(ce), attention_mask=cm,
+                cache=cache_next, policy=policy, return_hidden=True,
+            )
+            off = n_prompt_next - 1 - start
+            hit = (off >= 0) & (off < chunk)
+            h_sel = hh[rows, jnp.clip(off, 0, chunk - 1)]
+            h_last = jnp.where(hit[:, None], h_sel.astype(h_last.dtype),
+                               h_last)
+            return r + 1, cache_next, h_last
+
+        r, cache_next, h_last_next = jax.lax.while_loop(
+            tail_cond, tail_body, (r, cache_next, h_last_next))
+
+    tokens = tokens[:, :max_new_tokens]
+    tokens = jnp.where(
+        jnp.arange(max_new_tokens)[None, :] < lengths[:, None],
+        tokens, pad_token_id,
+    )
+
+    # adopt the chunk-prefilled linear cache as the next batch's ragged
+    # cache + its verified pending token (dummies when has_next=False)
+    next_rag = {"k": cache_next["k"], "v": cache_next["v"],
+                "lengths": n_prompt_next,
+                "kv_mask": cache_next["kv_mask"].astype(jnp.int32)}
+    if "k_scale" in cache_next:
+        next_rag.update(k_scale=cache_next["k_scale"],
+                        v_scale=cache_next["v_scale"])
+    logits_n = jnp.einsum(
+        "be,ve->bv", policy.cast(h_last_next),
+        policy.cast(dec.lm_head_table(params, llm_cfg)),
+        preferred_element_type=jnp.float32,
+    )
+    next_pending = jnp.argmax(logits_n, -1).astype(jnp.int32)
+    return tokens, lengths, next_rag, next_pending, r
+
+
+def generate_pipelined_spec(
+    params: dict,
+    llm_cfg: Any,
+    dec_name: str,
+    batches: list,        # [(embeds (B,P,E), mask (B,P), prompt_ids (B,P))]
+                          # — RIGHT-padded rows; prompt_ids -1 at holes
+    gen: GenerationConfig,
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+    draft_len: int = 8,
+    chunk_positions: int | None = None,
+    kv_cache_dtype=None,
+    accept_margin: float = 0.0,
+    stats: list | None = None,       # appended per batch: total rounds
+                                     # (verify + chunk-tail) — audit lever
+                                     # for tuning chunk_positions
+):
+    """Greedy generation over a stream of same-shaped batches combining
+    batched prompt-lookup speculation with cross-batch chunked prefill: each
+    verify round also writes `chunk_positions` prompt positions of the next
+    batch through the SAME layer scan. Returns [(tokens, lengths), ...]
+    like `generate`. Rows must be RIGHT-padded (ragged-slot convention of
+    generate_greedy_speculative_batched, unlike generate_pipelined's left
+    padding). Greedy only: speculative acceptance is exact for argmax
+    decoding (reference counterpart: the vLLM batched offline path of
+    /root/reference/scripts/quickstart-vllm.py)."""
+    if gen.do_sample:
+        raise ValueError("generate_pipelined_spec is greedy-only "
+                         "(do_sample=False); use generate_pipelined for "
+                         "sampled decoding")
+    if not batches:
+        return []
+    B, P, E = batches[0][0].shape
+    K = draft_len
+
+    # chunk size: spread the next prompt over the EXPECTED number of verify
+    # rounds. With mean acceptance a, rounds ≈ max_new_tokens/a; default
+    # assumes a≈2 (conservative: leftover chunks at the end run as cheap
+    # fused rounds with all rows done, while too-large chunks waste MXU
+    # time every round)
+    C = chunk_positions or max(8, -(-2 * P * 1 // gen.max_new_tokens))
+    n_chunks = -(-P // C)
+    Pn = n_chunks * C
+    BUF = gen.max_new_tokens + K
+    total = Pn + gen.max_new_tokens + K + 1
+    CTX = Pn + BUF
+
+    def pad_right(embeds, mask, ids):
+        d = Pn - embeds.shape[1]
+        if d == 0:
+            return embeds, mask, ids
+        return (
+            jnp.pad(embeds, ((0, 0), (0, d), (0, 0))),
+            jnp.pad(mask, ((0, 0), (0, d))),
+            jnp.pad(ids, ((0, 0), (0, d)), constant_values=-1),
+        )
+
+    padded = [pad_right(*b) for b in batches]
+    statics = dict(
+        dec_name=dec_name, llm_cfg=llm_cfg,
+        max_new_tokens=gen.max_new_tokens, draft_len=K,
+        stop_sequences=gen.stop_sequences, eos_token_id=gen.eos_token_id,
+        pad_token_id=gen.pad_token_id, policy=policy,
+        total_next=total, kv_dtype=kv_cache_dtype,
+        accept_margin=accept_margin,
+    )
+
+    e0, m0, _ = padded[0]
+    rag, pending = _spec_prefill_adopt_jit(
+        params, policy.cast(e0), m0,
+        **{k: v for k, v in statics.items()
+           if k not in ("has_next", "chunk", "n_chunks")},
+    )
+
+    dummy_e = jnp.zeros((B, Pn, E), batches[0][0].dtype)
+    dummy_m = jnp.zeros((B, Pn), jnp.int32)
+    out = []
+    for i in range(len(batches)):
+        has_next = i + 1 < len(batches)
+        ne, nm, _ = padded[i + 1] if has_next else (dummy_e, dummy_m, None)
+        ids = padded[i][2]
+        ctx0 = jnp.pad(
+            jnp.asarray(ids, jnp.int32), ((0, 0), (0, CTX - Pn)),
+            constant_values=-1,
+        )
+        n_ctx0 = jnp.full((B,), Pn, jnp.int32)
+        tokens, lengths, rag, pending, rounds = _spec_overlap_jit(
+            params, rag, pending, ctx0, n_ctx0, ne, nm,
+            has_next=has_next, chunk=C, n_chunks=n_chunks, **statics,
+        )
+        if stats is not None:
+            stats.append(rounds)
+        out.append((tokens, lengths))
+    return out
+
+
 def generate_im2svg(
     params: dict,
     cfg: "sv.StarVectorConfig",

@@ -764,6 +764,155 @@ def forward_ragged_verify(
     return logits, new_cache
 
 
+def forward_ragged_verify_with_chunk(
+    params: dict,
+    cfg: GPTBigCodeConfig,
+    token_ids: jax.Array,      # (B, W): [last accepted token ‖ drafts]
+    cache: dict,               # current batch's RAGGED cache
+    chunk_embeds: jax.Array,   # (B, C, E) next batch's prompt chunk
+    chunk_mask: jax.Array,     # (B, C) — right-padded rows: 1 = real token
+    cache_next: dict,          # next batch's LINEAR cache being prefilled
+    *,
+    policy: DTypePolicy = DTypePolicy(),
+):
+    """ONE layer scan that speculatively VERIFIES the current batch's W-token
+    proposals (forward_ragged_verify semantics: per-slot positions, K/V
+    written at lengths+[0..W) but not committed) AND prefills a C-position
+    chunk of the NEXT batch's prompt — the composition of the repo's two
+    strongest measured levers (generation/engine.py::generate_pipelined_spec).
+    Each layer's weights stream from HBM once for the W+C concatenated rows;
+    the verify side's multi-token GEMMs already amortize the weight read, and
+    the chunk rides the same read for free.
+
+    int8 caches: both caches carry k_scale/v_scale; scales fold into the
+    score/value einsums exactly like the serving ticks, and new K/V quantize
+    on write.
+
+    Returns (verify_logits (B, W, V) fp32, new_cache (ragged; caller commits
+    accepted counts via decode_common.commit_verify), chunk_hidden (B, C, E)
+    post-ln_f — the caller projects only the positions it needs —, and
+    new_cache_next with index advanced by C)."""
+    from starvector_tpu.models import decode_common as dc
+
+    quant = "k_scale" in cache
+    if quant != ("k_scale" in cache_next):
+        raise ValueError("fused verify+chunk: cache dtypes must match")
+
+    B, W = token_ids.shape
+    C, E = chunk_embeds.shape[1], chunk_embeds.shape[2]
+    H, D, Hkv = cfg.n_head, cfg.head_dim, cfg.kv_heads
+    G = H // Hkv
+    scale = D**-0.5
+    eps = cfg.layer_norm_epsilon
+
+    # verify side: per-slot positions from the ragged lengths
+    positions_v = cache["lengths"][:, None] + jnp.arange(W)[None, :]
+    T_v = cache["k"].shape[2]
+    write_pos_v = jnp.clip(positions_v, 0, T_v - 1)     # (B, W)
+    old_mask_v = cache["kv_mask"]
+
+    # chunk side: shared-index linear prefill (same derivations as
+    # forward_decode_with_chunk's chunk segment)
+    idx_c = cache_next["index"]
+    T_c = cache_next["k"].shape[2]
+    prev_c = jnp.sum(cache_next["kv_mask"], axis=-1, dtype=jnp.int32)
+    pos_c = prev_c[:, None] + compute_position_ids(chunk_mask)
+    pos_c = jnp.where(chunk_mask == 0, 1, pos_c)
+    kv_mask_c = jax.lax.dynamic_update_slice(
+        cache_next["kv_mask"], chunk_mask.astype(jnp.int32), (0, idx_c)
+    )
+    old_mask_c = kv_mask_c & (jnp.arange(T_c)[None, :] < idx_c)
+
+    wpe_full = maybe_constrain(params["wpe"], P(None, None))
+    x_v = policy.cast(embed_tokens(params, token_ids)) + policy.cast(
+        wpe_full[jnp.clip(positions_v, 0, cfg.n_positions - 1)])
+    x_c = policy.cast(chunk_embeds) + policy.cast(
+        wpe_full[jnp.clip(pos_c, 0, cfg.n_positions - 1)])
+
+    def body(carry, xs):
+        h_v, h_c = carry
+        if quant:
+            layer_p, lvk, lvv, lnk, lnv, lvks, lvvs, lnks, lnvs = xs
+        else:
+            layer_p, lvk, lvv, lnk, lnv = xs
+            lvks = lvvs = lnks = lnvs = None
+        # shared projections: ONE weight read serves verify + chunk rows
+        h_cat = jnp.concatenate([h_v, h_c], axis=1)          # (B, W+C, E)
+        hh = layer_norm(layer_p["ln_1"], h_cat, eps)
+        qkv = dense(layer_p["attn"]["c_attn"], hh, policy)
+        q_all = qkv[..., :E]
+        k_all = qkv[..., E:E + Hkv * D]
+        v_all = qkv[..., E + Hkv * D:]
+
+        q_v = jnp.moveaxis(q_all[:, :W].reshape(B, W, Hkv, G, D), 1, 3)
+        k_v = k_all[:, :W].reshape(B, W, Hkv, D)
+        v_v = v_all[:, :W].reshape(B, W, Hkv, D)
+        out_v = dc.merged_verify_attention(
+            q_v, k_v, v_v, lvk, lvv, old_mask_v, scale,
+            k_scale=lvks, v_scale=lvvs,
+        )
+        q_c = jnp.moveaxis(q_all[:, W:].reshape(B, C, Hkv, G, D), 1, 3)
+        k_c = k_all[:, W:].reshape(B, C, Hkv, D)
+        v_c = v_all[:, W:].reshape(B, C, Hkv, D)
+        out_c = dc.merged_verify_attention(
+            q_c, k_c, v_c, lnk, lnv, old_mask_c, scale,
+            k_scale=lnks, v_scale=lnvs, new_mask=chunk_mask,
+        )
+
+        out_cat = jnp.concatenate([out_v, out_c], axis=1)
+        h_cat = h_cat + dense(layer_p["attn"]["c_proj"], out_cat, policy)
+        hh = layer_norm(layer_p["ln_2"], h_cat, eps)
+        hh = dense(layer_p["mlp"]["c_fc"], hh, policy)
+        hh = gelu_tanh(hh)
+        h_cat = h_cat + dense(layer_p["mlp"]["c_proj"], hh, policy)
+        if quant:
+            vkq, vks = dc.quantize_kv(k_v)
+            vvq, vvs = dc.quantize_kv(v_v)
+            ckq, cks = dc.quantize_kv(k_c)
+            cvq, cvs = dc.quantize_kv(v_c)
+            news = {"vk": vkq, "vv": vvq, "ck": ckq, "cv": cvq,
+                    "vk_scale": vks, "vv_scale": vvs,
+                    "ck_scale": cks, "cv_scale": cvs}
+        else:
+            news = {
+                "vk": k_v.astype(cache["k"].dtype),
+                "vv": v_v.astype(cache["v"].dtype),
+                "ck": k_c.astype(cache_next["k"].dtype),
+                "cv": v_c.astype(cache_next["v"].dtype),
+            }
+        return (h_cat[:, :W], h_cat[:, W:]), news
+
+    xs = (params["layers"], cache["k"], cache["v"],
+          cache_next["k"], cache_next["v"])
+    if quant:
+        xs = xs + (cache["k_scale"], cache["v_scale"],
+                   cache_next["k_scale"], cache_next["v_scale"])
+    (h_v, h_c), news = jax.lax.scan(body, (x_v, x_c), xs)
+
+    verify_news = {"k": news["vk"], "v": news["vv"]}
+    chunk_news = {"k": news["ck"], "v": news["cv"]}
+    if quant:
+        verify_news.update(k_scale=news["vk_scale"],
+                           v_scale=news["vv_scale"])
+        chunk_news.update(k_scale=news["ck_scale"], v_scale=news["cv_scale"])
+    new_cache = dc.write_new_kv_ragged_multi(cache, verify_news, write_pos_v)
+    new_cache["lengths"] = cache["lengths"]
+    new_cache["kv_mask"] = cache["kv_mask"]
+    new_cache_next = dc.write_new_kv_linear_multi(
+        cache_next, chunk_news, idx_c)
+    new_cache_next["kv_mask"] = kv_mask_c
+    new_cache_next["index"] = idx_c + C
+
+    table = policy.cast(params["wte"])
+    h_v = layer_norm(params["ln_f"], h_v, eps)
+    verify_logits = jnp.einsum(
+        "bse,ve->bsv", policy.cast(h_v), table,
+        preferred_element_type=jnp.float32,
+    )
+    chunk_hidden = layer_norm(params["ln_f"], h_c, eps)
+    return verify_logits, new_cache, chunk_hidden, new_cache_next
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def insert_prefill_rows(
     cfg: GPTBigCodeConfig,
