@@ -610,6 +610,94 @@ def bench_train(jax, jnp, np, on_tpu, *, B=None, S=None, remat=None,
     }
 
 
+def bench_serving(jax, jnp, np, on_tpu):
+    """Continuous-batching engine throughput with a dispatch-RTT breakdown.
+
+    Through the tunneled chip every tick executable pays a ~30 ms round
+    trip; the engine accumulates each tick's dispatch->fetch wall time, and
+    subtracting the independently measured per-call RTT isolates on-device
+    compute — `serve_device_tok_per_s` is the auditable on-VM estimate the
+    round-4 PARITY text only asserted. Compact single-bucket workload (one
+    admission group, greedy) so the warmup compile set stays bounded; the
+    mixed-bucket staggered stream lives in scripts/bench_serve.py."""
+    import queue as _queue
+
+    from starvector_tpu.models import gpt_bigcode as gbc
+    from starvector_tpu.ops.layers import DTypePolicy
+    from starvector_tpu.serve.engine import Request, ServeEngine
+    from starvector_tpu.utils.profiling import measure_dispatch_rtt
+
+    if on_tpu:
+        llm = gbc.GPTBigCodeConfig()
+        B, NEW, PROMPT, MAX_LEN = 8, 128, 289, 1024
+    else:
+        llm = gbc.tiny_config()
+        B, NEW, PROMPT, MAX_LEN = 2, 8, 12, 64
+
+    policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    params = gbc.init_params(llm, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    engine = ServeEngine(params, llm, "gpt_bigcode", max_batch=B,
+                         max_len=MAX_LEN, policy=policy, steps_per_tick=4)
+    engine.start()
+    try:
+        engine.warmup([PROMPT], group_sizes=[B])
+        rng = np.random.RandomState(0)
+        reqs = [
+            Request(
+                prefix_embeds=jnp.asarray(
+                    rng.randn(1, PROMPT, llm.hidden_size), jnp.bfloat16),
+                max_new_tokens=NEW, temperature=0.0, do_sample=False,
+            )
+            for _ in range(B)
+        ]
+        s0 = engine.stats()
+        t0 = time.time()
+        for r in reqs:
+            engine.submit(r)
+        done_tokens = 0
+        deadline = time.time() + 600
+        pending = list(reqs)
+        while pending and time.time() < deadline:
+            nxt = []
+            for r in pending:
+                try:
+                    kind, payload = r.out_queue.get_nowait()
+                except _queue.Empty:
+                    nxt.append(r)
+                    continue
+                if kind == "done":
+                    done_tokens += len(payload)
+                elif kind == "error":
+                    raise RuntimeError(payload)
+                else:
+                    nxt.append(r)
+            pending = nxt
+            if pending:
+                time.sleep(0.005)
+        wall = time.time() - t0
+        s1 = engine.stats()
+        if pending:
+            raise RuntimeError(f"{len(pending)}/{B} requests unfinished")
+    finally:
+        engine.stop()
+    rtt = measure_dispatch_rtt()
+    disp_s = s1["dispatch_s_total"] - s0["dispatch_s_total"]
+    n_disp = s1["dispatches"] - s0["dispatches"]
+    device_s = max(disp_s - n_disp * rtt, 1e-9)
+    return {
+        "serve_tok_per_s": round(done_tokens / wall, 1),
+        "serve_device_tok_per_s": round(done_tokens / device_s, 1),
+        "serve_dispatch_rtt_ms": round(rtt * 1e3, 2),
+        "serve_ms_per_tick_dispatch": round(
+            disp_s / max(n_disp, 1) * 1e3, 2),
+        "serve_ms_per_tick_device": round(
+            device_s / max(n_disp, 1) * 1e3, 2),
+        "serve_ticks": s1["ticks"] - s0["ticks"],
+        "serve_requests": B, "serve_new_tokens": NEW,
+        "serve_prompt_len": PROMPT,
+    }
+
+
 def bench_8b_int8(jax, jnp, np):
     """StarCoder2-7B geometry, int8 weight-only, decode steady state."""
     from starvector_tpu.models import starcoder2 as sc2
@@ -812,8 +900,54 @@ def bench_8b_int8(jax, jnp, np):
     }
 
 
+_COLD_TRIAL_SNIPPET = """
+import json, os, time
+import jax
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import jax.numpy as jnp
+import numpy as np
+from starvector_tpu.models import starvector as sv
+t0 = time.time()
+p = sv.init_params_jit(sv.starvector_1b_config(), jax.random.PRNGKey(0),
+                       dtype=jnp.bfloat16)
+np.asarray(jax.tree_util.tree_leaves(p)[0].ravel()[:1])
+print(json.dumps({"init_s": round(time.time() - t0, 1)}))
+"""
+
+
+def _cold_init_trials(n: int) -> list:
+    """Cold-init the 1B model in `n` SEQUENTIAL fresh subprocesses (each
+    releases the tunneled chip before the next starts, and before this
+    process initializes its own backend). The first execution's server-side
+    compile swings 37-437 s with remote congestion (r2-r4 artifacts: 71 ->
+    123 -> 212 s single-shot); reporting min/median over trials pins the
+    number instead of letting one congested sample define the round."""
+    import subprocess
+
+    out = []
+    for _ in range(n):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _COLD_TRIAL_SNIPPET],
+                capture_output=True, text=True, timeout=900,
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            out.append(json.loads(line)["init_s"])
+        except Exception:  # noqa: BLE001 — a failed trial records as None
+            out.append(None)
+    return out
+
+
 def main():
     import jax
+
+    # cold-init trials run FIRST: the subprocesses need the chip, which this
+    # process claims at its own first backend use below
+    n_cold = int(os.environ.get("STARVECTOR_BENCH_COLDTRIALS", "2"))
+    cold_trials = []
+    if n_cold > 0 and "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        cold_trials = _cold_init_trials(n_cold)
 
     # the axon TPU plugin registers itself regardless of JAX_PLATFORMS; honor
     # an explicit env request (e.g. CPU smoke runs) through jax.config
@@ -829,6 +963,15 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     detail = bench_1b(jax, jnp, np, on_tpu)
+
+    # pin the cold-init number: subprocess trials + this process's own cold
+    # init; param_init_s becomes the median so one congested tunnel sample
+    # can't define the round (param_init_steady_s is unchanged)
+    all_trials = cold_trials + [detail["param_init_s"]]
+    ok_trials = [t for t in all_trials if t is not None]
+    detail["param_init_cold_trials"] = all_trials
+    detail["param_init_s"] = round(statistics.median(ok_trials), 1)
+    detail["param_init_s_min"] = round(min(ok_trials), 1)
 
     if os.environ.get("STARVECTOR_BENCH_TRAIN", "1") != "0":
         try:
@@ -862,6 +1005,12 @@ def main():
             detail.update(bench_8b_int8(jax, jnp, np))
         except Exception as e:  # noqa: BLE001 — 8B section is best-effort
             detail["8b_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    if os.environ.get("STARVECTOR_BENCH_SERVE", "1") != "0":
+        try:
+            detail.update(bench_serving(jax, jnp, np, on_tpu))
+        except Exception as e:  # noqa: BLE001 — serve section is best-effort
+            detail["serve_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # deviceless v5e-8 AOT memory proof for the real 8B geometry
     # (scripts/hbm_proof.py writes HBM_PROOF.json; surface its summary here

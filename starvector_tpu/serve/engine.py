@@ -754,6 +754,13 @@ class ServeEngine:
         self._knob_cache = None  # per-slot sampling knobs on device
         self._stats = {"tokens": 0, "ticks": 0, "admissions": 0,
                        "spec_ticks": 0, "spec_extra_tokens": 0,
+                       # dispatch->host-fetch wall time of every decode-tick
+                       # executable (plain + verify): on a tunneled backend
+                       # each window carries the full round-trip, so
+                       # (dispatch_s - dispatches*RTT) isolates on-device
+                       # compute — the audit lever behind bench.py's
+                       # serve_device_tok_per_s estimate
+                       "dispatch_s": 0.0, "dispatches": 0,
                        "start_time": time.time()}
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -835,7 +842,7 @@ class ServeEngine:
         gauges (counters are restored afterwards)."""
         self.start()
         counter_keys = ("tokens", "ticks", "admissions", "spec_ticks",
-                        "spec_extra_tokens")
+                        "spec_extra_tokens", "dispatch_s", "dispatches")
         stats_before = {k: self._stats[k] for k in counter_keys}
         if group_sizes is None:
             group_sizes, g = [], 1
@@ -961,6 +968,8 @@ class ServeEngine:
             "admissions": self._stats["admissions"],
             "spec_ticks": self._stats["spec_ticks"],
             "spec_extra_tokens": self._stats["spec_extra_tokens"],
+            "dispatch_s_total": round(self._stats["dispatch_s"], 4),
+            "dispatches": self._stats["dispatches"],
             "uptime_s": round(up, 1),
             "avg_tokens_per_s": round(self._stats["tokens"] / up, 2),
             "active_slots": self.num_active,
@@ -1376,6 +1385,7 @@ class ServeEngine:
          bias_ids, bias_vals, greedy_only) = self._knobs(reqs)
         self._step += 1
         self._stats["ticks"] += 1
+        t_disp = time.time()
         nxt, self.cache, self._counts = _fused_ragged_step(
             self.params, jnp.asarray(tokens), self.cache, active,
             self.base_rng, jnp.asarray(self._step, jnp.int32),
@@ -1386,7 +1396,9 @@ class ServeEngine:
             dec_name=self.dec_name, cfg=self.llm_cfg, policy=self.policy,
             max_top_k=self.max_top_k, n_steps=K, greedy_only=greedy_only,
         )
-        nxt = np.asarray(nxt)  # (B, K)
+        nxt = np.asarray(nxt)  # (B, K) — the fetch is the tick's sync point
+        self._stats["dispatch_s"] += time.time() - t_disp
+        self._stats["dispatches"] += 1
         for i in range(len(self.slots)):
             if self.slots[i].req is None or self.slots[i].beam is not None:
                 continue
@@ -1438,6 +1450,7 @@ class ServeEngine:
         self._step += 1
         self._stats["ticks"] += 1
         self._stats["spec_ticks"] += 1
+        t_disp = time.time()
         (toks, chain, self.cache, self._counts,
          self._ctx, self._ctx_len) = _fused_verify_multi(
             self.params, jnp.asarray(tokens), self.cache,
@@ -1452,6 +1465,8 @@ class ServeEngine:
         )
         toks = np.asarray(toks)    # (B, M, W)
         chain = np.asarray(chain)
+        self._stats["dispatch_s"] += time.time() - t_disp
+        self._stats["dispatches"] += 1
         tick_extra = 0
         for i in range(len(self.slots)):
             slot = self.slots[i]

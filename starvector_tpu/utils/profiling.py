@@ -51,3 +51,27 @@ class StepTimer:
 
     def tokens_per_sec(self, tokens_per_step: int) -> float:
         return tokens_per_step / max(self.avg_s, 1e-9)
+
+
+def measure_dispatch_rtt(reps: int = 20) -> float:
+    """Median wall time of a minimal jitted dispatch + host fetch of a tiny
+    result — on a tunneled backend (axon) this is the per-call round-trip
+    tax every top-level executable pays (~30 ms measured), on a local
+    backend it is the PJRT dispatch floor (~100 us). Subtracting
+    `dispatches * rtt` from an accumulated dispatch->fetch wall total
+    isolates on-device compute, which is how bench.py turns the tunneled
+    serving number into an auditable on-VM estimate
+    (serve_device_tok_per_s)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    tick = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    np.asarray(tick(x))  # compile outside the timed window
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(tick(x))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
