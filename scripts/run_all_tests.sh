@@ -2,9 +2,22 @@
 # Full test matrix (default `pytest -q` excludes @slow to stay <10 min).
 # Runs the fast tier and the slow tier as separate pytest invocations so a
 # CI window can bound each; pass extra args through (e.g. -x, -k pattern).
+#
+# The fast tier carries a TIMING GATE: it must finish inside
+# $FAST_TIER_BUDGET_S (default 570 s = 9m30s) so the "<10 min" promise keeps
+# real margin instead of sitting on the bar (VERDICT r4 weak #2). When the
+# gate trips, re-mark the newest medium tests @slow or shrink their shapes.
 set -e
 cd "$(dirname "$0")/.."
+FAST_TIER_BUDGET_S="${FAST_TIER_BUDGET_S:-570}"
 echo "=== fast tier (default: -m 'not slow') ==="
+t0=$(date +%s)
 python -m pytest tests/ -q "$@"
+elapsed=$(( $(date +%s) - t0 ))
+echo "fast tier: ${elapsed}s (budget ${FAST_TIER_BUDGET_S}s)"
+if [ "$elapsed" -gt "$FAST_TIER_BUDGET_S" ]; then
+  echo "FAIL: fast tier exceeded its ${FAST_TIER_BUDGET_S}s budget" >&2
+  exit 1
+fi
 echo "=== slow tier (-m slow) ==="
 python -m pytest tests/ -q -m slow --override-ini addopts= "$@"

@@ -17,3 +17,9 @@ import jax  # noqa: E402
 # at conftest time, so this takes effect).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# The suite is compile-dominated on this 1-CPU image; skipping XLA's
+# optimization passes cuts the default tier ~18% (measured 249 -> 205 s on
+# the generation/flash/spec/int8 slice) without touching what the tests
+# verify — every parity reference is computed in-process under the same
+# flag. Production paths never see this (tests-only config).
+jax.config.update("jax_disable_most_optimizations", True)

@@ -292,8 +292,14 @@ def test_flash_backward_kernel_parity(H, Hkv, window):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("onepass", [False, True])
-@pytest.mark.parametrize("H,Hkv,window", [(4, 1, None), (4, 2, 7)])
+@pytest.mark.parametrize("H,Hkv,window,onepass", [
+    # default tier: split on (MQA, no window) + one-pass on (GQA, window);
+    # the transposed pairings ride the slow tier (pure compile cost)
+    (4, 1, None, False),
+    (4, 2, 7, True),
+    pytest.param(4, 1, None, True, marks=pytest.mark.slow),
+    pytest.param(4, 2, 7, False, marks=pytest.mark.slow),
+])
 def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
     """The multi-k-block backward kernels (explicit block sizes force
     fused=False) match XLA autodiff — both the SPLIT dq/dkv pair
@@ -335,8 +341,12 @@ def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("onepass", [False, True])
-@pytest.mark.parametrize("window", [None, 9])
+@pytest.mark.parametrize("window,onepass", [
+    (None, False),
+    (9, True),
+    pytest.param(None, True, marks=pytest.mark.slow),
+    pytest.param(9, False, marks=pytest.mark.slow),
+])
 def test_flash_backward_split_kernel_q_offset(window, onepass):
     """Multi-k-block backward with a query-position offset (the sequence-
     parallel chunk layout): q is rows [16, 32) of a 48-key window — both

@@ -420,6 +420,9 @@ def test_pipelined_int8_weights_match_plain_generate():
         np.testing.assert_array_equal(np.asarray(rt), np.asarray(pt))
 
 
+@pytest.mark.slow  # int8-KV decode parity stays default-covered in
+# test_int8_kv.py; the pipelined-path composition (like the int8-weights
+# variant before it) rides the slow tier
 def test_pipelined_int8_kv_matches_bf16_cache():
     """generate_pipelined(kv_cache_dtype=jnp.int8) — int8 codes + fp32
     scales through BOTH caches of the fused decode+chunk scan — emits the

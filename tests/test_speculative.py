@@ -117,6 +117,7 @@ def test_speculative_visual_prefix(model):
     assert list(np.asarray(toks[0])) == list(np.asarray(ref_toks[0]))
 
 
+@pytest.mark.slow  # accept_margin stays default-covered at the engine level
 def test_accept_margin_bounds_chains():
     """accept_margin=inf forces every draft position to be rejected (margin
     can never clear it), so speculative output degenerates to exact
