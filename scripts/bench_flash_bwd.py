@@ -44,7 +44,7 @@ def time_marginal(fn, n1=3, n2=9):
     return (t_b - t_a) / (n2 - n1)
 
 
-def make_scanned(fa, q, k, v, mask, out, lse, bq, bk, inner=8):
+def make_scanned(fa, q, k, v, mask, out, lse, bq, bk, inner=8, onepass=None):
     """Amortize the ~30 ms tunnel dispatch: `inner` backward calls inside ONE
     jit, g varied per iteration so XLA cannot CSE them."""
 
@@ -52,7 +52,8 @@ def make_scanned(fa, q, k, v, mask, out, lse, bq, bk, inner=8):
     def scanned(gs):
         def body(acc, g):
             dq, dk, dv = fa.flash_backward(
-                q, k, v, mask, out, lse, g, block_q=bq, block_k=bk
+                q, k, v, mask, out, lse, g, block_q=bq, block_k=bk,
+                onepass=onepass,
             )
             return acc + jnp.sum(dq[0, 0, 0]) + jnp.sum(dk[0, 0, 0]), None
 
@@ -63,6 +64,13 @@ def make_scanned(fa, q, k, v, mask, out, lse, bq, bk, inner=8):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only-s", type=int, default=None,
+                    help="restrict the sweep to shapes with this S")
+    args = ap.parse_args()
+
     from starvector_tpu.ops import flash_attention as fa
 
     shapes = [
@@ -70,15 +78,21 @@ def main():
         dict(B=2, S=8192, H=16, Hkv=1, D=128),    # long-context
         dict(B=8, S=1282, H=32, Hkv=4, D=128),    # 8B-geometry (GQA-4)
     ]
+    if args.only_s is not None:
+        shapes = [s for s in shapes if s["S"] == args.only_s]
     sweeps = [
-        (None, None),       # adaptive default
-        (256, 256),
-        (512, 512),
-        (512, 1024),
-        (512, 1536),
-        (1024, 512),
-        (1024, 1536),
-        (256, 1536),
+        (None, None, None),     # adaptive default (fused<=2048, else onepass)
+        (512, 1024, True),      # one-pass at the adaptive block shapes
+        (512, 1536, True),
+        (512, 2048, True),
+        (1024, 1024, True),
+        (1024, 2048, True),
+        (512, 1024, False),     # split pair (the r4 long-S default)
+        (512, 1536, False),
+        (256, 256, None),
+        (512, 512, None),
+        (1024, 512, None),
+        (256, 1536, None),
     ]
     for shp in shapes:
         B, S, H, Hkv, D = shp["B"], shp["S"], shp["H"], shp["Hkv"], shp["D"]
@@ -92,19 +106,20 @@ def main():
         out, lse = fa.flash_prefill_with_lse(q, k, v, mask)
         tf = attn_bwd_tflops(B, S, H, D)
         print(f"--- shape {shp} ({tf*1e3:.1f} GFLOP bwd)")
-        for bq, bk in sweeps:
+        for bq, bk, onepass in sweeps:
             if bq is not None and (bq > S + 254 or bk > 2 * S):
                 continue
             try:
                 scanned, _ = make_scanned(
-                    fa, q, k, v, mask, out, lse, bq, bk, inner
+                    fa, q, k, v, mask, out, lse, bq, bk, inner,
+                    onepass=onepass,
                 )
                 dt = time_marginal(lambda: float(scanned(gs))) / inner
-                print(f"  bq={bq} bk={bk}: {dt*1e3:7.2f} ms  {tf/dt:6.1f} TF/s",
-                      flush=True)
+                print(f"  bq={bq} bk={bk} onepass={onepass}: "
+                      f"{dt*1e3:7.2f} ms  {tf/dt:6.1f} TF/s", flush=True)
             except Exception as e:  # noqa: BLE001 — sweep survives bad configs
-                print(f"  bq={bq} bk={bk}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:160]}")
+                print(f"  bq={bq} bk={bk} onepass={onepass}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--weights", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--prefill", type=int, default=1024,
+                    help="prompt length per row (1024 = the VERDICT r4 #1 "
+                         "shape; 259 = the e2e im2svg shape where decode "
+                         "dominates and acceptance has room to build)")
+    ap.add_argument("--new", type=int, default=256)
     args = ap.parse_args()
 
     from starvector_tpu.generation.engine import (
@@ -55,7 +60,7 @@ def main():
     llm = cfg.llm
     policy = DTypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
 
-    B, P, NEW = 64, 1024, 256
+    B, P, NEW = 64, args.prefill, args.new
     Mb = args.batches
     E = llm.hidden_size
     rng = jax.random.PRNGKey(11)
@@ -103,8 +108,9 @@ def main():
           f"rounds/batch {[int(np.asarray(r)) for r in st]}", file=sys.stderr)
     t = median_time(run, args.reps)
     tok_s = Mb * B * NEW / t
-    print(f"chunk={args.chunk} draft={args.draft} kv={args.kv} "
-          f"weights={args.weights}: {t:.2f}s -> {tok_s:,.0f} tok/s")
+    print(f"P={P} NEW={NEW} chunk={args.chunk} draft={args.draft} "
+          f"kv={args.kv} weights={args.weights}: {t:.2f}s -> "
+          f"{tok_s:,.0f} tok/s")
 
 
 if __name__ == "__main__":
