@@ -950,7 +950,17 @@ def generate_pipelined_spec(
     generate_greedy_speculative_batched, unlike generate_pipelined's left
     padding). Greedy only: speculative acceptance is exact for argmax
     decoding (reference counterpart: the vLLM batched offline path of
-    /root/reference/scripts/quickstart-vllm.py)."""
+    /root/reference/scripts/quickstart-vllm.py).
+
+    When to use: only where prompt-lookup acceptance is HIGH relative to
+    the chunk width — the fused chunk already amortizes each weight read
+    over 1+C positions, so verify rounds (W=draft+1 q-positions over the
+    full KV window) must retire >C tokens to pay for themselves. At the
+    1k-prefill/256-decode validation shape (acceptance ≈1.5) this is a
+    measured NET LOSS vs generate_pipelined + int8 KV — 5,025 best vs
+    8,985 tok/s; see PARITY.md's dead-end table. Prefer
+    generate_greedy_speculative_batched at decode-dominated shapes and
+    generate_pipelined at prefill-heavy ones."""
     if gen.do_sample:
         raise ValueError("generate_pipelined_spec is greedy-only "
                          "(do_sample=False); use generate_pipelined for "
