@@ -81,18 +81,15 @@ def main():
     if args.only_s is not None:
         shapes = [s for s in shapes if s["S"] == args.only_s]
     sweeps = [
-        (None, None, None),     # adaptive default (fused<=2048, else onepass)
-        (512, 1024, True),      # one-pass at the adaptive block shapes
-        (512, 1536, True),
-        (512, 2048, True),
-        (1024, 1024, True),
-        (1024, 2048, True),
+        (None, None, None),     # adaptive default
+        (512, 512, True),       # resident one-pass at its VMEM-fit blocks
+        (512, 512, "dqp"),      # HBM-dq-partials one-pass (VMEM flat in T)
+        (512, 1024, "dqp"),
+        (512, 2048, "dqp"),
+        (1024, 1024, "dqp"),
+        (1024, 2048, "dqp"),
+        (256, 2048, "dqp"),
         (512, 1024, False),     # split pair (the r4 long-S default)
-        (512, 1536, False),
-        (256, 256, None),
-        (512, 512, None),
-        (1024, 512, None),
-        (256, 1536, None),
     ]
     for shp in shapes:
         B, S, H, Hkv, D = shp["B"], shp["S"], shp["H"], shp["Hkv"], shp["D"]

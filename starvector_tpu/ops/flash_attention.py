@@ -560,6 +560,120 @@ def _flash_dkv_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _flash_bwd_dqp_kernel(
+    q_offset_ref,    # (1,) absolute position of query row 0
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dk_ref, dv_ref, dqp_ref,
+    dk_scr, dv_scr,  # (bk, D) fp32 accumulators
+    *, scale, block_q, block_k, causal, window, n_i,
+):
+    """One-pass backward with HBM dq partials: the split dkv grid
+    (B, Hkv, nj, G·ni — k block outer, q sweep inner) extended so each live
+    cell's P feeds ALL FIVE backward matmuls. dk/dv accumulate per k block
+    in small (bk, D) fp32 scratch exactly like `_flash_dkv_kernel`; dq's
+    k-strip contribution is written to its own slot of a (B, H, nj, Sp, D)
+    partials array and reduced over the nj axis in XLA after the call.
+    Unlike the resident-scratch one-pass kernel this keeps VMEM flat in T
+    (blocks + 2·bk·D fp32 only — the resident variant needs T·D·12 bytes
+    and stops compiling past (512, 512) blocks at T=8192), so it admits
+    MXU-friendly block pairs at any context length; the price is one extra
+    HBM round trip of the partials (nj·S·D·2 bytes per head — ~1.3 ms of
+    the ~10 ms budget at B=2/S=8192/bk=1024). Dead causal cells zero their
+    dq slot (the reduce reads every slot) but skip all compute and, via the
+    live_i clamp in the q/do index maps, their input DMAs."""
+    j = pl.program_id(2)      # k block
+    u = pl.program_id(3)      # combined (group, q block) inner axis
+    nu = pl.num_programs(3)
+    i = jax.lax.rem(u, n_i)
+    q_off = q_offset_ref[0]
+
+    @pl.when(u == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = True
+    interior = False
+    if causal:
+        first_q = q_off + i * block_q
+        first_k = j * block_k
+        run = first_k <= first_q + block_q - 1
+        interior = first_k + block_k - 1 <= first_q
+        if window is not None:
+            run = jnp.logical_and(
+                run, first_k + block_k - 1 > first_q - window
+            )
+            interior = jnp.logical_and(
+                interior, first_k > first_q + block_q - 1 - window
+            )
+
+    def _compute(pos_masked):
+        q = q_ref[0, 0]                  # (bq, D)
+        k = k_ref[0, 0]                  # (bk, D)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]                # (bq, D)
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                        # (bk, bq)
+        mask = kvmask_ref[0, 0, :][:, None] > 0
+        if pos_masked:
+            k_pos = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 0
+            )
+            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 1
+            )
+            if causal:
+                mask &= k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
+        lse = lse_ref[0, 0][:, 0][None, :]   # (1, bq)
+        p_t = jnp.where(mask, jnp.exp(s_t - lse), 0.0)        # (bk, bq)
+        dv_scr[:] += jax.lax.dot_general(
+            p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # (bk, bq)
+        delta = delta_ref[0, 0][:, 0][None, :]                # (1, bq)
+        ds_t = p_t * (dp_t - delta) * scale                   # (bk, bq)
+        ds_b = ds_t.astype(q.dtype)
+        dk_scr[:] += jax.lax.dot_general(
+            ds_b, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dq strip: contract the shared bk axis — no (bq, bk) transpose
+        dqp_ref[0, 0, 0] = jax.lax.dot_general(
+            ds_b, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dqp_ref.dtype)
+
+    if causal:
+        pl.when(jnp.logical_and(run, jnp.logical_not(interior)))(
+            lambda: _compute(True)
+        )
+        pl.when(interior)(lambda: _compute(False))
+        pl.when(jnp.logical_not(run))(
+            lambda: dqp_ref.__setitem__(
+                (0, 0, 0), jnp.zeros_like(dqp_ref[0, 0, 0])
+            )
+        )
+    else:
+        pl.when(run)(lambda: _compute(window is not None))
+        if window is not None:
+            pl.when(jnp.logical_not(run))(
+                lambda: dqp_ref.__setitem__(
+                    (0, 0, 0), jnp.zeros_like(dqp_ref[0, 0, 0])
+                )
+            )
+
+    @pl.when(u == nu - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
 def _flash_dqdkv_fused_kernel(
     q_offset_ref,    # (1,) absolute position of query row 0
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
@@ -744,10 +858,18 @@ def _flash_bwd_onepass_kernel(
 # two-kernel path also stops being overhead-bound there, so split wins.
 _FUSED_BWD_MAX_T = 2048
 
-# One-pass kernel bound: its dk/dv scratch is T·128·8 bytes (fp32 k+v) plus
-# the resident bf16 dk/dv output blocks — 24 MiB at T=16384, comfortable;
-# beyond that fall back to the split pair.
-_ONEPASS_BWD_MAX_T = 16384
+# One-pass kernel bound: its full-length fp32 dk/dv scratch plus the
+# resident bf16 dk/dv output blocks cost T·D·12 bytes (12.6 MiB at T=8192,
+# D=128) BEFORE the double-buffered q/do/k/v blocks — measured on v5e
+# (~16 MiB VMEM/core): (bq=512, bk=512) compiles and runs 96.9 TF/s at
+# S=8192 while every config with larger blocks (bk≥1024 or bq=1024) fails
+# Mosaic compile on VMEM. T=16384's scratch alone (16 MiB) can never fit,
+# so beyond 8192 fall back to the split pair (77 TF/s at S=8192).
+_ONEPASS_BWD_MAX_T = 8192
+
+# Largest block pair measured to fit beside the one-pass kernel's resident
+# full-length scratch at T=8192 (see the cliff note above).
+_ONEPASS_BWD_BLOCKS = (512, 512)
 
 
 @functools.partial(
@@ -779,8 +901,11 @@ def flash_backward(
       * longer T (up to _ONEPASS_BWD_MAX_T) — ONE-PASS kernel
         (`_flash_bwd_onepass_kernel`): P computed once per live cell feeds
         all five matmuls, vs 7 executed matmuls across the split pair
-        (the split's 69-74 TF/s at S=8192 is ~5/7 of its real MXU rate by
-        construction; one pass removes the double score recompute).
+        (the split's 5/7-capped model rate by construction; one pass
+        removes the double score recompute). Measured 96.9 TF/s at S=8192
+        vs 77.0 for the split pair, at the only block pair
+        (_ONEPASS_BWD_BLOCKS) whose VMEM fits beside the full-length
+        scratch.
       * T beyond the one-pass VMEM bound, or `onepass=False` — split
         dq / dkv kernels with shape-adaptive blocks (bq=512, bk minimizing
         padded KV length: 69 TF/s at S=8192 vs 11 TF/s for uniform
@@ -795,6 +920,14 @@ def flash_backward(
     scale = D**-0.5 if scale is None else scale
     if fused is None:
         fused = block_k is None and T <= _FUSED_BWD_MAX_T
+    if onepass is None:
+        onepass = not fused and T <= _ONEPASS_BWD_MAX_T
+    if onepass is True and block_q is None and block_k is None:
+        # the one-pass kernel's VMEM is dominated by its full-length
+        # resident scratch; only the measured (512, 512) pair fits at the
+        # long-S shapes this path serves (explicit blocks override for
+        # sweeps and will fail Mosaic compile past the cliff)
+        block_q, block_k = _ONEPASS_BWD_BLOCKS
     if block_q is None:
         block_q = 512
     if block_k is None:
@@ -904,8 +1037,71 @@ def flash_backward(
     _live_j = _make_live_j(block_q, block_k, nj, causal, window)
     _live_i = _make_live_i(block_q, block_k, ni, causal, window)
 
-    if onepass is None:
-        onepass = T <= _ONEPASS_BWD_MAX_T
+    if onepass == "dqp":
+        dk, dv, dqp = pl.pallas_call(
+            functools.partial(_flash_bwd_dqp_kernel, **common, n_i=ni),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, Hkv, nj, G * ni),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, j, u, qo, G=G, ni=ni:
+                            (b, hk * G + u // ni, _live_i(j, u, qo), 0),
+                    ),
+                    pl.BlockSpec((1, 1, block_k, D),
+                                 lambda b, hk, j, u, *_: (b, hk, j, 0)),
+                    pl.BlockSpec((1, 1, block_k, D),
+                                 lambda b, hk, j, u, *_: (b, hk, j, 0)),
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, j, u, qo, G=G, ni=ni:
+                            (b, hk * G + u // ni, _live_i(j, u, qo), 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, j, u, qo, G=G, ni=ni:
+                            (b, hk * G + u // ni, _live_i(j, u, qo), 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, j, u, qo, G=G, ni=ni:
+                            (b, hk * G + u // ni, _live_i(j, u, qo), 0),
+                    ),
+                    pl.BlockSpec((1, 1, block_k),
+                                 lambda b, hk, j, u, *_: (b, 0, j)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, block_k, D),
+                                 lambda b, hk, j, u, *_: (b, hk, j, 0)),
+                    pl.BlockSpec((1, 1, block_k, D),
+                                 lambda b, hk, j, u, *_: (b, hk, j, 0)),
+                    pl.BlockSpec(
+                        (1, 1, 1, block_q, D),
+                        lambda b, hk, j, u, *_, G=G, ni=ni:
+                            (b, hk * G + u // ni, j, u % ni, 0),
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), k.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), v.dtype),
+                jax.ShapeDtypeStruct((B, H, nj, Sp, D), q.dtype),
+            ],
+            interpret=interpret,
+        )(q_off_arr, qh, kh, vh, doh, lse, delta, kvm)
+        # fp32 strip reduction; each bf16 strip is one k block's exact
+        # fp32-accumulated contribution rounded once
+        dq = dqp.astype(jnp.float32).sum(axis=2).astype(q.dtype)
+        dq = jnp.moveaxis(dq, 1, 2)[:, :S]
+        dk = jnp.moveaxis(dk, 1, 2)[:, :T]
+        dv = jnp.moveaxis(dv, 1, 2)[:, :T]
+        return dq, dk, dv
+
     if onepass:
         dq, dk, dv = pl.pallas_call(
             functools.partial(

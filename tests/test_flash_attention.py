@@ -297,8 +297,10 @@ def test_flash_backward_kernel_parity(H, Hkv, window):
     # the transposed pairings ride the slow tier (pure compile cost)
     (4, 1, None, False),
     (4, 2, 7, True),
+    (4, 1, None, "dqp"),
     pytest.param(4, 1, None, True, marks=pytest.mark.slow),
     pytest.param(4, 2, 7, False, marks=pytest.mark.slow),
+    pytest.param(4, 2, 7, "dqp", marks=pytest.mark.slow),
 ])
 def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
     """The multi-k-block backward kernels (explicit block sizes force
@@ -344,8 +346,10 @@ def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
 @pytest.mark.parametrize("window,onepass", [
     (None, False),
     (9, True),
+    (9, "dqp"),
     pytest.param(None, True, marks=pytest.mark.slow),
     pytest.param(9, False, marks=pytest.mark.slow),
+    pytest.param(None, "dqp", marks=pytest.mark.slow),
 ])
 def test_flash_backward_split_kernel_q_offset(window, onepass):
     """Multi-k-block backward with a query-position offset (the sequence-
