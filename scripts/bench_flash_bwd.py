@@ -83,12 +83,10 @@ def main():
     sweeps = [
         (None, None, None),     # adaptive default
         (512, 512, True),       # resident one-pass at its VMEM-fit blocks
-        (512, 512, "dqp"),      # HBM-dq-partials one-pass (VMEM flat in T)
-        (512, 1024, "dqp"),
+        (1024, 1024, "dqp"),    # HBM-dq-partials one-pass (VMEM flat in T)
         (512, 2048, "dqp"),
-        (1024, 1024, "dqp"),
-        (1024, 2048, "dqp"),
-        (256, 2048, "dqp"),
+        (1536, 1024, "dqp"),    # 1.5x block product — VMEM borderline
+        (1024, 1536, "dqp"),
         (512, 1024, False),     # split pair (the r4 long-S default)
     ]
     for shp in shapes:

@@ -23,6 +23,7 @@ Numerics are validated against ops.attention.multihead_attention.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -921,13 +922,26 @@ def flash_backward(
     if fused is None:
         fused = block_k is None and T <= _FUSED_BWD_MAX_T
     if onepass is None:
-        onepass = not fused and T <= _ONEPASS_BWD_MAX_T
+        # STARVECTOR_FLASH_BWD_ONEPASS ∈ {resident, dqp, split} overrides
+        # the adaptive long-S variant (read at trace time; the fused short-T
+        # path is unaffected): "dqp" trades a B·H·(T/bk)·T·D·2-byte HBM
+        # transient for ~+6% kernel rate over "resident" (103 vs 97 TF/s at
+        # S=8192), "split" is the no-scratch fallback (77 TF/s).
+        env = os.environ.get("STARVECTOR_FLASH_BWD_ONEPASS", "")
+        if not fused and env:
+            onepass = {"resident": True, "dqp": "dqp", "split": False}[env]
+        else:
+            onepass = not fused and T <= _ONEPASS_BWD_MAX_T
     if onepass is True and block_q is None and block_k is None:
         # the one-pass kernel's VMEM is dominated by its full-length
         # resident scratch; only the measured (512, 512) pair fits at the
         # long-S shapes this path serves (explicit blocks override for
         # sweeps and will fail Mosaic compile past the cliff)
         block_q, block_k = _ONEPASS_BWD_BLOCKS
+    if onepass == "dqp" and block_q is None and block_k is None:
+        # largest block product that compiles (the fp32 score+dp
+        # intermediates dominate dqp's VMEM): 103 TF/s at S=8192
+        block_q, block_k = 1024, 1024
     if block_q is None:
         block_q = 512
     if block_k is None:
