@@ -988,6 +988,13 @@ def main():
             # context that recompute dominates: 10,407 tok/s / 0.505 MFU vs
             # 9,544 / 0.463 (B=2 full remat), 8,950 / 0.435 (B=1 "dots");
             # B=2 "dots" OOMs by 346 MB, B=3 "dots_flash" by 517 MB.
+            # Round 5: the backward's resident ONE-PASS kernel (adaptive
+            # default once _ONEPASS_BWD_MAX_T covered the true T=8450)
+            # lifts this to 11,195 tok/s / 0.543; the higher-standalone-
+            # rate "dqp" variant measured NEUTRAL e2e (10,349) — its
+            # ~650 MB partials transient raises HBM pressure and XLA claws
+            # the kernel win back, so it stays opt-in
+            # (STARVECTOR_FLASH_BWD_ONEPASS=dqp).
             t8 = bench_train(jax, jnp, np, on_tpu, B=2, S=8192,
                              remat="dots_flash")
             detail.update({

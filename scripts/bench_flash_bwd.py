@@ -76,6 +76,8 @@ def main():
     shapes = [
         dict(B=8, S=1282, H=16, Hkv=1, D=128),    # 1B train bench point
         dict(B=2, S=8192, H=16, Hkv=1, D=128),    # long-context
+        dict(B=2, S=8450, H=16, Hkv=1, D=128),    # true 8k train point
+                                                  # (8192 + 257 visual + 1)
         dict(B=8, S=1282, H=32, Hkv=4, D=128),    # 8B-geometry (GQA-4)
     ]
     if args.only_s is not None:

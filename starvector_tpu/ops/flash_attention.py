@@ -860,13 +860,18 @@ def _flash_bwd_onepass_kernel(
 _FUSED_BWD_MAX_T = 2048
 
 # One-pass kernel bound: its full-length fp32 dk/dv scratch plus the
-# resident bf16 dk/dv output blocks cost T·D·12 bytes (12.6 MiB at T=8192,
-# D=128) BEFORE the double-buffered q/do/k/v blocks — measured on v5e
-# (~16 MiB VMEM/core): (bq=512, bk=512) compiles and runs 96.9 TF/s at
-# S=8192 while every config with larger blocks (bk≥1024 or bq=1024) fails
-# Mosaic compile on VMEM. T=16384's scratch alone (16 MiB) can never fit,
-# so beyond 8192 fall back to the split pair (77 TF/s at S=8192).
-_ONEPASS_BWD_MAX_T = 8192
+# resident bf16 dk/dv output blocks cost Tp·D·12 bytes (12.6 MiB at
+# Tp=8192, D=128) BEFORE the double-buffered q/do/k/v blocks — measured
+# on v5e (~16 MiB VMEM/core): (bq=512, bk=512) compiles and runs 96-97
+# TF/s at S=8192 while every config with larger blocks (bk≥1024 or
+# bq=1024) fails Mosaic compile on VMEM. The bound is the largest
+# MEASURED-compiling padded length: Tp=8704 (13.4 MiB scratch+outs), the
+# 1B train decoder's true backward length (8192 ctx + 257 visual + 1,
+# padded to the 512 block) — the full train step runs 11,195 tok/s /
+# MFU 0.543 through it vs 10,359 / 0.503 via the split pair. T=16384's
+# scratch alone (16 MiB) can never fit; past the bound the split pair is
+# the default (77 TF/s at S=8192) and `onepass="dqp"` the opt-in.
+_ONEPASS_BWD_MAX_T = 8704
 
 # Largest block pair measured to fit beside the one-pass kernel's resident
 # full-length scratch at T=8192 (see the cliff note above).
