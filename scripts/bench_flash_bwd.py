@@ -44,7 +44,8 @@ def time_marginal(fn, n1=3, n2=9):
     return (t_b - t_a) / (n2 - n1)
 
 
-def make_scanned(fa, q, k, v, mask, out, lse, bq, bk, inner=8, onepass=None):
+def make_scanned(fa, q, k, v, mask, out, lse, bq, bk, inner=8, onepass=None,
+                 tri=False):
     """Amortize the ~30 ms tunnel dispatch: `inner` backward calls inside ONE
     jit, g varied per iteration so XLA cannot CSE them."""
 
@@ -53,7 +54,7 @@ def make_scanned(fa, q, k, v, mask, out, lse, bq, bk, inner=8, onepass=None):
         def body(acc, g):
             dq, dk, dv = fa.flash_backward(
                 q, k, v, mask, out, lse, g, block_q=bq, block_k=bk,
-                onepass=onepass,
+                onepass=onepass, tri=tri,
             )
             return acc + jnp.sum(dq[0, 0, 0]) + jnp.sum(dk[0, 0, 0]), None
 
@@ -84,7 +85,8 @@ def main():
         shapes = [s for s in shapes if s["S"] == args.only_s]
     sweeps = [
         (None, None, None),     # adaptive default
-        (512, 512, True),       # resident one-pass at its VMEM-fit blocks
+        (512, 512, "tri"),      # TRIANGULAR-grid resident one-pass
+        (512, 512, True),       # resident one-pass, rectangular grid
         (1024, 1024, "dqp"),    # HBM-dq-partials one-pass (VMEM flat in T)
         (512, 2048, "dqp"),
         (1536, 1024, "dqp"),    # 1.5x block product — VMEM borderline
@@ -106,16 +108,20 @@ def main():
         for bq, bk, onepass in sweeps:
             if bq is not None and (bq > S + 254 or bk > 2 * S):
                 continue
+            tri = onepass == "tri"
+            if tri:
+                onepass = True
             try:
                 scanned, _ = make_scanned(
                     fa, q, k, v, mask, out, lse, bq, bk, inner,
-                    onepass=onepass,
+                    onepass=onepass, tri=tri,
                 )
+                label = "tri" if tri else onepass
                 dt = time_marginal(lambda: float(scanned(gs))) / inner
-                print(f"  bq={bq} bk={bk} onepass={onepass}: "
+                print(f"  bq={bq} bk={bk} onepass={label}: "
                       f"{dt*1e3:7.2f} ms  {tf/dt:6.1f} TF/s", flush=True)
             except Exception as e:  # noqa: BLE001 — sweep survives bad configs
-                print(f"  bq={bq} bk={bk} onepass={onepass}: FAILED "
+                print(f"  bq={bq} bk={bk} onepass={onepass} tri={tri}: FAILED "
                       f"{type(e).__name__}: {str(e)[:160]}")
 
 

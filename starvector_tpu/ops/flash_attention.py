@@ -744,6 +744,61 @@ def _flash_dqdkv_fused_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _onepass_cell(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dq_scr, dk_scr, dv_scr, i, j, q_off,
+    *, scale, block_q, block_k, causal, window, pos_masked,
+):
+    """Per-cell math shared by the one-pass backward kernels (rectangular
+    and triangular grids): recompute P for the (q block i, k block j) cell
+    from the forward LSE, then feed all five backward matmuls — dq into the
+    per-q-block scratch, dk/dv into this k block's strip of the full-length
+    scratch. `pos_masked=False` is the interior fast path (cell fully below
+    the causal diagonal / inside the window): the positional mask and its
+    two iotas are skipped, only the key-padding mask applies."""
+    q = q_ref[0, 0]                  # (bq, D)
+    k = k_ref[0, 0]                  # (bk, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                # (bq, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                        # (bq, bk)
+    mask = kvmask_ref[0, 0, :][None, :] > 0
+    if pos_masked:
+        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+    lse = lse_ref[0, 0][:, :1]       # (bq, 1)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # (bq, bk)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (bq, bk)
+    delta = delta_ref[0, 0][:, :1]                        # (bq, 1)
+    ds = p * (dp - delta) * scale                         # (bq, bk)
+    ds_b = ds.astype(q.dtype)
+    dq_scr[:] += jax.lax.dot_general(
+        ds_b, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # contract the shared q axis — no (bk, bq) transposes materialize
+    sl = pl.ds(j * block_k, block_k)
+    dv_scr[sl] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_scr[sl] += jax.lax.dot_general(
+        ds_b, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _flash_bwd_onepass_kernel(
     q_offset_ref,    # (1,) absolute position of query row 0
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
@@ -794,46 +849,11 @@ def _flash_bwd_onepass_kernel(
             )
 
     def _compute(pos_masked):
-        q = q_ref[0, 0]                  # (bq, D)
-        k = k_ref[0, 0]                  # (bk, D)
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]                # (bq, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                        # (bq, bk)
-        mask = kvmask_ref[0, 0, :][None, :] > 0
-        if pos_masked:
-            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            k_pos = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            if causal:
-                mask &= k_pos <= q_pos
-            if window is not None:
-                mask &= k_pos > q_pos - window
-        lse = lse_ref[0, 0][:, :1]       # (bq, 1)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # (bq, bk)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                     # (bq, bk)
-        delta = delta_ref[0, 0][:, :1]                        # (bq, 1)
-        ds = p * (dp - delta) * scale                         # (bq, bk)
-        ds_b = ds.astype(q.dtype)
-        dq_scr[:] += jax.lax.dot_general(
-            ds_b, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # contract the shared q axis — no (bk, bq) transposes materialize
-        sl = pl.ds(j * block_k, block_k)
-        dv_scr[sl] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk_scr[sl] += jax.lax.dot_general(
-            ds_b, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        _onepass_cell(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+            dq_scr, dk_scr, dv_scr, i, j, q_off,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=causal, window=window, pos_masked=pos_masked,
         )
 
     if causal:
@@ -849,6 +869,67 @@ def _flash_bwd_onepass_kernel(
         dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
 
     @pl.when(jnp.logical_and(u == nu - 1, j == n_j - 1))
+    def _finalize_kv():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_onepass_tri_kernel(
+    q_offset_ref,    # (1,) prefetched but statically 0 on this path
+    ti_ref, tj_ref,  # (G·n_tri,) linear step → (q block i, k block j)
+    th_ref,          # (G·n_tri,) linear step → q head-in-group (index maps)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dq_ref, dk_ref, dv_ref,
+    dq_scr,          # (bq, D) fp32
+    dk_scr, dv_scr,  # (Tp, D) fp32 — FULL-length accumulators
+    *, scale, block_q, block_k,
+):
+    """One-pass backward on a TRIANGULAR grid: axis 2 walks ONLY the live
+    lower-triangle (i, j) cells of each q-head's block matrix, row-major,
+    via prefetched index tables — grid (B, Hkv, G·n_tri) with
+    n_tri = ni(ni+1)/2. The tables span the full axis (head factor baked
+    in), so neither the kernel nor the index maps divide by the
+    non-power-of-two n_tri — each eval is one SMEM load.
+
+    The rectangular kernel skips dead-cell compute and elides their DMAs,
+    but each dead cell still pays a full grid-step sequencing cost —
+    measured 88.1 TF/s causal vs 133.9 TF/s per LIVE cell non-causal at
+    S=8192/bq=bk=512 on v5e, i.e. ~35% of causal wall-clock went to the
+    ~47% dead cells. Enumerating only live cells removes that tax; the
+    diagonal (j == i) keeps the positional mask, strict-interior cells
+    (j < i) run the unmasked fast path. Requires causal, no window, S == T,
+    bq == bk, and a STATICALLY-zero q_offset (a runtime offset changes the
+    live set, which is baked into the static tables)."""
+    t = pl.program_id(2)
+    nt = pl.num_programs(2)
+    i = ti_ref[t]
+    j = tj_ref[t]
+
+    @pl.when(t == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(j == 0)
+    def _init_q():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    def _compute(pos_masked):
+        _onepass_cell(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+            dq_scr, dk_scr, dv_scr, i, j, 0,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=True, window=None, pos_masked=pos_masked,
+        )
+
+    pl.when(j == i)(lambda: _compute(True))
+    pl.when(j < i)(lambda: _compute(False))
+
+    @pl.when(j == i)
+    def _finalize_q():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+    @pl.when(t == nt - 1)
     def _finalize_kv():
         dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
@@ -881,14 +962,14 @@ _ONEPASS_BWD_BLOCKS = (512, 512)
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "window", "scale", "block_q", "block_k",
-                     "interpret", "fused", "onepass"),
+                     "interpret", "fused", "onepass", "tri"),
 )
 def flash_backward(
     q, k, v, kv_mask, out, lse, g, q_offset: jax.Array | int = 0, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
     block_q: int | None = None, block_k: int | None = None,
     interpret: bool | None = None, fused: bool | None = None,
-    onepass: bool | None = None,
+    onepass: bool | None = None, tri: bool = False,
 ):
     """Flash-attention backward: dq/dk/dv with recomputed P blocks and
     fp32 accumulation — nothing O(S·T) ever materializes (the reference gets
@@ -911,7 +992,15 @@ def flash_backward(
         removes the double score recompute). Measured 96.9 TF/s at S=8192
         vs 77.0 for the split pair, at the only block pair
         (_ONEPASS_BWD_BLOCKS) whose VMEM fits beside the full-length
-        scratch.
+        scratch. When `tri=True` (the caller certifies q_offset is
+        STATICALLY zero — flash_prefill_trainable does) and the live set
+        is the exact lower triangle (causal, no window, S == T, bq == bk),
+        the one-pass kernel runs on a TRIANGULAR grid
+        (`_flash_bwd_onepass_tri_kernel`) that enumerates only live cells
+        via prefetched index tables — the rectangular sweep's dead cells
+        skip compute/DMA but still pay grid sequencing, measured ~35% of
+        causal wall-clock at S=8192 (88.1 TF/s rect-causal vs 133.9 per
+        live cell non-causal). STARVECTOR_FLASH_BWD_TRI=0 opts out.
       * T beyond the one-pass VMEM bound, or `onepass=False` — split
         dq / dkv kernels with shape-adaptive blocks (bq=512, bk minimizing
         padded KV length: 69 TF/s at S=8192 vs 11 TF/s for uniform
@@ -1121,6 +1210,103 @@ def flash_backward(
         dv = jnp.moveaxis(dv, 1, 2)[:, :T]
         return dq, dk, dv
 
+    # Triangular grid: only when the live set is static (causal, no window,
+    # q_offset statically 0 — the `tri` flag certifies that) and the block
+    # geometry makes the live set the exact lower triangle (S == T,
+    # bq == bk). STARVECTOR_FLASH_BWD_TRI=0 opts back into the rectangular
+    # sweep (trace-time, for A/Bs).
+    use_tri = (
+        tri and onepass is True and causal and window is None
+        and S == T and block_q == block_k and Sp == Tp
+        and os.environ.get("STARVECTOR_FLASH_BWD_TRI", "1") != "0"
+    )
+    if use_tri:
+        n_tri = ni * (ni + 1) // 2
+        # full-axis tables (head factor baked in): every index-map eval is
+        # one SMEM load — no div/rem by the non-power-of-two n_tri on the
+        # scalar core, which is measurable across ~G·n_tri steps
+        tri_ij = [(i, j) for i in range(ni) for j in range(i + 1)]
+        ti_arr = jnp.asarray([i for _ in range(G) for i, _j in tri_ij],
+                             jnp.int32)
+        tj_arr = jnp.asarray([j for _ in range(G) for _i, j in tri_ij],
+                             jnp.int32)
+        th_arr = jnp.asarray([g for g in range(G) for _ in tri_ij],
+                             jnp.int32)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_bwd_onepass_tri_kernel, scale=scale,
+                block_q=block_q, block_k=block_k,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(B, Hkv, G * n_tri),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, ti, tj, th:
+                            (b, hk, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, ti, tj, th:
+                            (b, hk, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k),
+                        lambda b, hk, t, qo, ti, tj, th:
+                            (b, 0, tj[t]),
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, t, *_: (b, hk, 0, 0)),
+                    pl.BlockSpec((1, 1, Tp, D),
+                                 lambda b, hk, t, *_: (b, hk, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, D), jnp.float32),
+                    pltpu.VMEM((Tp, D), jnp.float32),
+                    pltpu.VMEM((Tp, D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), k.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), v.dtype),
+            ],
+            interpret=interpret,
+        )(q_off_arr, ti_arr, tj_arr, th_arr, qh, kh, vh, doh, lse, delta,
+          kvm)
+        dq = jnp.moveaxis(dq, 1, 2)[:, :S]
+        dk = jnp.moveaxis(dk, 1, 2)[:, :T]
+        dv = jnp.moveaxis(dv, 1, 2)[:, :T]
+        return dq, dk, dv
+
     if onepass:
         dq, dk, dv = pl.pallas_call(
             functools.partial(
@@ -1292,19 +1478,29 @@ def flash_backward(
 # trainable flash prefill (custom VJP: Pallas forward AND backward)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_prefill_trainable(q, k, v, kv_mask, q_offset=0, causal=True,
                             window=None, scale=None):
     """flash_prefill with a fused Pallas backward (dq/dk/dv recompute-based,
     fp32 accumulation): at the 8k/16k training contexts (SURVEY §6) nothing
     O(S²) materializes in either pass. `q_offset` (traced int) is the
     absolute position of q[:, 0] — 0 in plain training, the device's chunk
-    offset under sequence parallelism."""
+    offset under sequence parallelism.
+
+    A STATICALLY-zero q_offset (the plain-training call) is certified here
+    — before jit erases the int — so the long-S backward may use the
+    triangular grid (its live-cell tables are trace-time constants)."""
+    tri = isinstance(q_offset, int) and q_offset == 0
+    return _fp_trainable(q, k, v, kv_mask, q_offset, causal, window, scale,
+                         tri)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fp_trainable(q, k, v, kv_mask, q_offset, causal, window, scale, tri):
     return flash_prefill(q, k, v, kv_mask, q_offset, causal=causal,
                          window=window, scale=scale)
 
 
-def _fp_fwd(q, k, v, kv_mask, q_offset, causal, window, scale):
+def _fp_fwd(q, k, v, kv_mask, q_offset, causal, window, scale, tri):
     from jax.ad_checkpoint import checkpoint_name
 
     out, lse = flash_prefill_with_lse(
@@ -1320,16 +1516,16 @@ def _fp_fwd(q, k, v, kv_mask, q_offset, causal, window, scale):
     return out, (q, k, v, kv_mask, q_offset, out, lse)
 
 
-def _fp_bwd(causal, window, scale, residuals, g):
+def _fp_bwd(causal, window, scale, tri, residuals, g):
     q, k, v, kv_mask, q_offset, out, lse = residuals
     dq, dk, dv = flash_backward(
         q, k, v, kv_mask, out, lse, g, q_offset,
-        causal=causal, window=window, scale=scale,
+        causal=causal, window=window, scale=scale, tri=tri,
     )
     return dq, dk, dv, None, None
 
 
-flash_prefill_trainable.defvjp(_fp_fwd, _fp_bwd)
+_fp_trainable.defvjp(_fp_fwd, _fp_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -293,21 +293,30 @@ def test_flash_backward_kernel_parity(H, Hkv, window):
 
 
 @pytest.mark.parametrize("H,Hkv,window,onepass", [
-    # default tier: split on (MQA, no window) + one-pass on (GQA, window);
-    # the transposed pairings ride the slow tier (pure compile cost)
+    # default tier: split on (MQA, no window) + one-pass on (GQA, window)
+    # + the TRIANGULAR-grid one-pass (MQA, causal, no window — its only
+    # admissible regime); transposed pairings ride the slow tier (pure
+    # compile cost)
     (4, 1, None, False),
     (4, 2, 7, True),
     (4, 1, None, "dqp"),
+    (4, 1, None, "tri"),
     pytest.param(4, 1, None, True, marks=pytest.mark.slow),
     pytest.param(4, 2, 7, False, marks=pytest.mark.slow),
     pytest.param(4, 2, 7, "dqp", marks=pytest.mark.slow),
+    pytest.param(4, 2, None, "tri", marks=pytest.mark.slow),
 ])
 def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
     """The multi-k-block backward kernels (explicit block sizes force
-    fused=False) match XLA autodiff — both the SPLIT dq/dkv pair
-    (onepass=False) and the ONE-PASS kernel (onepass=True, the long-S
-    default) — covering the interior fast-path branch and the dead-block
-    index-map clamps at block granularity."""
+    fused=False) match XLA autodiff — the SPLIT dq/dkv pair
+    (onepass=False), the ONE-PASS kernel (onepass=True, the long-S
+    default), and the TRIANGULAR-grid one-pass ("tri", the long-S default
+    when q_offset is statically 0) — covering the interior fast-path
+    branch, the dead-block index-map clamps, and the live-cell index
+    tables at block granularity."""
+    tri = onepass == "tri"
+    if tri:
+        onepass = True
     from starvector_tpu.ops.flash_attention import (
         flash_backward, flash_prefill_with_lse,
     )
@@ -333,7 +342,7 @@ def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
     out, lse = flash_prefill_with_lse(q, k, v, mask, window=window)
     dq, dk, dv = flash_backward(
         q, k, v, mask, out, lse, g, window=window, block_q=16, block_k=16,
-        onepass=onepass,
+        onepass=onepass, tri=tri,
     )
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
                                rtol=2e-4, atol=2e-4)
@@ -414,6 +423,34 @@ def test_flash_trainable_vjp_uses_pallas_backward():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_trainable_vjp_threads_static_tri_flag(monkeypatch):
+    """flash_prefill_trainable certifies a STATICALLY-zero q_offset to the
+    backward (tri=True → the triangular-grid kernel is admissible at long
+    S), and withholds it for a traced offset (the sequence-parallel chunk
+    path), whose live set the static triangle would undercount."""
+    from starvector_tpu.ops import flash_attention as fa
+
+    seen = []
+    real = fa.flash_backward
+
+    def spy(*a, **kw):
+        seen.append(kw.get("tri", False))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_backward", spy)
+    B, S, H, Hkv, D = 1, 8, 2, 1, 8
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    jax.grad(lambda q: jnp.sum(fa.flash_prefill_trainable(q, k, v, mask)))(q)
+    jax.grad(lambda q: jnp.sum(fa.flash_prefill_trainable(
+        q, k, v, mask, jnp.int32(0))))(q)
+    assert seen == [True, False]
 
 
 def test_dots_flash_remat_saves_attention_residuals():
