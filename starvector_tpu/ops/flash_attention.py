@@ -87,6 +87,49 @@ def _make_live_i(block_q, block_k, ni, causal, window):
 # flash prefill
 # ---------------------------------------------------------------------------
 
+def _flash_fwd_cell(
+    q_ref, k_ref, v_ref, kvmask_ref, m_scr, l_scr, acc_scr, i, j, q_off,
+    *, scale, block_q, block_k, causal, window, pos_masked,
+):
+    """One online-softmax update for forward cell (q block i, k block j).
+    `i`/`j`/`q_off` are traced scalars (program ids on the rectangular
+    grid, prefetched table entries on the triangular one); `pos_masked`
+    statically elides the iota/compare VPU work on strict-interior cells
+    where the positional mask is all-True."""
+    q = q_ref[0, 0]  # (bq, D)
+    k = k_ref[0, 0]  # (bk, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+
+    mask = kvmask_ref[0, 0, :][None, :] > 0
+    if pos_masked:
+        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]                                # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)           # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                               # (bq, bk)
+    corr = jnp.exp(m_prev - m_new)                       # (bq, 1)
+    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+
 def _flash_kernel(
     # scalar-prefetch
     q_offset_ref,    # (1,) absolute position of query row 0
@@ -139,38 +182,12 @@ def _flash_kernel(
             )
 
     def _compute(pos_masked):
-        q = q_ref[0, 0]  # (bq, D)
-        k = k_ref[0, 0]  # (bk, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bq, bk)
-
-        mask = kvmask_ref[0, 0, :][None, :] > 0
-        if pos_masked:
-            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            k_pos = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            if causal:
-                mask &= k_pos <= q_pos
-            if window is not None:
-                mask &= k_pos > q_pos - window
-        s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_scr[:, :1]                                # (bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)           # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                               # (bq, bk)
-        corr = jnp.exp(m_prev - m_new)                       # (bq, 1)
-        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        _flash_fwd_cell(
+            q_ref, k_ref, v_ref, kvmask_ref, m_scr, l_scr, acc_scr,
+            i, j, q_off,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=causal, window=window, pos_masked=pos_masked,
         )
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     if causal:
         pl.when(jnp.logical_and(run, jnp.logical_not(interior)))(
@@ -310,29 +327,106 @@ def _flash_lse_kernel(
         ).astype(lse_ref.dtype)
 
 
+def _flash_lse_tri_kernel(
+    # scalar-prefetch
+    q_offset_ref,    # (1,) statically 0 by the tri contract (kept for mask math)
+    ti_ref,          # (G·n_tri,) linear step → q block row   (index tables)
+    tj_ref,          # (G·n_tri,) linear step → k block col
+    th_ref,          # (G·n_tri,) linear step → q head-in-group
+    q_ref, k_ref, v_ref, kvmask_ref,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale, block_q, block_k,
+):
+    """Forward + LSE on a TRIANGULAR grid: axis 2 walks ONLY the live
+    lower-triangle (i, j) cells of each q-head's block matrix, row-major,
+    via prefetched full-axis index tables — grid (B, Hkv, G·n_tri), the
+    same enumeration as `_flash_bwd_onepass_tri_kernel`. The rectangular
+    sweep skips dead-cell compute and elides their DMAs, but each dead
+    cell still pays grid-step sequencing — measured 53.9 TF/s causal vs
+    77.2 per LIVE cell non-causal at the 8k train shape (B=2, S=8450,
+    bq=512/bk=1024 defaults on v5e). Row-major order keeps each q row's
+    online-softmax updates consecutive: state inits at j == 0, the
+    diagonal cell (j == i) is the row's last live cell and finalizes
+    o/lse. Requires causal, no window, S == T, bq == bk, and a STATICALLY
+    zero q_offset (the live set is baked into the static tables)."""
+    t = pl.program_id(2)
+    i = ti_ref[t]
+    j = tj_ref[t]
+    q_off = q_offset_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def _compute(pos_masked):
+        _flash_fwd_cell(
+            q_ref, k_ref, v_ref, kvmask_ref, m_scr, l_scr, acc_scr,
+            i, j, q_off,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=True, window=None, pos_masked=pos_masked,
+        )
+
+    pl.when(j == i)(lambda: _compute(True))
+    pl.when(j < i)(lambda: _compute(False))
+
+    @pl.when(j == i)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(denom)
+        lse_ref[0, 0] = jnp.broadcast_to(
+            lse, (lse.shape[0], _LSE_LANES)
+        ).astype(lse_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_q", "block_k", "interpret", "scale",
-                     "window"),
+                     "window", "tri"),
 )
 def flash_prefill_with_lse(
     q, k, v, kv_mask, q_offset: jax.Array | int = 0, *,
     causal: bool = True, window: int | None = None, scale: float | None = None,
-    block_q: int = 512, block_k: int = 1024, interpret: bool | None = None,
+    block_q: int | None = None, block_k: int | None = None,
+    interpret: bool | None = None, tri: bool = False,
 ):
     """flash_prefill that also returns the per-row logsumexp (B, S, H) fp32 —
     the only residual the recompute-based backward needs beyond the inputs.
     `q_offset` is the absolute position of q[:, 0] in the KV window (used by
     the sequence-parallel training path, where each device holds a query
-    chunk against the all-gathered K/V)."""
+    chunk against the all-gathered K/V).
+
+    `tri=True` (the caller certifies q_offset is STATICALLY zero —
+    flash_prefill_trainable does) runs the TRIANGULAR-grid kernel when the
+    live set is the exact lower triangle (causal, no window, S == T,
+    bq == bk): only live cells are enumerated, removing the rectangular
+    sweep's dead-cell sequencing tax (see `_flash_lse_tri_kernel`).
+    STARVECTOR_FLASH_FWD_TRI=0 opts out (trace-time, for A/Bs)."""
     if interpret is None:
         interpret = _interpret_default()
     B, S, H, D = q.shape
     T, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
     scale = D**-0.5 if scale is None else scale
+    tri_ok = (
+        tri and causal and window is None and S == T
+        and os.environ.get("STARVECTOR_FLASH_FWD_TRI", "1") != "0"
+    )
+    if block_q is None and block_k is None:
+        # rect default tuned on v5e at B=64/S=1024 MQA (see flash_prefill);
+        # tri requires bq == bk — 1024 measured best causal at the 8k train
+        # shape (60.0 TF/s rect vs 39.7 at 512/512, B=2/S=8450)
+        block_q, block_k = (1024, 1024) if tri_ok else (512, 1024)
+    elif block_q is None:
+        block_q = 512
+    elif block_k is None:
+        block_k = 1024
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(T, 128))
+    tri_ok = tri_ok and block_q == block_k
     q_pad = (-S) % block_q
     k_pad = (-T) % block_k
     qh = jnp.moveaxis(q, 2, 1)
@@ -345,6 +439,73 @@ def flash_prefill_with_lse(
         vh = jnp.pad(vh, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
         kv_mask = jnp.pad(kv_mask, ((0, 0), (0, k_pad)))
     Sp, Tp = S + q_pad, T + k_pad
+
+    if tri_ok and Sp == Tp:
+        ni = Sp // block_q
+        n_tri = ni * (ni + 1) // 2
+        # full-axis tables (head factor baked in): every index-map eval is
+        # one SMEM load — no div/rem by the non-power-of-two n_tri
+        tri_ij = [(i, j) for i in range(ni) for j in range(i + 1)]
+        ti_arr = jnp.asarray([i for _ in range(G) for i, _j in tri_ij],
+                             jnp.int32)
+        tj_arr = jnp.asarray([j for _ in range(G) for _i, j in tri_ij],
+                             jnp.int32)
+        th_arr = jnp.asarray([g for g in range(G) for _ in tri_ij],
+                             jnp.int32)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_lse_tri_kernel, scale=scale,
+                block_q=block_q, block_k=block_k,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(B, Hkv, G * n_tri),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, ti, tj, th: (b, hk, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, ti, tj, th: (b, hk, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k),
+                        lambda b, hk, t, qo, ti, tj, th: (b, 0, tj[t]),
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, t, qo, ti, tj, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, 128), jnp.float32),
+                    pltpu.VMEM((block_q, 128), jnp.float32),
+                    pltpu.VMEM((block_q, D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, Sp, _LSE_LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.asarray([q_offset], jnp.int32), ti_arr, tj_arr, th_arr,
+          qh, kh, vh, kv_mask.astype(jnp.int32)[:, None, :])
+        return jnp.moveaxis(out, 1, 2)[:, :S], lse[:, :, :S, 0]
+
     grid = (B, H, Sp // block_q, Tp // block_k)
     _live_j = _make_live_j(block_q, block_k, grid[3], causal, window)
 
@@ -1504,7 +1665,8 @@ def _fp_fwd(q, k, v, kv_mask, q_offset, causal, window, scale, tri):
     from jax.ad_checkpoint import checkpoint_name
 
     out, lse = flash_prefill_with_lse(
-        q, k, v, kv_mask, q_offset, causal=causal, window=window, scale=scale
+        q, k, v, kv_mask, q_offset, causal=causal, window=window, scale=scale,
+        tri=tri,
     )
     # named so a remat policy can SAVE the attention residuals instead of
     # re-running the whole O(S²) forward kernel during backward: at the 8k

@@ -74,6 +74,40 @@ def test_flash_prefill_non_divisible_lengths():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("H,Hkv,S", [
+    (4, 1, 48),
+    (4, 2, 37),                                        # non-divisible length
+    pytest.param(4, 4, 48, marks=pytest.mark.slow),    # pure compile cost
+])
+def test_flash_prefill_tri_grid_parity(H, Hkv, S):
+    """The TRIANGULAR-grid forward (tri=True — live lower-triangle cells
+    enumerated via prefetched index tables, `_flash_lse_tri_kernel`) matches
+    the XLA reference and emits the same LSE as the rectangular sweep, over
+    MQA/GQA grouping, padded keys, and non-divisible lengths (block-level
+    diagonal/interior classification + the row-major state hand-off)."""
+    from starvector_tpu.ops.flash_attention import flash_prefill_with_lse
+
+    B, D = 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32).at[1, S - 2:].set(0)
+
+    bias = make_attention_bias(mask, S, S, causal=True)
+    ref = multihead_attention(q, k, v, bias)
+    out, lse = flash_prefill_with_lse(
+        q, k, v, mask, block_q=16, block_k=16, tri=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    out_r, lse_r = flash_prefill_with_lse(
+        q, k, v, mask, block_q=16, block_k=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_r),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_mqa_decode_parity():
     B, H, D, T = 2, 8, 128, 160
     filled = 100
@@ -426,20 +460,26 @@ def test_flash_trainable_vjp_uses_pallas_backward():
 
 
 def test_trainable_vjp_threads_static_tri_flag(monkeypatch):
-    """flash_prefill_trainable certifies a STATICALLY-zero q_offset to the
-    backward (tri=True → the triangular-grid kernel is admissible at long
+    """flash_prefill_trainable certifies a STATICALLY-zero q_offset to BOTH
+    passes (tri=True → the triangular-grid kernels are admissible at long
     S), and withholds it for a traced offset (the sequence-parallel chunk
     path), whose live set the static triangle would undercount."""
     from starvector_tpu.ops import flash_attention as fa
 
-    seen = []
-    real = fa.flash_backward
+    seen_bwd, seen_fwd = [], []
+    real_bwd = fa.flash_backward
+    real_fwd = fa.flash_prefill_with_lse
 
-    def spy(*a, **kw):
-        seen.append(kw.get("tri", False))
-        return real(*a, **kw)
+    def spy_bwd(*a, **kw):
+        seen_bwd.append(kw.get("tri", False))
+        return real_bwd(*a, **kw)
 
-    monkeypatch.setattr(fa, "flash_backward", spy)
+    def spy_fwd(*a, **kw):
+        seen_fwd.append(kw.get("tri", False))
+        return real_fwd(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_backward", spy_bwd)
+    monkeypatch.setattr(fa, "flash_prefill_with_lse", spy_fwd)
     B, S, H, Hkv, D = 1, 8, 2, 1, 8
     ks = jax.random.split(jax.random.PRNGKey(5), 3)
     q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
@@ -450,7 +490,8 @@ def test_trainable_vjp_threads_static_tri_flag(monkeypatch):
     jax.grad(lambda q: jnp.sum(fa.flash_prefill_trainable(q, k, v, mask)))(q)
     jax.grad(lambda q: jnp.sum(fa.flash_prefill_trainable(
         q, k, v, mask, jnp.int32(0))))(q)
-    assert seen == [True, False]
+    assert seen_bwd == [True, False]
+    assert seen_fwd == [True, False]
 
 
 def test_dots_flash_remat_saves_attention_residuals():
