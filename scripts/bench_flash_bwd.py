@@ -80,18 +80,23 @@ def main():
         dict(B=2, S=8450, H=16, Hkv=1, D=128),    # true 8k train point
                                                   # (8192 + 257 visual + 1)
         dict(B=8, S=1282, H=32, Hkv=4, D=128),    # 8B-geometry (GQA-4)
+        dict(B=1, S=16384, H=16, Hkv=1, D=128),   # 16k context (past the
+                                                  # one-pass VMEM bound)
     ]
     if args.only_s is not None:
         shapes = [s for s in shapes if s["S"] == args.only_s]
     sweeps = [
-        (None, None, None),     # adaptive default
-        (512, 512, "tri"),      # TRIANGULAR-grid resident one-pass
-        (512, 512, True),       # resident one-pass, rectangular grid
-        (1024, 1024, "dqp"),    # HBM-dq-partials one-pass (VMEM flat in T)
+        (None, None, None),          # adaptive default
+        (512, 512, "tri"),           # TRIANGULAR-grid resident one-pass
+        (512, 512, True),            # resident one-pass, rectangular grid
+        (1024, 1024, "dqp"),         # HBM-dq-partials one-pass (VMEM flat in T)
         (512, 2048, "dqp"),
-        (1536, 1024, "dqp"),    # 1.5x block product — VMEM borderline
+        (1536, 1024, "dqp"),         # 1.5x block product — VMEM borderline
         (1024, 1536, "dqp"),
-        (512, 1024, False),     # split pair (the r4 long-S default)
+        (512, 1024, False),          # split pair (the r4 long-S default)
+        (None, None, "tri_split"),   # TRIANGULAR split at adaptive blocks
+                                     # (the only triangle past the one-pass
+                                     # VMEM bound — the 16k default)
     ]
     for shp in shapes:
         B, S, H, Hkv, D = shp["B"], shp["S"], shp["H"], shp["Hkv"], shp["D"]
@@ -108,15 +113,18 @@ def main():
         for bq, bk, onepass in sweeps:
             if bq is not None and (bq > S + 254 or bk > 2 * S):
                 continue
-            tri = onepass == "tri"
-            if tri:
+            tri = onepass in ("tri", "tri_split")
+            label = "tri" if onepass == "tri" else (
+                "tri_split" if onepass == "tri_split" else onepass)
+            if onepass == "tri":
                 onepass = True
+            elif onepass == "tri_split":
+                onepass = False
             try:
                 scanned, _ = make_scanned(
                     fa, q, k, v, mask, out, lse, bq, bk, inner,
                     onepass=onepass, tri=tri,
                 )
-                label = "tri" if tri else onepass
                 dt = time_marginal(lambda: float(scanned(gs))) / inner
                 print(f"  bq={bq} bk={bk} onepass={label}: "
                       f"{dt*1e3:7.2f} ms  {tf/dt:6.1f} TF/s", flush=True)

@@ -559,6 +559,46 @@ def flash_prefill_with_lse(
 # flash backward kernels (recompute-based; FlashAttention-2 style)
 # ---------------------------------------------------------------------------
 
+def _dq_cell(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dq_scr, i, j, q_off,
+    *, scale, block_q, block_k, causal, window, pos_masked,
+):
+    """One dq accumulation for backward cell (q block i, k block j).
+    `i`/`j`/`q_off` are traced scalars (program ids on the rectangular
+    grid, prefetched table entries on the triangular one)."""
+    q = q_ref[0, 0]                  # (bq, D)
+    k = k_ref[0, 0]                  # (bk, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                # (bq, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                        # (bq, bk)
+    mask = kvmask_ref[0, 0, :][None, :] > 0
+    if pos_masked:
+        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+    lse = lse_ref[0, 0][:, :1]       # (bq, 1)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # (bq, bk)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (bq, bk)
+    delta = delta_ref[0, 0][:, :1]                        # (bq, 1)
+    ds = p * (dp - delta) * scale                         # (bq, bk)
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _flash_dq_kernel(
     q_offset_ref,    # (1,) absolute position of query row 0
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
@@ -594,35 +634,11 @@ def _flash_dq_kernel(
             )
 
     def _compute(pos_masked):
-        q = q_ref[0, 0]                  # (bq, D)
-        k = k_ref[0, 0]                  # (bk, D)
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]                # (bq, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                        # (bq, bk)
-        mask = kvmask_ref[0, 0, :][None, :] > 0
-        if pos_masked:
-            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            k_pos = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            if causal:
-                mask &= k_pos <= q_pos
-            if window is not None:
-                mask &= k_pos > q_pos - window
-        lse = lse_ref[0, 0][:, :1]       # (bq, 1)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # (bq, bk)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                     # (bq, bk)
-        delta = delta_ref[0, 0][:, :1]                        # (bq, 1)
-        ds = p * (dp - delta) * scale                         # (bq, bk)
-        dq_scr[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        _dq_cell(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+            dq_scr, i, j, q_off,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=causal, window=window, pos_masked=pos_masked,
         )
 
     if causal:
@@ -636,6 +652,49 @@ def _flash_dq_kernel(
     @pl.when(j == nj - 1)
     def _finalize():
         dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_cell(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dk_scr, dv_scr, i, j, q_off,
+    *, scale, block_q, block_k, causal, window, pos_masked,
+):
+    """One dk/dv accumulation for backward cell (q block i, k block j),
+    transposed layout (k-major). `i`/`j`/`q_off` are traced scalars."""
+    q = q_ref[0, 0]                  # (bq, D)
+    k = k_ref[0, 0]                  # (bk, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                # (bq, D)
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                        # (bk, bq)
+    mask = kvmask_ref[0, 0, :][:, None] > 0
+    if pos_masked:
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 0
+        )
+        q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 1
+        )
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+    lse = lse_ref[0, 0][:, 0][None, :]   # (1, bq)
+    p_t = jnp.where(mask, jnp.exp(s_t - lse), 0.0)        # (bk, bq)
+    dv_scr[:] += jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (bk, bq)
+    delta = delta_ref[0, 0][:, 0][None, :]                # (1, bq)
+    ds_t = p_t * (dp_t - delta) * scale                   # (bk, bq)
+    dk_scr[:] += jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _flash_dkv_kernel(
@@ -673,39 +732,11 @@ def _flash_dkv_kernel(
             )
 
     def _compute(pos_masked):
-        q = q_ref[0, 0]                  # (bq, D)
-        k = k_ref[0, 0]                  # (bk, D)
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]                # (bq, D)
-        s_t = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                        # (bk, bq)
-        mask = kvmask_ref[0, 0, :][:, None] > 0
-        if pos_masked:
-            k_pos = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_k, block_q), 0
-            )
-            q_pos = q_off + i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_k, block_q), 1
-            )
-            if causal:
-                mask &= k_pos <= q_pos
-            if window is not None:
-                mask &= k_pos > q_pos - window
-        lse = lse_ref[0, 0][:, 0][None, :]   # (1, bq)
-        p_t = jnp.where(mask, jnp.exp(s_t - lse), 0.0)        # (bk, bq)
-        dv_scr[:] += jax.lax.dot_general(
-            p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp_t = jax.lax.dot_general(
-            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                     # (bk, bq)
-        delta = delta_ref[0, 0][:, 0][None, :]                # (1, bq)
-        ds_t = p_t * (dp_t - delta) * scale                   # (bk, bq)
-        dk_scr[:] += jax.lax.dot_general(
-            ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        _dkv_cell(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+            dk_scr, dv_scr, i, j, q_off,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=causal, window=window, pos_masked=pos_masked,
         )
 
     if causal:
@@ -717,6 +748,104 @@ def _flash_dkv_kernel(
         pl.when(run)(lambda: _compute(window is not None))
 
     @pl.when(u == nu - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_dq_tri_kernel(
+    # scalar-prefetch
+    q_offset_ref,    # (1,) statically 0 by the tri contract
+    ti_ref,          # (n_live,) linear step → q block row
+    tj_ref,          # (n_live,) linear step → k block col
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dq_ref,
+    dq_scr,          # (bq, D) fp32 accumulator
+    *, scale, block_q, block_k, n_j,
+):
+    """dq on a TRIANGULAR grid: axis 2 walks ONLY the live causal cells of
+    the (ni × nj) block matrix, row-major, via prefetched index tables —
+    grid (B, H, n_live). Unlike the one-pass triangle this admits ANY
+    bq/bk ratio (the tables encode the block-aspect diagonal band), which
+    matters at the 16k context where the split pair is the only
+    VMEM-feasible path and its tuned blocks are bq=512/bk=2048. Diagonal-
+    band cells (k block straddling the causal edge) keep the positional
+    mask; strict-interior cells skip the iota/compare work. Requires
+    causal, no window, S == T, and a STATICALLY-zero q_offset."""
+    t = pl.program_id(2)
+    i = ti_ref[t]
+    j = tj_ref[t]
+    q_off = q_offset_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    interior = j * block_k + block_k - 1 <= q_off + i * block_q
+
+    def _compute(pos_masked):
+        _dq_cell(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+            dq_scr, i, j, q_off,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=True, window=None, pos_masked=pos_masked,
+        )
+
+    pl.when(interior)(lambda: _compute(False))
+    pl.when(jnp.logical_not(interior))(lambda: _compute(True))
+
+    # last live k block for this q row (row-major ⇒ the row's final cell)
+    j_last = jnp.minimum(n_j - 1, (i * block_q + block_q - 1) // block_k)
+
+    @pl.when(j == j_last)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_tri_kernel(
+    # scalar-prefetch
+    q_offset_ref,    # (1,) statically 0 by the tri contract
+    tj_ref,          # (G·n_live,) linear step → k block col (outer)
+    ti_ref,          # (G·n_live,) linear step → q block row
+    th_ref,          # (G·n_live,) linear step → q head-in-group
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,  # (bk, D) fp32 accumulators
+    *, scale, block_q, block_k, n_i, n_g,
+):
+    """dk/dv on a TRIANGULAR grid: per k block j, only the live q rows
+    i ≥ ⌊j·bk/bq⌋ are enumerated (each swept for all G grouped q heads,
+    g outer / i inner, matching `_flash_dkv_kernel`'s u = g·ni + i order)
+    — grid (B, Hkv, Σ_j G·(ni − i_min(j))). Same contract as
+    `_flash_dq_tri_kernel`; any bq/bk ratio."""
+    t = pl.program_id(2)
+    j = tj_ref[t]
+    i = ti_ref[t]
+    g = th_ref[t]
+    q_off = q_offset_ref[0]
+
+    # first live q row for this k block: smallest i with i·bq+bq-1 ≥ j·bk
+    i_min = (j * block_k) // block_q
+
+    @pl.when(jnp.logical_and(g == 0, i == i_min))
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    interior = j * block_k + block_k - 1 <= q_off + i * block_q
+
+    def _compute(pos_masked):
+        _dkv_cell(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvmask_ref,
+            dk_scr, dv_scr, i, j, q_off,
+            scale=scale, block_q=block_q, block_k=block_k,
+            causal=True, window=None, pos_masked=pos_masked,
+        )
+
+    pl.when(interior)(lambda: _compute(False))
+    pl.when(jnp.logical_not(interior))(lambda: _compute(True))
+
+    @pl.when(jnp.logical_and(g == n_g - 1, i == n_i - 1))
     def _finalize():
         dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
@@ -1167,7 +1296,13 @@ def flash_backward(
         padded KV length: 69 TF/s at S=8192 vs 11 TF/s for uniform
         128/128 — small blocks drown in grid overhead, and a bk that pads
         T (e.g. 1024 → Tp=2048 at T=1282) wastes up to 60% of the k
-        sweep)."""
+        sweep). Under the same `tri` contract the split pair ALSO runs on
+        triangular grids (`_flash_dq_tri_kernel` / `_flash_dkv_tri_kernel`)
+        — unlike the one-pass triangle these admit ANY bq/bk ratio, since
+        the tables encode the block-aspect diagonal band. This is the only
+        triangle past _ONEPASS_BWD_MAX_T: 92.0 TF/s at S=16384 (tri
+        default blocks 1024/1024) vs 85.2 for the rect-adaptive split,
+        and 66.1 vs 61.2 at forced-split S=8192."""
     if interpret is None:
         interpret = _interpret_default()
     B, S, H, D = q.shape
@@ -1197,6 +1332,18 @@ def flash_backward(
         # largest block product that compiles (the fp32 score+dp
         # intermediates dominate dqp's VMEM): 103 TF/s at S=8192
         block_q, block_k = 1024, 1024
+    tri_admissible = (
+        tri and causal and window is None and S == T
+        and os.environ.get("STARVECTOR_FLASH_BWD_TRI", "1") != "0"
+    )
+    if (tri_admissible and not fused and onepass is False
+            and block_q is None and block_k is None):
+        # tri-split default: 92.0 TF/s at S=16384 with (1024, 1024) vs 86.6
+        # at the rect-adaptive (512, 2048) — with dead cells enumerated away
+        # a big-bk sweep no longer buys anything, so prefer the SMALLER bk
+        # on padded-length ties (1024/2048 and 512/4096 fail Mosaic VMEM)
+        block_q = 1024
+        block_k = min((1024, 1536, 2048), key=lambda b: (-(-T // b) * b, b))
     if block_q is None:
         block_q = 512
     if block_k is None:
@@ -1537,6 +1684,137 @@ def flash_backward(
             ],
             interpret=interpret,
         )(q_off_arr, qh, kh, vh, doh, lse, delta, kvm)
+        dq = jnp.moveaxis(dq, 1, 2)[:, :S]
+        dk = jnp.moveaxis(dk, 1, 2)[:, :T]
+        dv = jnp.moveaxis(dv, 1, 2)[:, :T]
+        return dq, dk, dv
+
+    # Triangular grids for the SPLIT pair: the same static-live-set contract
+    # as the one-pass triangle (causal, no window, S == T, q_offset
+    # STATICALLY zero — `tri` certifies it) but for ANY bq/bk ratio, since
+    # the tables encode the block-aspect diagonal band. This is the only
+    # tri option past _ONEPASS_BWD_MAX_T (the 16k context), where the
+    # resident one-pass scratch can never fit.
+    # Unlike the one-pass triangle, Sp == Tp / bq == bk are NOT required:
+    # the tables encode the exact live predicate for any block aspect, the
+    # per-row last-j and per-column first-i are computed from the same
+    # predicate in-kernel, and (for S == T) every k block starts below Sp
+    # so no dk/dv output block is left unwritten.
+    if tri_admissible:
+        dq_cells = [(i, j) for i in range(ni) for j in range(nj)
+                    if j * block_k <= i * block_q + block_q - 1]
+        dq_ti = jnp.asarray([i for i, _j in dq_cells], jnp.int32)
+        dq_tj = jnp.asarray([j for _i, j in dq_cells], jnp.int32)
+        dq = pl.pallas_call(
+            functools.partial(
+                _flash_dq_tri_kernel, scale=scale,
+                block_q=block_q, block_k=block_k, n_j=nj,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B, H, len(dq_cells)),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, D),
+                                 lambda b, h, t, qo, ti, tj: (b, h, ti[t], 0)),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, h, t, qo, ti, tj, G=G:
+                            (b, h // G, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, h, t, qo, ti, tj, G=G:
+                            (b, h // G, tj[t], 0),
+                    ),
+                    pl.BlockSpec((1, 1, block_q, D),
+                                 lambda b, h, t, qo, ti, tj: (b, h, ti[t], 0)),
+                    pl.BlockSpec((1, 1, block_q, _LSE_LANES),
+                                 lambda b, h, t, qo, ti, tj: (b, h, ti[t], 0)),
+                    pl.BlockSpec((1, 1, block_q, _LSE_LANES),
+                                 lambda b, h, t, qo, ti, tj: (b, h, ti[t], 0)),
+                    pl.BlockSpec((1, 1, block_k),
+                                 lambda b, h, t, qo, ti, tj: (b, 0, tj[t])),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, block_q, D),
+                    lambda b, h, t, qo, ti, tj: (b, h, ti[t], 0),
+                ),
+                scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), q.dtype),
+            interpret=interpret,
+        )(q_off_arr, dq_ti, dq_tj, qh, kh, vh, doh, lse, delta, kvm)
+
+        dkv_cells = [(j, g, i)
+                     for j in range(nj) for g in range(G)
+                     for i in range((j * block_k) // block_q, ni)]
+        kv_tj = jnp.asarray([j for j, _g, _i in dkv_cells], jnp.int32)
+        kv_ti = jnp.asarray([i for _j, _g, i in dkv_cells], jnp.int32)
+        kv_th = jnp.asarray([g for _j, g, _i in dkv_cells], jnp.int32)
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _flash_dkv_tri_kernel, scale=scale,
+                block_q=block_q, block_k=block_k, n_i=ni, n_g=G,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(B, Hkv, len(dkv_cells)),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, t, qo, tj, ti, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, tj, ti, th: (b, hk, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, tj, ti, th: (b, hk, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, D),
+                        lambda b, hk, t, qo, tj, ti, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, t, qo, tj, ti, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_q, _LSE_LANES),
+                        lambda b, hk, t, qo, tj, ti, th, G=G:
+                            (b, hk * G + th[t], ti[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k),
+                        lambda b, hk, t, qo, tj, ti, th: (b, 0, tj[t]),
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, tj, ti, th: (b, hk, tj[t], 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, D),
+                        lambda b, hk, t, qo, tj, ti, th: (b, hk, tj[t], 0),
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), k.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Tp, D), v.dtype),
+            ],
+            interpret=interpret,
+        )(q_off_arr, kv_tj, kv_ti, kv_th, qh, kh, vh, doh, lse, delta, kvm)
+
         dq = jnp.moveaxis(dq, 1, 2)[:, :S]
         dk = jnp.moveaxis(dk, 1, 2)[:, :T]
         dv = jnp.moveaxis(dv, 1, 2)[:, :T]

@@ -329,28 +329,34 @@ def test_flash_backward_kernel_parity(H, Hkv, window):
 @pytest.mark.parametrize("H,Hkv,window,onepass", [
     # default tier: split on (MQA, no window) + one-pass on (GQA, window)
     # + the TRIANGULAR-grid one-pass (MQA, causal, no window — its only
-    # admissible regime); transposed pairings ride the slow tier (pure
-    # compile cost)
+    # admissible regime) + the TRIANGULAR split pair at an unequal block
+    # ratio (bq=16/bk=32 — the aspect the 16k context runs, where tri-split
+    # is the only admissible triangle); transposed pairings ride the slow
+    # tier (pure compile cost)
     (4, 1, None, False),
     (4, 2, 7, True),
     (4, 1, None, "dqp"),
     (4, 1, None, "tri"),
+    (4, 1, None, "tri_split"),
     pytest.param(4, 1, None, True, marks=pytest.mark.slow),
     pytest.param(4, 2, 7, False, marks=pytest.mark.slow),
     pytest.param(4, 2, 7, "dqp", marks=pytest.mark.slow),
     pytest.param(4, 2, None, "tri", marks=pytest.mark.slow),
+    pytest.param(4, 2, None, "tri_split", marks=pytest.mark.slow),
 ])
 def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
     """The multi-k-block backward kernels (explicit block sizes force
     fused=False) match XLA autodiff — the SPLIT dq/dkv pair
     (onepass=False), the ONE-PASS kernel (onepass=True, the long-S
-    default), and the TRIANGULAR-grid one-pass ("tri", the long-S default
-    when q_offset is statically 0) — covering the interior fast-path
-    branch, the dead-block index-map clamps, and the live-cell index
-    tables at block granularity."""
-    tri = onepass == "tri"
-    if tri:
-        onepass = True
+    default), the TRIANGULAR-grid one-pass ("tri", the long-S default
+    when q_offset is statically 0), and the TRIANGULAR split pair
+    ("tri_split", the only triangle past the one-pass VMEM bound) —
+    covering the interior fast-path branch, the dead-block index-map
+    clamps, and the live-cell index tables at block granularity."""
+    tri = onepass in ("tri", "tri_split")
+    block_k = 32 if onepass == "tri_split" else 16
+    onepass = True if onepass == "tri" else (
+        False if onepass == "tri_split" else onepass)
     from starvector_tpu.ops.flash_attention import (
         flash_backward, flash_prefill_with_lse,
     )
@@ -375,7 +381,8 @@ def test_flash_backward_split_kernel_parity(H, Hkv, window, onepass):
 
     out, lse = flash_prefill_with_lse(q, k, v, mask, window=window)
     dq, dk, dv = flash_backward(
-        q, k, v, mask, out, lse, g, window=window, block_q=16, block_k=16,
+        q, k, v, mask, out, lse, g, window=window,
+        block_q=16, block_k=block_k,
         onepass=onepass, tri=tri,
     )
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
