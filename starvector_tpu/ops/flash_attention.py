@@ -1338,12 +1338,14 @@ def flash_backward(
     )
     if (tri_admissible and not fused and onepass is False
             and block_q is None and block_k is None):
-        # tri-split default: 92.0 TF/s at S=16384 with (1024, 1024) vs 86.6
-        # at the rect-adaptive (512, 2048) — with dead cells enumerated away
-        # a big-bk sweep no longer buys anything, so prefer the SMALLER bk
-        # on padded-length ties (1024/2048 and 512/4096 fail Mosaic VMEM)
-        block_q = 1024
-        block_k = min((1024, 1536, 2048), key=lambda b: (-(-T // b) * b, b))
+        # tri-split default: with dead cells enumerated away, padded-length
+        # minimization stops mattering and a fixed (1024, 1024) wins every
+        # measured point — 92.0 TF/s at S=16384 (vs 86.6 rect-adaptive
+        # 512/2048) and 86.3 at the TRUE 16k decoder length T=16642 (vs
+        # 85.8 for pad-minimizing 512/1536; 1024/1536 exceeds the Mosaic
+        # scoped-VMEM limit by 240 KB inside the full train step, and
+        # 1024/2048 / 512/4096 fail standalone)
+        block_q, block_k = 1024, 1024
     if block_q is None:
         block_q = 512
     if block_k is None:
