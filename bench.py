@@ -994,7 +994,9 @@ def main():
             # rate "dqp" variant measured NEUTRAL e2e (10,349) — its
             # ~650 MB partials transient raises HBM pressure and XLA claws
             # the kernel win back, so it stays opt-in
-            # (STARVECTOR_FLASH_BWD_ONEPASS=dqp).
+            # (STARVECTOR_FLASH_BWD_ONEPASS=dqp). TRIANGULAR grids on the
+            # one-pass backward and the forward (live causal cells only,
+            # prefetched index tables) lift it again to 11,446 / 0.555.
             t8 = bench_train(jax, jnp, np, on_tpu, B=2, S=8192,
                              remat="dots_flash")
             detail.update({
